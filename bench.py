@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with a count-style action
+(``df.foreach(noop)`` would be slower; ``count()`` after a cache-less run
+measures the whole plan because Catalyst cannot short-circuit aggregates/
+projections feeding a count... to be safe we use ``df.write.format("noop")``
+which materializes every row and column with zero sink cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flinkapps_spark.plans import catalog
+from flinkapps_spark.session import get_spark
+
+# headline set: the flagship pipeline plus the heaviest representative
+# operator from each family (filter/agg/window/join/dedup/similarity/text)
+HEADLINE = [
+    "flagship_filter_project",
+    "filter_compound_precedence",
+    "csv_roundtrip",
+    "tokenize_wordcount",
+    "agg_minmax_year",
+    "agg_tumbling_window",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "topk_per_group",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine_bruteforce",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("flinkapps-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = catalog.registry()
+    names = [n for n in HEADLINE if n in reg]
+
+    timings: dict[str, float] = {}
+    # warm-up: JVM/codegen/parquet-footer caches on the smallest table
+    reg["flagship_filter_project"].build(spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
+
+    t_all = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        df = reg[name].build(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,24 @@
+"""Vector math over array<float> columns (beyond-reference: similarity search).
+
+Pure Column expressions via ``zip_with``/``aggregate`` — JVM-side, no Python.
+At 100 TB scale these run inside codegen; for very wide vectors a pandas UDF
+with numpy BLAS could win, but at dim=64 the builtin path avoids Arrow
+transfer entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

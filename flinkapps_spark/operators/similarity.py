@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (beyond-reference).
+
+- Brute-force cosine top-k: the exactness baseline. Queries are broadcast;
+  the corpus streams past them in one pass (no corpus shuffle); ranking
+  shuffles only (query × corpus-partition) partial top-k rows.
+- LSH-bucketed ANN (random hyperplanes): the 100 TB path — candidates only
+  within matching sign-buckets; probes grow recall.
+
+Cosine math uses double-cast sequential folds (functions/vectors.py) so
+DuckDB mirrors the arithmetic exactly; ranking keys round to 6 decimals
+with a unique id tiebreak so ulp noise can never flip an ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from flinkapps_spark.functions.vectors import cosine_similarity
+
+# deterministic "random" hyperplanes: plane p component i =
+# sin(p*10007 + i*101) — reproducible anywhere, no RNG state.
+N_PLANES = 8
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries must be small (it is broadcast); corpus is never shuffled until
+    the final per-query rank of partial candidates.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+    joined = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "vec_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def _hyperplane(p: int, dim: int):
+    return F.array(*[F.sin(F.lit(float(p * 10007 + i * 101)))
+                     for i in range(dim)])
+
+
+def bucket_signature(vec, dim: int):
+    """Sign-pattern bucket id over N_PLANES deterministic hyperplanes."""
+    bits = []
+    for p in range(N_PLANES):
+        plane = _hyperplane(p, dim)
+        d = F.aggregate(F.zip_with(vec, plane, lambda x, y: x * y),
+                        F.lit(0.0), lambda a, v: a + v)
+        bits.append(F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            dim: int = 64) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's hyperplane bucket.
+
+    Recall < 1 by construction (single probe); at scale add multi-probe
+    (flip lowest-margin bits) or band multiple signature groups.
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      _as_double(F.col(vec_col)).alias("cv")) \
+        .withColumn("c_bucket", bucket_signature(F.col("cv"), dim))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv")) \
+        .withColumn("q_bucket", bucket_signature(F.col("qv"), dim))
+    joined = c.join(F.broadcast(q),
+                    (F.col("c_bucket") == F.col("q_bucket"))
+                    & (F.col("vec_id") != F.col("query_id")))
+    scored = joined.select(
+        "query_id", "vec_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.99,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    Fixture-scale: cross join (corpus is small). 100 TB path: bucket with
+    knn_lsh's signatures first, cross join only within buckets.
+    """
+    a = df.select(F.col(id_col).alias("id_a"),
+                  _as_double(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  _as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+                .alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

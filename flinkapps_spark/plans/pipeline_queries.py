@@ -1,0 +1,511 @@
+"""Training-data pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — over the documents/embeddings fixtures.
+
+The fixtures contain no duplicates (500 distinct texts; max pairwise
+embedding cosine ≈ 0.51), so dedup queries *construct* deterministic
+near/exact duplicates in-query — identically on both engines — to make the
+results non-trivial:
+
+- text near-dups: every document re-appears (id+1000000) with its first
+  word removed → Jaccard ≈ (n-3)/(n-2) over 3-shingles;
+- text exact dups: docs with id%10==0 re-appear verbatim (id+2000000);
+- embedding near-dups: every vector re-appears (id+100000) with +0.5 on
+  component 0 → cosine ≈ 0.998 vs its original, ≪ any random pair.
+
+Oracle SQL is *generated* from the same constants the Spark operators use
+(MINHASH_COEFFS, STOPWORDS, ...), so both sides share one definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flinkapps_spark.functions.text import HASH_MOD
+from flinkapps_spark.operators import dedup, multimodal, similarity, textstats
+from flinkapps_spark.operators.dedup import (
+    MINHASH_COEFFS, N_BANDS, ROWS_PER_BAND, SIMHASH_BITS,
+)
+from flinkapps_spark.operators.textstats import (
+    FINGERPRINT_BASE, LANG_MARKERS, LANG_PRIORITY, STOPWORDS,
+)
+from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect) mirroring functions/text.py
+# ---------------------------------------------------------------------------
+
+# tokenize: lowercase, split \W+, drop empties  →  list of words
+SQL_WORDS = ("list_filter(string_split_regex(lower(text), '\\W+'), "
+             "w -> w <> '')")
+
+# poly-31 code of a string expression {s}: fold (a*31 + codepoint) mod 2^31-1
+def _sql_word_code(s: str) -> str:
+    return (f"list_reduce([CAST(0 AS BIGINT)] || "
+            f"list_transform(string_split({s}, ''), "
+            f"c -> CAST(ascii(c) AS BIGINT)), "
+            f"(a, b) -> (a * 31 + b) % {HASH_MOD})")
+
+
+# distinct 3-word shingle codes from a word-code list {wc} — mirrors
+# operators/dedup.py shingle_codes: ((w1*B + w2) mod M * B + w3) mod M
+def _sql_shingle_codes(wc: str) -> str:
+    from flinkapps_spark.operators.dedup import SHINGLE_BASE
+    return (f"list_distinct(list_transform(range(1, len({wc}) - 1), "
+            f"i -> ((({wc}[i] * {SHINGLE_BASE} + {wc}[i+1]) % {HASH_MOD}) "
+            f"* {SHINGLE_BASE} + {wc}[i+2]) % {HASH_MOD}))")
+
+
+# documents augmented with constructed near/exact duplicates
+SQL_AUG_NEAR = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, regexp_replace(text, '^\\w+\\W+', '')
+    FROM documents
+"""
+SQL_AUG_EXACT = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _augment_near(docs: DataFrame) -> DataFrame:
+    mod = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", "^\\w+\\W+", "").alias("text"))
+    return docs.select("doc_id", "text").unionByName(mod)
+
+
+def _augment_exact(docs: DataFrame) -> DataFrame:
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), F.col("text"))
+    return docs.select("doc_id", "text").unionByName(dup)
+
+
+# shared CTE prefix: aug docs → exploded distinct shingle codes + sizes
+def _sql_shingle_cte(aug_sql: str) -> str:
+    return f"""
+        WITH aug AS ({aug_sql}),
+        docs_w AS (
+            SELECT doc_id, {SQL_WORDS} AS ws FROM aug
+        ),
+        wcodes AS (
+            SELECT doc_id,
+                   list_transform(ws, w -> {_sql_word_code('w')}) AS wc
+            FROM docs_w WHERE len(ws) >= 3
+        ),
+        codes AS (
+            SELECT doc_id, {_sql_shingle_codes('wc')} AS cset FROM wcodes
+        ),
+        ex AS (
+            SELECT doc_id AS doc, unnest(cset) AS code FROM codes
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS n_sh FROM ex GROUP BY doc),
+        common AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+            FROM ex a JOIN ex b ON a.code = b.code AND a.doc < b.doc
+            GROUP BY a.doc, b.doc
+        ),
+        jac AS (
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(n_common AS DOUBLE)
+                         / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc = doc_a
+            JOIN sizes sb ON sb.doc = doc_b
+        )
+    """
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+        WITH aug AS ({SQL_AUG_EXACT})
+        SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM aug GROUP BY md5(text)
+    """,
+    category="extension: dedup (exact)",
+    doc="Exact dedup by content digest: hash-groupBy on md5(text), keep "
+        "min id. One shuffle keyed by digest — at 100 TB the digest is "
+        "uniformly distributed, no skew. Constructed dups: id%10 docs "
+        "duplicated verbatim.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augment_exact(load_table(spark, sf_dir, "documents"))
+    return dedup.exact_dedup(docs)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=_sql_shingle_cte(SQL_AUG_NEAR) + """
+        SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.6
+    """,
+    category="extension: dedup (n-gram Jaccard)",
+    doc="Exact 3-shingle Jaccard near-dup pairs via inverted-index join "
+        "(shared-shingle candidates only — never an O(n²) cross join). "
+        "Constructed near-dups: first word dropped → J≈(n-3)/(n-2).",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augment_near(load_table(spark, sf_dir, "documents"))
+    return dedup.jaccard_pairs(docs, threshold=0.6)
+
+
+def _sql_minhash_sig() -> str:
+    exprs = ", ".join(
+        f"list_min(list_transform(cset, c -> ({a} * c + {b}) % {HASH_MOD}))"
+        for a, b in MINHASH_COEFFS)
+    return f"[{exprs}]"
+
+
+def _sql_band_keys() -> str:
+    keys = []
+    for band in range(N_BANDS):
+        lo = band * ROWS_PER_BAND
+        parts = " || '-' || ".join(
+            f"CAST(sig[{i + 1}] AS VARCHAR)"
+            for i in range(lo, lo + ROWS_PER_BAND))
+        keys.append(f"({parts})")
+    return ", ".join(keys)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH aug AS ({SQL_AUG_NEAR}),
+        docs_w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM aug),
+        wcodes AS (
+            SELECT doc_id,
+                   list_transform(ws, w -> {_sql_word_code('w')}) AS wc
+            FROM docs_w WHERE len(ws) >= 3
+        ),
+        codes AS (
+            SELECT doc_id, {_sql_shingle_codes('wc')} AS cset FROM wcodes
+        ),
+        sig_t AS (
+            SELECT doc_id AS doc, {_sql_minhash_sig()} AS sig FROM codes
+        ),
+        bands AS (
+            SELECT doc, unnest([{_sql_band_keys()}]) AS band_key,
+                   unnest({list(range(1, N_BANDS + 1))}) AS band_idx
+            FROM sig_t
+        ),
+        cand AS (
+            SELECT x.doc AS doc_a, y.doc AS doc_b,
+                   COUNT(*) AS shared_bands
+            FROM bands x JOIN bands y
+              ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+             AND x.doc < y.doc
+            GROUP BY x.doc, y.doc
+        )
+        SELECT c.doc_a, c.doc_b, c.shared_bands,
+               ROUND(CAST(len(list_intersect(ca.cset, cb.cset)) AS DOUBLE)
+                     / (len(ca.cset) + len(cb.cset)
+                        - len(list_intersect(ca.cset, cb.cset))), 6)
+                   AS jaccard
+        FROM cand c
+        JOIN codes ca ON ca.doc_id = c.doc_a
+        JOIN codes cb ON cb.doc_id = c.doc_b
+        WHERE ROUND(CAST(len(list_intersect(ca.cset, cb.cset)) AS DOUBLE)
+                    / (len(ca.cset) + len(cb.cset)
+                       - len(list_intersect(ca.cset, cb.cset))), 6) >= 0.5
+    """,
+    category="extension: dedup (MinHash+LSH)",
+    doc="MinHash(16 hashes)+LSH(4 bands×4 rows) near-dup candidates, "
+        "verified with exact Jaccard. Affine permutations over the "
+        "engine-portable poly-31 shingle codes so the oracle reproduces "
+        "every signature bit. Scale: signature is per-row array math (no "
+        "shuffle); the only shuffle is the tiny band-key join.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augment_near(load_table(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def _sql_simhash(aug_sql: str) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (code >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS))
+    bits = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS))
+    return f"""
+        WITH aug AS ({aug_sql}),
+        toks AS (
+            SELECT doc_id AS doc,
+                   {_sql_word_code('t.tok')} AS code
+            FROM aug, unnest({SQL_WORDS}) AS t(tok)
+        ),
+        votes AS (SELECT doc, {votes} FROM toks GROUP BY doc)
+        SELECT doc AS doc_id, {bits} AS simhash FROM votes
+    """
+
+
+@query(
+    "dedup_simhash",
+    oracle=_sql_simhash(SQL_AUG_NEAR),
+    category="extension: dedup (SimHash)",
+    doc="Per-doc 32-bit SimHash: tokens vote ±1 per bit of their poly-31 "
+        "code; bit set iff vote sum > 0. One explode + one groupBy(doc).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augment_near(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash(docs)
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+        WITH sims AS ({_sql_simhash(SQL_AUG_NEAR)})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    category="extension: dedup (SimHash pairs)",
+    doc="Near-dup pairs with SimHash hamming ≤ 6. Fixture-scale cross join; "
+        "100 TB path: pigeonhole bit-band blocking (see operators/dedup.py).",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augment_near(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs(docs, max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+SQL_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    dot = (f"list_sum(list_transform(range(1, len({a}) + 1), "
+           f"i -> {a}[i] * {b}[i]))")
+    na = f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x * x)))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+@query(
+    "knn_cosine_bruteforce",
+    oracle=f"""
+        WITH emb AS (SELECT vec_id, {SQL_EMB_D} AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10)
+        SELECT query_id, vec_id,
+               ROUND({_sql_cos('qv', 'v')}, 6) AS cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND({_sql_cos('qv', 'v')}, 6) DESC, vec_id)
+                   AS INT) AS rank
+        FROM emb CROSS JOIN q
+        WHERE vec_id <> query_id
+        QUALIFY rank <= 5
+    """,
+    category="extension: similarity (brute-force k-NN)",
+    doc="Exact top-5 cosine neighbors for query vectors (vec_id<10): "
+        "queries broadcast, corpus single-pass, per-query top-k rank. "
+        "Ranking key is cosine rounded to 6dp + vec_id tiebreak → ulp-proof.",
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "knn_cosine_lsh",
+    oracle=None,  # recall checked in tests/test_similarity.py, not by SQL
+    category="extension: similarity (LSH ANN)",
+    doc="Hyperplane-LSH bucketed ANN — the 100 TB path: candidates only "
+        "within sign-pattern buckets. Deterministic planes (sin-mixed), "
+        "single probe; recall vs brute force asserted in unit tests.",
+)
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+        WITH emb AS (
+            SELECT vec_id, {SQL_EMB_D} AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   [v2[1] + 0.5] || v2[2:]
+            FROM (SELECT vec_id, {SQL_EMB_D} AS v2 FROM embeddings)
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_sql_cos('a.v', 'b.v')}, 6) AS cosine
+        FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        WHERE ROUND({_sql_cos('a.v', 'b.v')}, 6) >= 0.99
+    """,
+    category="extension: dedup (embedding cosine)",
+    doc="Embedding near-dup pairs (cosine ≥ 0.99). Fixture has no natural "
+        "near-dups (max random-pair cosine ≈ 0.51), so each vector is "
+        "duplicated with +0.5 on component 0 (cosine ≈ 0.998).",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    pert = emb_d.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(F.array(F.element_at("v", 1) + 0.5),
+                 F.slice("v", 2, 10_000)).alias("v"))
+    aug = emb_d.unionByName(pert).withColumnRenamed("v", "embedding")
+    return similarity.embedding_neardup_pairs(aug, threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+SQL_STOPS = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, text, {SQL_WORDS} AS ws FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(ws) AS n_tokens,
+                   ROUND(CAST(list_sum(list_transform(ws, w -> length(w)))
+                              AS DOUBLE) / len(ws), 4) AS avg_word_len,
+                   ROUND(CAST(length(text) - length(regexp_replace(text,
+                         '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                         / length(text), 6) AS punct_ratio,
+                   ROUND(CAST(len(list_filter(ws,
+                         w -> list_contains({SQL_STOPS}, w))) AS DOUBLE)
+                         / len(ws), 6) AS stopword_ratio
+            FROM t
+        )
+        SELECT doc_id, n_tokens, avg_word_len, punct_ratio, stopword_ratio,
+               ROUND(LEAST(1.0, n_tokens / 100.0) * 0.5
+                     + (1.0 - punct_ratio) * 0.3
+                     + LEAST(1.0, stopword_ratio * 5.0) * 0.2, 6)
+                   AS quality_score
+        FROM m
+    """,
+    category="extension: text analysis (quality)",
+    doc="Per-document quality metrics: token count, avg word length, "
+        "punctuation ratio, stopword ratio, composite score — all builtin "
+        "array lambdas, zero Python.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textstats.tokenize(F.col("text"))
+    base = docs.select(
+        "doc_id", "text",
+        textstats.token_count(toks).alias("n_tokens"),
+        F.round(textstats.avg_word_len(toks), 4).alias("avg_word_len"),
+        F.round(textstats.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(textstats.stopword_ratio(toks), 6).alias("stopword_ratio"))
+    return base.select(
+        "doc_id", "n_tokens", "avg_word_len", "punct_ratio", "stopword_ratio",
+        F.round(textstats.quality_score(
+            F.col("n_tokens"), F.col("punct_ratio"),
+            F.col("stopword_ratio")), 6).alias("quality_score"))
+
+
+def _sql_lang_case() -> tuple[str, str]:
+    score_cols = []
+    for lang in LANG_PRIORITY:
+        markers = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+        score_cols.append(
+            f"len(list_filter(ws, w -> list_contains({markers}, w))) "
+            f"AS score_{lang}")
+    greatest = "GREATEST(" + ", ".join(
+        f"score_{lang}" for lang in LANG_PRIORITY) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} >= {greatest} THEN '{lang}'"
+        for lang in LANG_PRIORITY) + " END"
+    return ", ".join(score_cols), case
+
+
+_SQL_LANG_SCORES, _SQL_LANG_CASE = _sql_lang_case()
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, {SQL_WORDS} AS ws FROM documents),
+        s AS (SELECT doc_id, lang, {_SQL_LANG_SCORES} FROM t)
+        SELECT doc_id, lang AS labeled_lang,
+               {_SQL_LANG_CASE} AS predicted_lang,
+               {", ".join(f"score_{lang}" for lang in LANG_PRIORITY)}
+        FROM s
+    """,
+    category="extension: text analysis (language ID)",
+    doc="Marker-word language-ID heuristic: per-language hit counts, argmax "
+        "with deterministic priority tie-break. (Fixture text is synthetic "
+        "English-ish regardless of its lang label; the operator surface is "
+        "what's verified.)",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textstats.tokenize(F.col("text"))
+    scores = textstats.lang_scores(toks)
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        textstats.predict_lang(scores).alias("predicted_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_PRIORITY])
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents)
+        SELECT doc_id,
+               list_reduce(
+                   [CAST(0 AS BIGINT)] ||
+                   list_transform(ws, w -> {_sql_word_code('w')}),
+                   (a, b) -> (a * {FINGERPRINT_BASE} + b) % {HASH_MOD})
+                   AS fingerprint
+        FROM t
+    """,
+    category="extension: text analysis (fingerprint)",
+    doc="Order-sensitive rolling document fingerprint: poly-1000003 fold "
+        "over per-word poly-31 codes, mod 2^31-1 — engine-portable (oracle "
+        "reproduces exact values).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textstats.tokenize(F.col("text"))
+    return docs.select(
+        "doc_id", textstats.doc_fingerprint(toks).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_byte_features",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               CAST(ascii(text[1]) AS INT) AS first_byte,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+    category="extension: multimodal (binary plumbing)",
+    doc="Opaque binary payload column + Arrow-batched mapInPandas feature "
+        "extraction (deterministic byte features stand in for the stubbed "
+        "image/audio codecs — operators/multimodal.py). md5(utf-8 bytes) "
+        "matches DuckDB md5(text); fixture text is pure ASCII so "
+        "first_byte == ascii(first char).",
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_binary_payload(docs)
+    return multimodal.extract_byte_features(with_payload)

@@ -1,0 +1,108 @@
+"""Streaming-executed queries: the reference's streaming pipeline shapes run
+through real Structured Streaming micro-batches (file-replay source,
+availableNow trigger, memory sink), then checked against *batch* DuckDB
+oracles — the batch≡stream consistency property the reference's changelog
+output is supposed to guarantee (SURVEY §5.3, §7.5.3).
+
+The driver sees an ordinary DataFrame result; the streaming execution
+happens inside the build function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flinkapps_spark.functions.text import tokenize
+from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.streaming.jobs import (
+    file_stream_source, run_stream_to_memory,
+)
+
+
+@query(
+    "stream_flagship_filter",
+    oracle="""
+        SELECT event_id, user_id, event_type, value,
+               ROUND(value - 100.0, 2) AS spread
+        FROM events
+        WHERE event_type IN ('purchase', 'signup', 'error')
+    """,
+    category="streaming: filter pipeline (append)",
+    doc="The flagship filter/derive pipeline executed as a real stream "
+        "(micro-batch append mode) — same rows as the batch plan "
+        "(reference source/flinkStreamProcessing.scala:103-135, EP1).",
+)
+def stream_flagship_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = file_stream_source(spark, sf_dir, "events")
+    out = (ev.filter(F.col("event_type").isin("purchase", "signup", "error"))
+           .select("event_id", "user_id", "event_type", "value",
+                   F.round(F.col("value") - F.lit(100.0), 2).alias("spread")))
+    return run_stream_to_memory(out, output_mode="append")
+
+
+@query(
+    "stream_wordcount",
+    oracle="""
+        SELECT w AS word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split_regex(lower(text), '\\W+')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY w
+    """,
+    category="streaming: continuous aggregation (complete)",
+    doc="Word count as a continuous streaming aggregation (complete output "
+        "mode = the converged changelog state, SURVEY §7.5.3) — final state "
+        "equals the batch answer (reference source/flinkStarter.scala:12-26).",
+)
+def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = file_stream_source(spark, sf_dir, "documents")
+    counts = (docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+              .groupBy("word").agg(F.count("*").alias("cnt")))
+    return run_stream_to_memory(counts, output_mode="complete")
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               event_type, COUNT(*) AS cnt
+        FROM events
+        GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type
+    """,
+    category="streaming: event-time window + watermark",
+    doc="Tumbling 5-minute event-time window with a watermark, run as a "
+        "stream (reference source/flinkStarter.scala:22-24; watermark "
+        "surface = SURVEY T2, which the reference declares but never uses). "
+        "availableNow replay + complete mode → converged state matches batch.",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = file_stream_source(spark, sf_dir, "events")
+    agged = (ev.withWatermark("ts", "10 minutes")
+             .groupBy(F.window("ts", "5 minutes"), F.col("event_type"))
+             .agg(F.count("*").alias("cnt"))
+             .select(F.col("window.start").alias("window_start"),
+                     "event_type", "cnt"))
+    return run_stream_to_memory(agged, output_mode="complete")
+
+
+@query(
+    "stream_sql_grouped_sum",
+    oracle="""
+        SELECT name, ROUND(SUM(score), 2) AS total
+        FROM (SELECT c_mktsegment AS name, c_acctbal AS score FROM customer)
+        GROUP BY name
+    """,
+    category="streaming: SQL over stream (update→converged)",
+    doc="SQL-over-stream: temp view on a streaming DataFrame + spark.sql "
+        "continuous aggregation (reference source/flinkStreamTable.scala:68-79, "
+        "EP2 bridge). Complete mode returns the converged changelog state.",
+)
+def stream_sql_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = file_stream_source(spark, sf_dir, "customer") \
+        .select(F.col("c_mktsegment").alias("name"),
+                F.col("c_acctbal").alias("score"))
+    cu.createOrReplaceTempView("stream_input_table")
+    agged = spark.sql(
+        "SELECT name, ROUND(SUM(score), 2) AS total "
+        "FROM stream_input_table GROUP BY name")
+    return run_stream_to_memory(agged, output_mode="complete")

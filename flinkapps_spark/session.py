@@ -1,0 +1,70 @@
+"""SparkSession construction tuned for both local testing and cluster scale.
+
+The reference configures its runtime per job (checkpointing, parallelism;
+e.g. reference source/flinkStreamProcessing.scala:80-89).  Here a single
+helper builds/tunes a session; every knob is overridable.
+
+Scale notes (100 TB design):
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  replaces hand-tuned parallelism.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE
+  coalesces.  On a real cluster set it ~2-3x total cores.
+- Arrow enabled for the few pandas-UDF operators (as-of join, multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to any session (including a driver-provided
+# one we did not build ourselves).
+_RUNTIME_CONFS = {
+    # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by
+    # default; read as long and convert explicitly (sources/batch.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # timestamps in fixtures are naive; keep session in UTC for determinism
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session.
+
+    Safe to call on a session created elsewhere (e.g. the verify driver).
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build; defaults still work
+    return spark
+
+
+def get_spark(app_name: str = "flinkapps_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is configured.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    return tune_session(spark)

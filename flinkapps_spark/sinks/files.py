@@ -1,0 +1,70 @@
+"""File sinks (SURVEY §2.4 K3-K5): console/text/csv/parquet writes and the
+rolling-file emulation of Flink's StreamingFileSink.
+
+Flink's rolling sink (reference source/flinkContinuousProcessingRollover.scala:165-194)
+buckets output into hourly folders (`yyyy-MM-dd--HH` DateTimeBucketAssigner)
+and rolls part files on time/size.  Spark-first mapping:
+
+- bucket folders → ``partitionBy`` on a derived date-hour column (Catalyst
+  prunes these partitions on read-back — better than opaque folder names);
+- time-based rolling → the micro-batch trigger interval (one file set per
+  micro-batch per partition);
+- size-based rolling → ``maxRecordsPerFile``.
+
+Scale: partition count = distinct bucket values × parallelism; for 100 TB
+pick bucket granularity so files land in the 100 MB-1 GB parquet sweet spot
+and let AQE coalesce small shuffle partitions before the write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+BUCKET_PATTERN = "yyyy-MM-dd--HH"  # reference's DateTimeBucketAssigner format
+
+
+def with_time_bucket(df: DataFrame, ts_col: str | None = None,
+                     bucket_col: str = "date_hour") -> DataFrame:
+    """Derive the reference's hourly bucket column (event-time when a
+    timestamp column is given, else processing time)."""
+    ts = F.col(ts_col) if ts_col else F.current_timestamp()
+    return df.withColumn(bucket_col, F.date_format(ts, BUCKET_PATTERN))
+
+
+def write_rolling_text(df: DataFrame, path: str, *, ts_col: str | None = None,
+                       max_records_per_file: int = 100_000,
+                       fmt: str = "csv") -> None:
+    """Batch write with hourly bucket folders + size-capped part files
+    (K3 emulation; K4 plain text = fmt='text' without partitioning)."""
+    bucketed = with_time_bucket(df, ts_col)
+    (bucketed.write
+     .option("maxRecordsPerFile", max_records_per_file)
+     .partitionBy("date_hour")
+     .mode("overwrite")
+     .format(fmt)
+     .save(path))
+
+
+def write_stream_rolling(df: DataFrame, path: str, checkpoint: str, *,
+                         ts_col: str | None = None,
+                         trigger_interval: str = "15 minutes",
+                         max_records_per_file: int = 100_000,
+                         fmt: str = "csv"):
+    """Streaming variant: trigger interval plays the rolling-policy role
+    (reference DefaultRollingPolicy 15 min rollover)."""
+    bucketed = with_time_bucket(df, ts_col)
+    return (bucketed.writeStream
+            .format(fmt)
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy("date_hour")
+            .trigger(processingTime=trigger_interval)
+            .start())
+
+
+def write_overwrite_text(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """K4: writeAsText(path, OVERWRITE).setParallelism(1)
+    (reference source/flinkStreamProcessing.scala:191, commented)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").text(path)

@@ -1,0 +1,3 @@
+from flinkapps_spark.sources.batch import load_table, load_tables, register_views
+
+__all__ = ["load_table", "load_tables", "register_views"]

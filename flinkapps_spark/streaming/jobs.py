@@ -1,0 +1,100 @@
+"""Structured Streaming spine (SURVEY §2.1 S1-S3, §2.6 T1-T5).
+
+The reference's streaming jobs are Kafka/socket → parse → transform → sink
+with checkpointing and update-mode changelog output.  Spark equivalents:
+
+- sources: ``readStream.format("kafka"/"socket")`` builders below; a
+  file-replay source substitutes for Kafka in this container (no broker, no
+  spark-sql-kafka jar) — same DataFrame downstream, swap the source config
+  in production.
+- checkpointing (T1): ``option("checkpointLocation", ...)`` per query —
+  Spark checkpoints offsets + state; exactly-once internal state.
+- changelog/update output (T4): ``outputMode("update")`` emits changed
+  aggregate rows per micro-batch (Flink emits -U/+U retract pairs; same
+  converged state, different wire format — SURVEY §7.5.3).
+- batch≡stream (T3): every transform here is a plain DataFrame function
+  usable under ``spark.read`` or ``spark.readStream`` unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flinkapps_spark.session import tune_session
+from flinkapps_spark.sources.batch import load_table
+
+
+def socket_source(spark: SparkSession, host: str = "localhost",
+                  port: int = 9999) -> DataFrame:
+    """S1: unbounded lines from a TCP socket
+    (reference source/flinkStarter.scala:12)."""
+    return (spark.readStream.format("socket")
+            .option("host", host).option("port", port).load())
+
+
+def kafka_source(spark: SparkSession, brokers: str, topic: str,
+                 starting_offsets: str = "latest") -> DataFrame:
+    """S2/S3: Kafka topic as value-only strings
+    (reference source/flinkStreamProcessing.scala:93-103).
+
+    Requires the spark-sql-kafka connector jar on the cluster; not
+    available in this container — covered by config surface tests only.
+    """
+    raw = (spark.readStream.format("kafka")
+           .option("kafka.bootstrap.servers", brokers)
+           .option("subscribe", topic)
+           .option("startingOffsets", starting_offsets)
+           .load())
+    return raw.selectExpr("CAST(value AS STRING) AS value")
+
+
+def file_stream_source(spark: SparkSession, sf_dir: str,
+                       table: str) -> DataFrame:
+    """File-replay stream over a fixture table: the deterministic stand-in
+    for Kafka replay (same rows as the batch table, delivered as a stream).
+    """
+    tune_session(spark)
+    batch = load_table(spark, sf_dir, table)
+    # readStream needs an explicit schema; reuse the *raw* parquet schema
+    # (pre ns→µs conversion) then re-apply the conversion.
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, f"{table}.parquet")).schema
+    # glob form: the file source requires a directory basePath; a glob over
+    # the fixture dir scopes it to this one table's file
+    stream = (spark.readStream.schema(raw_schema)
+              .parquet(os.path.join(sf_dir, f"{table}*.parquet")))
+    from flinkapps_spark.schemas import NANOS_TS_COLUMNS
+    from pyspark.sql import functions as F
+    for col in NANOS_TS_COLUMNS.get(table, []):
+        if dict(stream.dtypes).get(col) == "bigint":
+            stream = stream.withColumn(
+                col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    return stream
+
+
+def run_stream_to_memory(transformed: DataFrame, *, output_mode: str,
+                         name: str | None = None) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow trigger →
+    processes all available input, then stops) into a memory sink; returns
+    the sink contents as a batch DataFrame.
+
+    This is the harness for batch≡stream equivalence: the returned frame is
+    comparable against the batch plan / SQL oracle.
+    """
+    spark = transformed.sparkSession
+    qname = name or f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (transformed.writeStream
+         .format("memory")
+         .queryName(qname)
+         .outputMode(output_mode)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(qname)

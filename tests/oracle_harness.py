@@ -1,0 +1,66 @@
+"""Spark-vs-DuckDB comparison used by the oracle-parity tests.
+
+Mirrors the driver's contract: row count + column-name set + order-
+insensitive value comparison over name-sorted columns.  Comparison is
+*exact* after a normalization that absorbs representation (not value)
+differences: NaN/None unification, -0.0→0.0, timestamp/date → ISO strings,
+floats → repr of 10-significant-digit rounding (queries are expected to
+round aggregates in-query; this guard only absorbs sub-ulp repr noise).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from decimal import Decimal
+
+import pandas as pd
+
+
+def _norm_cell(x):
+    if x is None:
+        return "∅"
+    if isinstance(x, float):
+        if math.isnan(x):
+            return "∅"
+        if x == 0.0:
+            x = 0.0
+        # 12 significant digits: absorbs last-ulp repr differences while
+        # still catching any real numeric divergence.
+        return f"{x:.12g}"
+    if isinstance(x, Decimal):
+        return f"{float(x):.12g}"
+    if isinstance(x, (pd.Timestamp, dt.datetime)):
+        return "T" + pd.Timestamp(x).isoformat()
+    if isinstance(x, dt.date):
+        return "D" + x.isoformat()
+    if isinstance(x, (list, tuple)):
+        return "[" + ",".join(_norm_cell(v) for v in x) + "]"
+    if isinstance(x, (bytes, bytearray)):
+        return bytes(x).hex()
+    if isinstance(x, (int, bool, str)):
+        return repr(x)
+    return repr(x)
+
+
+def normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def compare(spark_df, duck_rel, name: str = "") -> None:
+    s_cols = list(spark_df.columns)
+    s_data = [tuple(r) for r in spark_df.collect()]
+    d_cols = list(duck_rel.columns)
+    d_data = duck_rel.fetchall()
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: column mismatch spark={sorted(s_cols)} "
+        f"duck={sorted(d_cols)}")
+    assert len(s_data) == len(d_data), (
+        f"{name}: row count spark={len(s_data)} duck={len(d_data)}")
+    s_rows = normalize(s_cols, s_data)
+    d_rows = normalize(d_cols, d_data)
+    if s_rows != d_rows:
+        diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:5]
+        raise AssertionError(
+            f"{name}: value mismatch; first diffs (spark vs duck): {diffs}")

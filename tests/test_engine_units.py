@@ -1,0 +1,209 @@
+"""Unit tests for the engine layers that aren't (or can't be) covered by
+DuckDB oracle parity: sinks (rolling files, upsert), config surface, job
+parity pipelines with the reference's canonical fixtures, LSH recall,
+multimodal stubs, week-year semantics.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from flinkapps_spark.config import EngineConfig, UsageError
+from flinkapps_spark.jobs import (
+    flink_starter, flink_stream_processing, flink_stream_table,
+    flink_table_manipulation,
+)
+from flinkapps_spark.operators.similarity import knn_bruteforce, knn_lsh
+from flinkapps_spark.schemas import NAME_SCORE
+from flinkapps_spark.sinks.files import write_rolling_text
+from flinkapps_spark.sinks.jdbc import upsert_batch, upsert_sql
+from flinkapps_spark.sources.batch import load_table
+from tests.conftest import SF_SMOKE
+
+# --- reference golden fixtures (FIXTURES.md F1/F4) -------------------------
+
+DAILY_PRICES_CSV = [
+    "NYSE,ABB,2010-03-12,21.5,22.1,21.0,21.9,1200345,21.9",
+    "NYSE,IBM,2011-07-01,130.0,50.0,12.0,131.5,900000,131.5",
+    "NASDAQ,MSFT,2010-01-04,30.0,31.0,29.5,30.5,50000000,30.5",
+    "NYSE,CAT,2009-05-20,60.0,61.0,59.0,60.5,750000,60.5",
+]
+
+
+def test_flagship_job_golden(spark):
+    """flinkStreamProcessing parity: symbol-IN filter keeps ABB/IBM/CAT
+    rows only; output is the reference's CSV alert line shape
+    (reference source/flinkStreamProcessing.scala:129-134)."""
+    lines = spark.createDataFrame([(s,) for s in DAILY_PRICES_CSV],
+                                  "value string")
+    out = flink_stream_processing(lines, EngineConfig()).collect()
+    assert len(out) == 3  # MSFT filtered out
+    fields = out[0]["value"].split(",")
+    assert len(fields) == 12  # epoch + topic + 9 fields + spread
+    assert fields[1] == EngineConfig().topic_sink
+
+
+def test_stream_table_golden(spark):
+    """flinkStreamTable canonical rows: (Alice,12),(Bob,10),(Alice,100) →
+    {Alice: 112, Bob: 10} (reference source/flinkStreamTable.scala:61-73,
+    FIXTURES.md F4)."""
+    rows = spark.createDataFrame(
+        [("Alice", 12), ("Bob", 10), ("Alice", 100)], NAME_SCORE)
+    got = {r["name"]: r["score_sum"]
+           for r in flink_stream_table(rows).collect()}
+    assert got == {"Alice": 112, "Bob": 10}
+
+
+def test_table_manipulation_golden(spark):
+    """min/max by (symbol, year) over the golden CSV (reference
+    source/flinkTableManipulation.scala:115)."""
+    lines = spark.createDataFrame([(s,) for s in DAILY_PRICES_CSV],
+                                  "value string")
+    out = {(r["symbol"], r["yearr"]): (r["min_high"], r["max_high"])
+           for r in flink_table_manipulation(lines).collect()}
+    assert out[("ABB", 2010)] == (pytest.approx(22.1), pytest.approx(22.1))
+    assert ("MSFT", 2010) in out
+
+
+def test_word_count_golden(spark):
+    lines = spark.createDataFrame(
+        [("Hello, world! hello",), ("WORLD again",)], "value string")
+    got = {r["word"]: r["cnt"] for r in flink_starter(lines).collect()}
+    assert got == {"hello": 2, "world": 2, "again": 1}
+
+
+# --- config surface (§2.9) -------------------------------------------------
+
+
+def test_properties_roundtrip(tmp_path):
+    p = tmp_path / "app.properties"
+    p.write_text("# comment\nBOOTSTRAP_SERVERS=broker:9092\n"
+                 "LOC_KFKA_SRC=src-topic\nSYMB=IBM\nHIGH=75.5\nBET_FROM=2005\n")
+    cfg = EngineConfig.from_properties(str(p))
+    assert cfg.bootstrap_servers == "broker:9092"
+    assert cfg.topic_source == "src-topic"
+    assert cfg.symb == "IBM"
+    assert cfg.high == 75.5
+    assert cfg.bet_from == 2005
+
+
+def test_cli_args_and_usage_failfast():
+    cfg = EngineConfig.from_args(
+        ["--topic_source", "a", "--topic_sink", "b", "--groupId", "g",
+         "--symb", "CAT", "--high", "100"],
+        required=("topic_source", "topic_sink", "group_id", "symb"))
+    assert cfg.symb == "CAT" and cfg.high == 100.0
+    with pytest.raises(UsageError):
+        EngineConfig.from_args(["--symb", "CAT"],
+                               required=("topic_source",))
+
+
+# --- sinks -----------------------------------------------------------------
+
+
+def test_rolling_file_sink(spark, tmp_path):
+    """K3 emulation: hourly bucket folders + part files (reference
+    source/flinkContinuousProcessingRollover.scala:165-194)."""
+    ev = load_table(spark, SF_SMOKE, "events").limit(500)
+    out = str(tmp_path / "rolled")
+    write_rolling_text(ev.select("event_id", "event_type", "ts"), out,
+                       ts_col="ts", max_records_per_file=100)
+    buckets = [d for d in os.listdir(out) if d.startswith("date_hour=")]
+    assert buckets, "expected yyyy-MM-dd--HH bucket folders"
+    assert "--" in buckets[0]
+    files = glob.glob(os.path.join(out, "date_hour=*", "*.csv"))
+    assert files
+
+
+def test_upsert_accumulate_duckdb(spark):
+    """K7: atomic accumulate upsert is parallel-safe and matches the
+    reference's read-modify-write semantics (reference
+    source/flinkBatchJDBCSink.scala:98-127, SURVEY §7.5.6)."""
+    con = duckdb.connect(":memory:")
+    con.execute("CREATE TABLE t_temp (sensor_id VARCHAR PRIMARY KEY, "
+                "sensor_temp DOUBLE)")
+
+    def factory(c=con):
+        class NoClose:
+            def executemany(self, *a):
+                return c.executemany(*a)
+            def commit(self):
+                pass
+            def close(self):
+                pass
+        return NoClose()
+
+    batch1 = spark.createDataFrame(
+        [("s1", 10.0), ("s1", 5.0), ("s2", 1.0)],
+        "sensor_id string, sensor_temp double")
+    upsert_batch(batch1, connection_factory=factory, table="t_temp",
+                 key_cols=["sensor_id"], val_cols=["sensor_temp"],
+                 accumulate=True)
+    batch2 = spark.createDataFrame(
+        [("s1", 2.0), ("s3", 7.0)], "sensor_id string, sensor_temp double")
+    upsert_batch(batch2, connection_factory=factory, table="t_temp",
+                 key_cols=["sensor_id"], val_cols=["sensor_temp"],
+                 accumulate=True)
+    got = dict(con.execute(
+        "SELECT sensor_id, sensor_temp FROM t_temp").fetchall())
+    assert got == {"s1": 17.0, "s2": 1.0, "s3": 7.0}
+    con.close()
+
+
+def test_upsert_sql_shapes():
+    acc = upsert_sql("t", ["k"], ["v"], accumulate=True)
+    assert "ON CONFLICT (k) DO UPDATE" in acc and "t.v + excluded.v" in acc
+    lww = upsert_sql("t", ["k"], ["v"], accumulate=False)
+    assert "v = excluded.v" in lww
+
+
+# --- similarity: LSH recall vs brute force ---------------------------------
+
+
+def test_lsh_recall(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = knn_bruteforce(emb, queries, k=5).collect()
+    lsh = knn_lsh(emb, queries, k=5).collect()
+    brute_pairs = {(r["query_id"], r["vec_id"]) for r in brute}
+    lsh_pairs = {(r["query_id"], r["vec_id"]) for r in lsh}
+    # LSH candidates are a bucket subset: everything it returns for a query
+    # must rank no better than brute force's list allows; recall is the
+    # interesting metric — single-probe on random data is weak but nonzero.
+    assert lsh_pairs, "LSH returned nothing (bucketing broken)"
+    recall = len(brute_pairs & lsh_pairs) / len(brute_pairs)
+    assert recall >= 0.05
+
+
+# --- multimodal stubs ------------------------------------------------------
+
+
+def test_multimodal_stubs_raise(spark):
+    from flinkapps_spark.operators import multimodal
+    docs = load_table(spark, SF_SMOKE, "documents").limit(1)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(docs)
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(docs)
+
+
+# --- week-year quirk (SURVEY §7.5.2) ---------------------------------------
+
+
+def test_weekyear_quirk(spark):
+    from flinkapps_spark.functions.dates import extract_weekyear, extract_year
+    df = spark.createDataFrame([("2010-12-31",), ("2011-01-01",),
+                                ("2010-06-15",)], "d string") \
+        .select(F.to_date("d").alias("d"))
+    rows = df.select(extract_year(F.col("d")).alias("cal"),
+                     extract_weekyear(F.col("d")).alias("wk")).collect()
+    assert [(r["cal"], r["wk"]) for r in rows] == [
+        (2010, 2011),  # SimpleDateFormat "YYYY" week-year bug reproduced
+        (2011, 2011),
+        (2010, 2010),
+    ]

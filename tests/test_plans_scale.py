@@ -1,0 +1,78 @@
+"""Physical-plan assertions: the scale properties the engine promises
+(predicate pushdown, column pruning, broadcast strategy, codegen) hold in
+the actual Catalyst plans — not just in docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flinkapps_spark.plans import catalog
+from tests.conftest import SF_ORACLE
+
+REG = catalog.registry()
+
+
+def plan_of(spark, name: str) -> str:
+    df = REG[name].build(spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_pushes_filter_to_scan(spark):
+    """The membership filter must reach the parquet scan (the reference
+    filters post-parse on every record — ours never deserializes pruned
+    rows)."""
+    plan = plan_of(spark, "flagship_filter_project")
+    assert "PushedFilters: [In(event_type" in plan, plan
+
+
+def test_column_pruning(spark):
+    """A 2-column projection reads 2 columns, not the whole schema."""
+    df = REG["project_rename"].build(spark, SF_ORACLE).select("pk", "pname")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "p_partkey" in read and "p_name" in read
+    assert "p_retailprice" not in read, read
+
+
+def test_broadcast_join_strategy(spark):
+    plan = plan_of(spark, "join_broadcast_parts")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side partial agg before the shuffle: at 100 TB the shuffle must
+    carry one row per group per task.  Codegen is checked on the *final*
+    (post-AQE) plan — markers only exist after execution."""
+    df = REG["q1_pricing_summary"].build(spark, SF_ORACLE)
+    assert "partial" in \
+        df._jdf.queryExecution().executedPlan().toString().lower()
+    df.collect()  # materialize THIS df → its AQE plan becomes final
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen stages in the plan string
+    assert "*(1)" in final, final
+    assert "partial_sum" in final, final
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in final
+
+
+def test_semi_join_physical(spark):
+    plan = plan_of(spark, "join_semi_customers")
+    assert "LeftSemi" in plan, plan
+
+
+def test_topk_no_global_sort(spark):
+    """Top-k per group is a windowed rank, not a global sort-limit of the
+    raw table."""
+    plan = plan_of(spark, "topk_per_group")
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_no_cartesian_in_joins(spark):
+    """Equi-joins must never degrade to cartesian products; only the
+    explicitly-bounded range/pairs queries may nested-loop."""
+    for name in ("q3_shipping_priority", "q5_local_supplier",
+                 "join_outer_counts", "join_semi_customers"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name}: {plan}"
