@@ -34,7 +34,13 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q12_shipmode_case",
+    "q14_promo_ratio",
     "topk_per_group",
+    "join_asof_signup",
+    "events_sessionize",
+    "json_extract_props",
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_cosine_bruteforce",
@@ -51,9 +57,14 @@ def main() -> None:
     names = [n for n in HEADLINE if n in reg]
 
     timings: dict[str, float] = {}
-    # warm-up: JVM/codegen/parquet-footer caches on the smallest table
+    # warm-up: JVM/codegen/parquet-footer caches on the smallest table,
+    # plus the python daemon workers used by the pandas-UDF operators
     reg["flagship_filter_project"].build(spark, sf_dir).write.format("noop") \
         .mode("overwrite").save()
+    import pandas as _pd
+    (spark.range(256).repartition(64)
+     .mapInPandas(lambda it: it, schema="id long")
+     .write.format("noop").mode("overwrite").save())
 
     t_all = time.perf_counter()
     for name in names:

@@ -507,3 +507,389 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("lang", "source").distinct()
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    category="extension: filter-agg (TPC-H Q6 shape)",
+    doc="Forecast-revenue-change: pure scan-filter-aggregate. Every "
+        "predicate reaches the parquet scan (PushedFilters) — zero shuffle "
+        "beyond the single-row final agg.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                  & F.col("l_discount").between(0.03, 0.07)
+                  & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+@query(
+    "q12_shipmode_case",
+    oracle="""
+        SELECT o_orderpriority,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+               SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n_other,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'F'
+                              THEN o_totalprice ELSE 0 END), 2) AS finished_value
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_linenumber = 1
+        GROUP BY o_orderpriority
+    """,
+    category="extension: conditional agg (TPC-H Q12 shape)",
+    doc="CASE-WHEN pivot counts inside aggregation over a fact-fact join "
+        "(shuffle on orderkey; AQE coalesces post-filter partitions).",
+)
+def q12_shipmode_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_linenumber") == 1))
+    fin = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum(fin).alias("n_finished"),
+             F.sum(1 - fin).alias("n_other"),
+             F.round(F.sum(F.when(F.col("o_orderstatus") == "F",
+                                  F.col("o_totalprice")).otherwise(0.0)), 2)
+             .alias("finished_value"))
+    )
+
+
+@query(
+    "q14_promo_ratio",
+    oracle="""
+        SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 4)
+                   AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    category="extension: ratio agg (TPC-H Q14 shape)",
+    doc="Promo-revenue percentage: LIKE-prefix conditional over a broadcast "
+        "dim join, single global ratio.",
+)
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp")))
+    pt = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
+             .alias("promo_revenue_pct"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+        SELECT o_orderkey, ROUND(total_qty, 2) AS total_qty
+        FROM (SELECT l_orderkey AS o_orderkey, SUM(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey)
+        WHERE total_qty > 150
+    """,
+    category="extension: having (TPC-H Q18 shape)",
+    doc="Large-volume orders: GROUP BY + HAVING-style post-aggregation "
+        "filter (the filter runs on aggregated rows — tiny relation).",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .select("o_orderkey", F.round("total_qty", 2).alias("total_qty"))
+    )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+                    THEN 'high' ELSE 'low' END AS k_band
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+    category="extension: json functions",
+    doc="JSON field extraction from the events.props payload column "
+        "(get_json_object — JSON functions are absent from the reference, "
+        "SURVEY §2.10). Stays in codegen; no UDF.",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", k.alias("k_value"),
+                F.when(k >= 50, "high").otherwise("low").alias("k_band"))
+    )
+
+
+@query(
+    "array_functions_embeddings",
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
+               ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS vmin,
+               ROUND(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE))), 4) AS vsum,
+               ROUND(list_sum(list_transform(embedding[1:8],
+                     x -> CAST(x AS DOUBLE))), 4) AS head_sum
+        FROM embeddings
+    """,
+    category="extension: array functions",
+    doc="Array column manipulation (size/min/max/fold/slice) over the "
+        "embedding vectors — array/map functions are absent from the "
+        "reference (SURVEY §2.10).",
+)
+def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_d = F.transform("embedding", lambda x: x.cast("double"))
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("vmax"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("vmin"),
+        F.round(fold(as_d), 4).alias("vsum"),
+        F.round(fold(F.slice(as_d, 1, 8)), 4).alias("head_sum"))
+
+
+@query(
+    "scalar_math_battery",
+    oracle="""
+        SELECT o_orderkey,
+               ROUND(pow(o_totalprice / 100000.0, 2), 6) AS sq,
+               ROUND(sqrt(o_totalprice), 6) AS rt,
+               ROUND(ln(o_totalprice), 6) AS lg,
+               ROUND(exp(o_totalprice / 600000.0), 6) AS ex,
+               abs(o_custkey - 750) AS ab,
+               CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS ce,
+               CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS fl,
+               CAST(trunc(o_totalprice) AS INTEGER) % 97 AS md
+        FROM orders
+    """,
+    category="extension: scalar math",
+    doc="Math scalar battery (pow/sqrt/ln/exp/abs/ceil/floor/mod) — all "
+        "codegen builtins, identical IEEE semantics across engines.",
+)
+def scalar_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return od.select(
+        "o_orderkey",
+        F.round(F.pow(p / 100000.0, 2), 6).alias("sq"),
+        F.round(F.sqrt(p), 6).alias("rt"),
+        F.round(F.log(p), 6).alias("lg"),
+        F.round(F.exp(p / 600000.0), 6).alias("ex"),
+        F.abs(F.col("o_custkey") - 750).alias("ab"),
+        F.ceil(p / 1000.0).alias("ce"),
+        F.floor(p / 1000.0).alias("fl"),
+        (p.cast("int") % 97).alias("md"))
+
+
+@query(
+    "scalar_string_battery",
+    oracle="""
+        SELECT c_custkey,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+               instr(c_name, '0') AS zero_pos,
+               substr(c_name, 1, 8) AS name_head,
+               translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+               reverse(c_mktsegment) AS revd,
+               repeat(SUBSTR(c_mktsegment, 1, 1), 3) AS tripled,
+               concat(c_name, '#', c_mktsegment) AS joined
+        FROM customer
+    """,
+    category="extension: scalar strings",
+    doc="String scalar battery (lpad/instr/substr/translate/reverse/repeat/"
+        "concat) beyond the reference's F5 set.",
+)
+def scalar_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.instr("c_name", "0").alias("zero_pos"),
+        F.substring("c_name", 1, 8).alias("name_head"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("translated"),
+        F.reverse("c_mktsegment").alias("revd"),
+        F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("tripled"),
+        F.concat("c_name", F.lit("#"), "c_mktsegment").alias("joined"))
+
+
+@query(
+    "scalar_date_arith",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) + 30 AS plus30,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               date_diff('day', o_orderdate,
+                         TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+               CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+               dayofweek(o_orderdate) + 1 AS dow,
+               CAST(strftime(o_orderdate, '%Y%m') AS INTEGER) AS yyyymm
+        FROM orders
+    """,
+    category="extension: date arithmetic",
+    doc="Date arithmetic battery: date_add, trunc-to-month, datediff, "
+        "add_months (end-of-month clamping matches), day-of-week "
+        "(DuckDB 0=Sun → +1 aligns with Spark 1=Sun), yyyymm formatting.",
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return od.select(
+        "o_orderkey",
+        F.date_add(d.cast("date"), 30).alias("plus30"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date"))
+        .alias("days_to_y2k"),
+        F.add_months(d.cast("date"), 1).alias("next_month"),
+        F.dayofweek(d).alias("dow"),
+        F.date_format(d, "yyyyMM").cast("int").alias("yyyymm"))
+
+
+@query(
+    "null_semantics",
+    oracle="""
+        SELECT event_id,
+               NULLIF(event_type, 'error') AS type_or_null,
+               COALESCE(NULLIF(event_type, 'error'), 'was_error') AS coalesced,
+               (NULLIF(event_type, 'error') IS NOT DISTINCT FROM NULL)
+                   AS null_safe_eq_null,
+               LEAST(value, 100.0) AS capped,
+               GREATEST(value, 100.0) AS floored
+        FROM events
+    """,
+    category="extension: null handling",
+    doc="NULL semantics battery: NULLIF/COALESCE/null-safe equality "
+        "(Spark <=> ≡ SQL IS NOT DISTINCT FROM)/LEAST/GREATEST.",
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t_or_null = F.nullif("event_type", F.lit("error"))
+    return ev.select(
+        "event_id",
+        t_or_null.alias("type_or_null"),
+        F.coalesce(t_or_null, F.lit("was_error")).alias("coalesced"),
+        t_or_null.eqNullSafe(F.lit(None).cast("string"))
+        .alias("null_safe_eq_null"),
+        F.least("value", F.lit(100.0)).alias("capped"),
+        F.greatest("value", F.lit(100.0)).alias("floored"))
+
+
+@query(
+    "pivot_status_priority",
+    oracle="""
+        SELECT o_orderpriority,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                              ELSE 0 END), 2) AS F,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice
+                              ELSE 0 END), 2) AS O,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice
+                              ELSE 0 END), 2) AS P
+        FROM orders GROUP BY o_orderpriority
+    """,
+    category="extension: pivot",
+    doc="Pivot (status columns per priority row): Spark groupBy().pivot() "
+        "with explicit value list — explicit values avoid the extra "
+        "distinct-scan pass at 100 TB.",
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    piv = (od.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["F", "O", "P"])
+           .sum("o_totalprice"))
+    return piv.select(
+        "o_orderpriority",
+        *[F.round(F.coalesce(F.col(s), F.lit(0.0)), 2).alias(s)
+          for s in ("F", "O", "P")])
+
+
+@query(
+    "rolling_time_window",
+    oracle="""
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_last_hour,
+               ROUND(SUM(value) OVER w, 2) AS sum_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                           AND CURRENT ROW)
+    """,
+    category="extension: time-range rolling window",
+    doc="RANGE-interval rolling window (events per user in the trailing "
+        "hour) — the time-based OVER-window the reference lacks entirely.",
+)
+def rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # microsecond range key: cast-to-seconds would truncate and disagree
+    # with the oracle's µs-precise INTERVAL boundary at sub-second offsets
+    w = Window.partitionBy("user_id") \
+        .orderBy(F.unix_micros("ts")) \
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    return ev.select(
+        "event_id", "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"))
+
+
+@query(
+    "agg_sliding_window",
+    oracle="""
+        WITH w AS (
+            SELECT event_type, value, ts,
+                   unnest([time_bucket(INTERVAL '5 minutes', ts),
+                           time_bucket(INTERVAL '5 minutes', ts)
+                               - INTERVAL '5 minutes']) AS window_start
+            FROM events)
+        SELECT window_start, event_type, COUNT(*) AS cnt,
+               ROUND(SUM(value), 2) AS total
+        FROM w
+        WHERE ts >= window_start
+          AND ts < window_start + INTERVAL '10 minutes'
+        GROUP BY window_start, event_type
+    """,
+    category="extension: sliding window",
+    doc="Sliding event-time window (10-min length, 5-min slide): each event "
+        "lands in 2 windows. The reference has only tumbling (SURVEY §2.10). "
+        "Oracle expands each row into its candidate buckets and filters by "
+        "window membership — identical window assignment to Spark's.",
+)
+def agg_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"),
+                   F.col("event_type"))
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("window.start").alias("window_start"),
+                "event_type", "cnt", "total")
+    )

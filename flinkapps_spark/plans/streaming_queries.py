@@ -106,3 +106,81 @@ def stream_sql_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT name, ROUND(SUM(score), 2) AS total "
         "FROM stream_input_table GROUP BY name")
     return run_stream_to_memory(agged, output_mode="complete")
+
+
+@query(
+    "stream_upsert_accumulate",
+    oracle="""
+        SELECT user_id AS sensor_id, ROUND(SUM(value), 2) AS sensor_temp
+        FROM events GROUP BY user_id
+    """,
+    category="streaming: foreachBatch upsert sink (K7)",
+    doc="End-to-end streaming upsert: events replayed through micro-batches, "
+        "each batch pre-aggregated per key and atomically upserted "
+        "(INSERT .. ON CONFLICT DO UPDATE, accumulate mode) into a DB-API "
+        "database (DuckDB stands in for Postgres — reference "
+        "source/flinkBatchJDBCSink.scala:98-127). Converged table state "
+        "must equal the batch GROUP BY — the reference needed "
+        "parallelism=1 for this; the atomic form doesn't (SURVEY §7.5.6).",
+)
+def stream_upsert_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import duckdb
+
+    from flinkapps_spark.sinks.jdbc import foreach_batch_upsert
+
+    con = duckdb.connect(":memory:")
+    con.execute("CREATE TABLE t_sensor (sensor_id BIGINT PRIMARY KEY, "
+                "sensor_temp DOUBLE)")
+
+    class _SharedCon:
+        # foreachBatch runs on the driver: share one in-process connection,
+        # ignore per-batch close() so state accumulates across batches
+        def executemany(self, *a):
+            return con.executemany(*a)
+
+        def commit(self):
+            pass
+
+        def close(self):
+            pass
+
+    ev = file_stream_source(spark, sf_dir, "events") \
+        .select(F.col("user_id").alias("sensor_id"),
+                F.col("value").alias("sensor_temp"))
+    import tempfile
+    ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")
+    q = foreach_batch_upsert(
+        ev, ckpt, connection_factory=_SharedCon, table="t_sensor",
+        key_cols=["sensor_id"], val_cols=["sensor_temp"], accumulate=True)
+    q.awaitTermination()
+    rows = con.execute("SELECT sensor_id, ROUND(sensor_temp, 2) "
+                       "FROM t_sensor").fetchall()
+    con.close()
+    return spark.createDataFrame(
+        rows, "sensor_id bigint, sensor_temp double")
+
+
+@query(
+    "stream_update_mode_sum",
+    oracle="""
+        SELECT event_type, ROUND(SUM(value), 2) AS total
+        FROM events GROUP BY event_type
+    """,
+    category="streaming: update-mode changelog (T4)",
+    doc="Update output mode — Spark's changelog surface: each micro-batch "
+        "emits only re-aggregated keys (Flink emits -U/+U retract pairs; "
+        "same converged state — SURVEY §7.5.3). With the fixture replay the "
+        "converged sink state equals the batch GROUP BY.",
+)
+def stream_update_mode_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = file_stream_source(spark, sf_dir, "events")
+    agged = (ev.groupBy("event_type")
+             .agg(F.round(F.sum("value"), 2).alias("total")))
+    mem = run_stream_to_memory(agged, output_mode="update")
+    # update mode appends one row per key per batch that touched the key;
+    # the converged state is the LAST emission per key
+    from pyspark.sql import Window
+    import pyspark.sql.functions as SF
+    w = Window.partitionBy("event_type").orderBy(SF.monotonically_increasing_id().desc())
+    return (mem.withColumn("_rn", SF.row_number().over(w))
+            .filter(SF.col("_rn") == 1).drop("_rn"))

@@ -207,3 +207,90 @@ def test_weekyear_quirk(spark):
         (2011, 2011),
         (2010, 2010),
     ]
+
+
+# --- SQL surface: verbatim dotted-name query (§2.7-2) ----------------------
+
+
+def test_sql_dotted_database_verbatim(spark, tmp_path):
+    """The reference registers its view under a dotted name and queries it
+    verbatim (reference source/flinkTableManipulation.scala:113-115); Spark
+    needs a real database for that — create one, run the exact SQL string.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS flinkappdb "
+              f"LOCATION '{tmp_path}/flinkappdb'")
+    try:
+        lines = spark.createDataFrame([(s,) for s in DAILY_PRICES_CSV],
+                                      "value string")
+        from flinkapps_spark.jobs import parse_daily_prices
+        parse_daily_prices(lines).write.mode("overwrite") \
+            .saveAsTable("flinkappdb.t_flnk_daily_prices")
+        out = spark.sql(
+            "SELECT symbol, YEAR(CAST(trdate AS DATE)) AS yearr, "
+            "min(high) as MIN_HIGH, max(high) AS MAX_HIGH "
+            "FROM flinkappdb.t_flnk_daily_prices "
+            "GROUP BY symbol, YEAR(CAST(trdate AS DATE))").collect()
+        got = {(r["symbol"], r["yearr"]) for r in out}
+        assert ("ABB", 2010) in got and ("IBM", 2011) in got
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS flinkappdb CASCADE")
+
+
+# --- UDF registration hook (§2.8) ------------------------------------------
+
+
+def test_register_function_udf(spark):
+    """The engine's ScalarFunction-registration parity: a Python UDF
+    registered by name and callable from SQL (reference
+    source/flinkTableManipulation.scala:219-222, 255-266)."""
+    from pyspark.sql import types as T
+    from flinkapps_spark.functions.text import register_function
+
+    register_function(
+        spark, "norm_addr",
+        lambda s: " ".join(s.upper().replace(".", " ").split()),
+        T.StringType())
+    spark.createDataFrame([("12 main st.",)], "street string") \
+        .createOrReplaceTempView("udf_in")
+    out = spark.sql("SELECT norm_addr(street) AS n FROM udf_in").collect()
+    assert out[0]["n"] == "12 MAIN ST"
+
+
+# --- remaining job parity pipelines ----------------------------------------
+
+
+def test_streaming_input_job(spark):
+    from flinkapps_spark.jobs import flink_streaming_input
+    lines = spark.createDataFrame([(s,) for s in DAILY_PRICES_CSV],
+                                  "value string")
+    cfg = EngineConfig()
+    cfg.symb = "IBM"
+    out = flink_streaming_input(lines, cfg).collect()
+    assert len(out) == 1 and out[0]["symbol"] == "IBM"
+
+
+def test_rollover_job_compound_filter(spark):
+    """flinkContinuousProcessingRollover: precedence-faithful compound
+    filter — ABB/IBM rows pass unconditionally (the A||B arms), CAT only
+    with high==cfg.high, others only via the low/date-range arm."""
+    from flinkapps_spark.jobs import flink_continuous_processing_rollover
+    lines = spark.createDataFrame([(s,) for s in DAILY_PRICES_CSV],
+                                  "value string")
+    out = flink_continuous_processing_rollover(lines, EngineConfig()).collect()
+    got = {r["value"].split(",")[3] for r in out}  # symbol field
+    assert "ABB" in got and "IBM" in got
+    assert "MSFT" not in got  # fails every arm
+    assert "CAT" not in got   # high=61.0 != cfg.high=50.0
+
+
+def test_jdbc_job_wrappers(spark):
+    from flinkapps_spark.jobs import flink_table_jdbc, flink_batch_jdbc_sink
+    lines = spark.createDataFrame(
+        [("sensor_1, 1651400400, 53.2",), ("sensor_1, 1651400500, 1.8",)],
+        "value string")
+    captured = []
+    flink_table_jdbc(lines, lambda df: captured.append(df.collect()))
+    assert len(captured[0]) == 2
+    assert captured[0][0]["sensorId"] == "sensor_1"  # trim applied
+    flink_batch_jdbc_sink(lines, lambda df: captured.append(df.collect()))
+    assert len(captured) == 2

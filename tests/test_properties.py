@@ -1,0 +1,64 @@
+"""Property-based tests (SURVEY §5.4): the CSV parse layer round-trips
+arbitrary records, and batch ≡ stream on identical data (SURVEY §5.3).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from flinkapps_spark.operators.aggregations import word_count
+from flinkapps_spark.operators.projections import csv_parse, csv_serialize
+from flinkapps_spark.schemas import DAILY_PRICES
+from flinkapps_spark.sources.batch import load_table
+from flinkapps_spark.streaming.jobs import (
+    file_stream_source, run_stream_to_memory,
+)
+from tests.conftest import SF_SMOKE
+
+# CSV-safe field strategies: no commas/newlines (the reference's wire format
+# is bare split(","), no quoting — reference source/flinkStreamProcessing.scala:109)
+_sym = st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ", min_size=1, max_size=5)
+_price = st.floats(min_value=0.01, max_value=9999.0,
+                   allow_nan=False).map(lambda x: round(x, 2))
+_vol = st.integers(min_value=0, max_value=2_000_000_000)
+_date = st.dates(min_value=__import__("datetime").date(1990, 1, 1),
+                 max_value=__import__("datetime").date(2030, 12, 28))
+
+
+@st.composite
+def price_rows(draw):
+    return (
+        draw(_sym), draw(_sym), draw(_date).isoformat(),
+        draw(_price), draw(_price), draw(_price), draw(_price),
+        draw(_vol), draw(_price),
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(price_rows(), min_size=1, max_size=20))
+def test_csv_roundtrip_property(spark, rows):
+    """serialize(parse(line)) == line and parse(serialize(rec)) == rec for
+    arbitrary dailyPrices records (R1 ↔ R6)."""
+    df = spark.createDataFrame(rows, DAILY_PRICES)
+    line = csv_serialize([F.col(f.name).cast("string")
+                          for f in DAILY_PRICES.fields]).alias("value")
+    serialized = df.select(line)
+    reparsed = serialized.select(*csv_parse(F.col("value"), DAILY_PRICES))
+    orig = sorted(tuple(r) for r in df.collect())
+    back = sorted(tuple(r) for r in reparsed.collect())
+    assert orig == back
+
+
+def test_batch_equals_stream_wordcount(spark):
+    """The same transform under spark.read and spark.readStream converges
+    to identical results (T3 runtime-mode unification, SURVEY §5.3)."""
+    batch = {(r["word"], r["cnt"])
+             for r in word_count(
+                 load_table(spark, SF_SMOKE, "documents"), "text").collect()}
+    stream_df = file_stream_source(spark, SF_SMOKE, "documents")
+    streamed = run_stream_to_memory(
+        word_count(stream_df, "text"), output_mode="complete")
+    stream = {(r["word"], r["cnt"]) for r in streamed.collect()}
+    assert batch == stream
