@@ -509,3 +509,88 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_payload = multimodal.attach_binary_payload(docs)
     return multimodal.extract_byte_features(with_payload)
+
+
+@query(
+    "dedup_keep_set",
+    oracle=f"""
+        WITH aug AS ({SQL_AUG_NEAR}),
+        docs_w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM aug),
+        wcodes AS (
+            SELECT doc_id,
+                   list_transform(ws, w -> {_sql_word_code('w')}) AS wc
+            FROM docs_w WHERE len(ws) >= 3
+        ),
+        codes AS (
+            SELECT doc_id, {_sql_shingle_codes('wc')} AS cset FROM wcodes
+        ),
+        ex AS (SELECT doc_id AS doc, unnest(cset) AS code FROM codes),
+        sizes AS (SELECT doc, COUNT(*) AS n_sh FROM ex GROUP BY doc),
+        common AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+            FROM ex a JOIN ex b ON a.code = b.code AND a.doc < b.doc
+            GROUP BY a.doc, b.doc
+        ),
+        dupes AS (
+            SELECT DISTINCT doc_b AS doc FROM common
+            JOIN sizes sa ON sa.doc = doc_a
+            JOIN sizes sb ON sb.doc = doc_b
+            WHERE ROUND(CAST(n_common AS DOUBLE)
+                        / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.6
+        )
+        SELECT a.doc_id, COUNT(*) OVER () AS kept_total
+        FROM aug a LEFT JOIN dupes d ON a.doc_id = d.doc
+        WHERE d.doc IS NULL
+    """,
+    category="extension: dedup (keep-set)",
+    doc="End-to-end dedup: the corpus MINUS every doc that near-duplicates "
+        "(Jaccard ≥ 0.6) a lower-id doc — the keep-the-first policy a "
+        "training pipeline actually applies after pair-finding. Anti-join "
+        "against the higher-id side of the pair set.",
+)
+def dedup_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    docs = _augment_near(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.jaccard_pairs(docs, threshold=0.6)
+    dupes = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = docs.join(dupes, "doc_id", "left_anti").select("doc_id")
+    return kept.withColumn("kept_total",
+                           F.count("*").over(Window.partitionBy()))
+
+
+@query(
+    "sample_hash_stratified",
+    oracle=f"""
+        WITH coded AS (
+            SELECT doc_id, lang,
+                   {_sql_word_code("lang || '-' || CAST(doc_id AS VARCHAR)")}
+                       % 100 AS bucket
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_sampled,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM coded
+        WHERE (lang = 'en' AND bucket < 50)
+           OR (lang <> 'en' AND bucket < 20)
+        GROUP BY lang
+    """,
+    category="extension: deterministic stratified sampling",
+    doc="Reproducible stratified sampling for training-data curation: "
+        "per-stratum rates (50% en, 20% others) decided by a deterministic "
+        "content hash, NOT an RNG — reruns and other engines select the "
+        "exact same rows (the oracle proves it). At 100 TB this is a "
+        "stateless map-side filter; no sampling state, no seed drift.",
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.functions.text import word_code
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = word_code(
+        F.concat(F.col("lang"), F.lit("-"),
+                 F.col("doc_id").cast("string"))) % 100
+    sampled = docs.withColumn("bucket", bucket).filter(
+        ((F.col("lang") == "en") & (F.col("bucket") < 50))
+        | ((F.col("lang") != "en") & (F.col("bucket") < 20)))
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"))

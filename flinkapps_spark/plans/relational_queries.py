@@ -114,8 +114,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
     """,
     category="extension: join (TPC-H Q5 shape)",
-    doc="Six-table local-supplier-volume join. Scale: region/nation/supplier/"
-        "customer are broadcast dims; only orders⋈lineitem shuffles. The "
+    doc="Six-table local-supplier-volume join, planned the way it must run "
+        "at 100 TB: lineitem⋈orders and ⋈customer are fact-scale joins left "
+        "to the optimizer (shuffle; AQE may downgrade to broadcast at small "
+        "SF — a runtime size decision, not a hardcoded hint), while "
+        "supplier/nation/region are true dims pinned to broadcast. The "
         "c_nationkey=s_nationkey condition rides along the supplier join.",
 )
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,8 +130,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = load_table(spark, sf_dir, "supplier")
     na = load_table(spark, sf_dir, "nation")
     re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    j = (li.join(F.broadcast(od), F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+    j = (li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(cu, F.col("o_custkey") == F.col("c_custkey"))
          .join(F.broadcast(su), (F.col("l_suppkey") == F.col("s_suppkey"))
                & (F.col("c_nationkey") == F.col("s_nationkey")))
          .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
