@@ -25,10 +25,14 @@ HASH_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 
 def tokenize(col: Column | str) -> Column:
-    """R7: lowercase + split \\W+ → array of non-empty words."""
+    """R7: lowercase + extract \\w+ runs → array of non-empty words.
+
+    regexp_extract_all('\\w+') ≡ split('\\W+') minus empties (verified on
+    fixtures), but single-pass and lambda-free — stays in codegen with no
+    interpreted higher-order filter.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), WORD_SPLIT_PATTERN),
-                    lambda w: F.length(w) > 0)
+    return F.regexp_extract_all(F.lower(c), F.lit("\\w+"), 0)
 
 
 def normalize_address(street: Column, zip_code: Column, city: Column) -> Column:

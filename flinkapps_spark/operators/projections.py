@@ -12,11 +12,15 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
 
-def csv_parse(col: Column, schema: T.StructType, *, trim: bool = False) -> list[Column]:
+def csv_parse(col: Column, schema: T.StructType, *, trim: bool = False,
+              permissive: bool = False) -> list[Column]:
     """R1: positional split(',') + cast → typed columns.
 
     ``trim`` mirrors the sensor jobs' `.trim` on string fields
     (reference source/flinkStreamingJDBCSink.scala:117-121).
+    ``permissive`` swaps CAST for try_cast: malformed fields become NULL
+    instead of failing the job (Spark 4 ANSI CAST throws — which matches
+    the reference's toFloat-throws behavior, so strict is the default).
     """
     parts = F.split(col, ",")
     out: list[Column] = []
@@ -24,7 +28,8 @@ def csv_parse(col: Column, schema: T.StructType, *, trim: bool = False) -> list[
         c = parts.getItem(i)
         if trim or not isinstance(field.dataType, T.StringType):
             c = F.trim(c)
-        out.append(c.cast(field.dataType).alias(field.name))
+        c = c.try_cast(field.dataType) if permissive else c.cast(field.dataType)
+        out.append(c.alias(field.name))
     return out
 
 

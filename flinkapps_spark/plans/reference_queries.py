@@ -446,3 +446,43 @@ def sql_minmax_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MIN(high) AS min_high, MAX(high) AS max_high "
         "FROM t_flnk_daily_prices "
         "GROUP BY symbol, YEAR(CAST(trdate AS DATE))")
+
+
+@query(
+    "csv_parse_malformed",
+    oracle="""
+        WITH lines AS (
+            SELECT concat_ws(',', l_orderkey,
+                             CASE WHEN l_linenumber = 1 THEN 'not_a_number'
+                                  ELSE CAST(l_quantity AS VARCHAR) END,
+                             l_returnflag) AS line
+            FROM lineitem
+        ), parts AS (SELECT string_split(line, ',') AS p FROM lines)
+        SELECT CAST(p[1] AS BIGINT) AS l_orderkey,
+               TRY_CAST(p[2] AS DOUBLE) AS l_quantity,
+               p[3] AS l_returnflag,
+               (TRY_CAST(p[2] AS DOUBLE) IS NULL) AS is_malformed
+        FROM parts
+    """,
+    category="row-level R1 (malformed input)",
+    doc="Schema-on-read robustness: unparseable numeric fields become NULL "
+        "(Spark CAST semantics ≡ SQL TRY_CAST) instead of killing the "
+        "pipeline — the reference's naive split+toFloat throws and fails "
+        "the job on the first bad record (reference "
+        "source/flinkStreamProcessing.scala:107-115).",
+)
+def csv_parse_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    line = F.concat_ws(
+        ",", F.col("l_orderkey"),
+        F.when(F.col("l_linenumber") == 1, F.lit("not_a_number"))
+        .otherwise(F.col("l_quantity").cast("string")),
+        F.col("l_returnflag")).alias("line")
+    parts = F.split(F.col("line"), ",")
+    # try_cast: ANSI mode (Spark 4 default) makes plain CAST throw on
+    # malformed input — try_cast gives the NULL-on-bad-input semantics
+    return li.select(line).select(
+        parts.getItem(0).try_cast("bigint").alias("l_orderkey"),
+        parts.getItem(1).try_cast("double").alias("l_quantity"),
+        parts.getItem(2).alias("l_returnflag"),
+        parts.getItem(1).try_cast("double").isNull().alias("is_malformed"))

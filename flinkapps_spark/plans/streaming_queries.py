@@ -184,3 +184,51 @@ def stream_update_mode_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy(SF.monotonically_increasing_id().desc())
     return (mem.withColumn("_rn", SF.row_number().over(w))
             .filter(SF.col("_rn") == 1).drop("_rn"))
+
+
+@query(
+    "stream_stateful_running_count",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY user_id
+    """,
+    category="streaming: custom stateful operator",
+    doc="Custom stateful streaming operator via applyInPandasWithState: "
+        "per-user running (count, sum) state updated across micro-batches, "
+        "final state emitted at timeout/end — the Spark surface for "
+        "operators Structured Streaming lacks built-in (SURVEY north star). "
+        "Converged state equals the batch GROUP BY.",
+)
+def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    ev = file_stream_source(spark, sf_dir, "events") \
+        .select("user_id", "value")
+
+    out_schema = ("user_id bigint, n_events bigint, total_value double")
+    state_schema = "n bigint, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(s, 2)]})
+
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        update, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+    mem = run_stream_to_memory(updates, output_mode="update")
+    # keep the LAST emission per key (single availableNow batch → one
+    # emission, but be robust to multi-batch replays)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.monotonically_increasing_id().desc())
+    return (mem.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
