@@ -1,0 +1,86 @@
+"""CLI entry point: run a named reference-parity job from the command line,
+mirroring the reference's run-config surface (SURVEY §2.9;
+.idea/runConfigurations/*.xml document the original invocations).
+
+    python -m flinkapps_spark --job flinkStreamProcessing \
+        --input /path/lines.txt [--properties app.properties] \
+        [--topic_source t] [--topic_sink t] [--groupId g] [--symb ABB] \
+        [--high 50 --low 10] [--output /path/out]
+
+Without --input, jobs that need CSV lines read the demo golden rows; the
+result prints to the console (K1), or writes text to --output (K4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from flinkapps_spark import jobs as J
+from flinkapps_spark.config import EngineConfig, UsageError
+from flinkapps_spark.session import get_spark
+
+DEMO_LINES = [
+    "NYSE,ABB,2010-03-12,21.5,22.1,21.0,21.9,1200345,21.9",
+    "NYSE,IBM,2011-07-01,130.0,50.0,12.0,131.5,900000,131.5",
+    "NASDAQ,MSFT,2010-01-04,30.0,31.0,29.5,30.5,50000000,30.5",
+    "NYSE,CAT,2009-05-20,60.0,61.0,59.0,60.5,750000,60.5",
+]
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="flinkapps_spark")
+    p.add_argument("--job", required=True, choices=sorted(J.JOBS))
+    p.add_argument("--input", help="text file of CSV lines (S4)")
+    p.add_argument("--output", help="write result as text instead of show()")
+    p.add_argument("--limit", type=int, default=20)
+    ns, rest = p.parse_known_args(argv)
+
+    try:
+        cfg = EngineConfig.from_args(rest)
+    except UsageError as e:
+        print(e, file=sys.stderr)
+        return 2
+
+    spark = get_spark(f"job-{ns.job}")
+    spark.sparkContext.setLogLevel("ERROR")
+    if ns.input:
+        lines = spark.read.text(ns.input)
+    else:
+        lines = spark.createDataFrame([(s,) for s in DEMO_LINES],
+                                      "value string")
+
+    fn = J.JOBS[ns.job]
+    if ns.job == "flinkStarter":
+        out = fn(lines)
+    elif ns.job == "flinkStreamTable":
+        out = fn(spark.createDataFrame(
+            [("Alice", 12), ("Bob", 10), ("Alice", 100)],
+            "name string, score int"))
+    elif ns.job in ("flinkTableManipulation",):
+        out = fn(lines)
+    elif ns.job in ("flinkTableJDBC", "flinkTableJDBC02",
+                    "flinkStreamingJDBCSink", "flinkStreamingJDBCSink02",
+                    "flinkBatchJDBCSink", "flinkBatchJDBCSink01"):
+        rows = []
+        fn(lines, lambda df: rows.extend(df.collect()))
+        print(f"{len(rows)} rows delivered to sink")
+        spark.stop()
+        return 0
+    else:
+        out = fn(lines, cfg)
+
+    if ns.output:
+        from flinkapps_spark.sinks.files import write_overwrite_text
+        str_df = out if out.columns == ["value"] else out.selectExpr(
+            "concat_ws(',', *) AS value")
+        write_overwrite_text(str_df, ns.output)
+        print(f"wrote {ns.output}")
+    else:
+        out.show(ns.limit, truncate=False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -232,3 +232,22 @@ def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame
         F.monotonically_increasing_id().desc())
     return (mem.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+@query(
+    "stream_dropduplicates",
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    category="streaming: dropDuplicates + watermark",
+    doc="Streaming deduplication: dropDuplicates over (user_id, event_type) "
+        "with a watermark bounding the dedup state — the streaming-native "
+        "exact-dedup operator for at-least-once sources. Emitted key set "
+        "equals batch DISTINCT.",
+)
+def stream_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = file_stream_source(spark, sf_dir, "events")
+    deduped = (ev.withWatermark("ts", "1 hour")
+               .dropDuplicates(["user_id", "event_type"])
+               .select("user_id", "event_type"))
+    return run_stream_to_memory(deduped, output_mode="append")

@@ -68,3 +68,17 @@ def write_overwrite_text(df: DataFrame, path: str, single_file: bool = True) -> 
     (reference source/flinkStreamProcessing.scala:191, commented)."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").text(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   num_buckets: int = 16, sort_col: str | None = None) -> None:
+    """Bucketed managed table: co-locates rows by key at WRITE time so
+    later equi-joins/aggregations on the bucket column need no shuffle —
+    the 100 TB answer to repeated fact-fact joins (SCALE.md).
+
+    Requires a session with a warehouse dir (saveAsTable).
+    """
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

@@ -76,3 +76,52 @@ def test_no_cartesian_in_joins(spark):
                  "join_outer_counts", "join_semi_customers"):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, f"{name}: {plan}"
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Joins on the bucket column of two co-bucketed tables run without
+    either side shuffling (no Exchange above the scans)."""
+    from flinkapps_spark.sinks.files import write_bucketed
+    from flinkapps_spark.sources.batch import load_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktdb "
+              f"LOCATION '{tmp_path}/bktdb'")
+    # at fixture scale AQE would pick a broadcast join (correct for small
+    # inputs); disable it to expose the shuffle-free bucketed sort-merge
+    # that a fact-fact join at 100 TB would use
+    saved = {k: spark.conf.get(k, None) for k in
+             ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_ORACLE, "lineitem") \
+            .select("l_orderkey", "l_quantity")
+        od = load_table(spark, SF_ORACLE, "orders") \
+            .select("o_orderkey", "o_totalprice")
+        write_bucketed(li, "bktdb.li_b", "l_orderkey", 8)
+        write_bucketed(od, "bktdb.od_b", "o_orderkey", 8)
+        j = (spark.table("bktdb.li_b")
+             .join(spark.table("bktdb.od_b"),
+                   F.col("l_orderkey") == F.col("o_orderkey")))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+        spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
+
+
+def test_q5_fact_joins_not_hint_broadcast(spark):
+    """q5's fact-scale joins carry no user broadcast hint: the logical plan
+    pins broadcast only on the supplier/nation/region dims (AQE may still
+    choose broadcast at runtime for small inputs — a size decision)."""
+    df = REG["q5_local_supplier"].build(spark, SF_ORACLE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # three dim-side hints survive into the optimized plan, no more
+    assert logical.count("UnresolvedHint") == 0
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in physical
