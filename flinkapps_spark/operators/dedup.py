@@ -243,3 +243,51 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_clusters(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   threshold: float = 0.6,
+                   max_iter: int = 20) -> DataFrame:
+    """Connected-component dedup clusters over the near-dup pair graph:
+    every doc labeled with the MINIMUM doc id reachable through pairs with
+    Jaccard ≥ threshold (cluster_id), i.e. transitive closure of near-dup.
+
+    Iterative min-label propagation — the DataFrame form of the standard
+    large-graph connected-components algorithm: per round, every node takes
+    min(own label, neighbors' labels); converges in O(diameter) rounds.
+    localCheckpoint per round truncates the lineage (an iterative loop
+    otherwise re-executes the whole history each round).  Scale: each round
+    is one shuffle join keyed by node; diameters of dedup graphs are tiny.
+    """
+    pairs = jaccard_pairs(df, text_col, id_col, threshold=threshold) \
+        .select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))) \
+        .toDF("src", "dst").persist()
+    labels = df.select(F.col(id_col).alias("node")) \
+        .withColumn("label", F.col("node")).localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node",
+                    F.least("label", F.coalesce("nbr_label", F.col("label")))
+                    .alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

@@ -594,3 +594,31 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"))
+
+
+@query(
+    "dedup_clusters",
+    oracle=(_sql_shingle_cte(SQL_AUG_NEAR) + """,
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.6
+            UNION ALL
+            SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.6
+        ),
+        reach AS (
+            SELECT doc_id AS doc, doc_id AS r FROM aug
+            UNION
+            SELECT reach.doc, e.dst
+            FROM reach JOIN edges e ON reach.r = e.src
+        )
+        SELECT doc AS doc_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY doc
+    """).replace("WITH ", "WITH RECURSIVE ", 1),
+    category="extension: dedup (connected components, iterative)",
+    doc="Transitive near-dup clusters: iterative min-label propagation "
+        "(the DataFrame connected-components algorithm, localCheckpoint "
+        "per round to truncate lineage) vs a recursive-CTE reachability "
+        "oracle — every doc labeled with the min doc id in its component.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augment_near(load_table(spark, sf_dir, "documents"))
+    return dedup.dedup_clusters(docs, threshold=0.6)

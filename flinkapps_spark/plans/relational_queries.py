@@ -896,3 +896,70 @@ def agg_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("window_start"),
                 "event_type", "cnt", "total")
     )
+
+
+@query(
+    "regex_battery",
+    oracle="""
+        SELECT c_custkey,
+               regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+               regexp_matches(c_name, '^Customer') AS is_customer,
+               regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+        FROM customer
+    """,
+    category="extension: regex functions",
+    doc="Regex battery: group extraction, boolean match, replace-all — "
+        "simple character-class patterns where Java and RE2 semantics "
+        "coincide (fancy lookarounds would not port; kept out of the "
+        "engine's portable surface).",
+)
+def regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.col("c_name").rlike("^Customer").alias("is_customer"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"))
+
+
+@query(
+    "set_ops_multiset",
+    oracle="""
+        SELECT user_id, 'intersect_all' AS tag FROM (
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT ALL
+            SELECT user_id FROM events WHERE event_type = 'click')
+        UNION ALL
+        SELECT user_id, 'except_all' AS tag FROM (
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            EXCEPT ALL
+            SELECT user_id FROM events WHERE event_type = 'click')
+    """,
+    category="extension: multiset set ops",
+    doc="INTERSECT ALL / EXCEPT ALL (bag semantics — occurrence counts "
+        "matter, unlike set_ops_users' DISTINCT forms).",
+)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    ia = buyers.intersectAll(clickers).withColumn("tag", F.lit("intersect_all"))
+    ea = buyers.exceptAll(clickers).withColumn("tag", F.lit("except_all"))
+    return ia.unionByName(ea)
+
+
+@query(
+    "agg_approx_percentile",
+    oracle=None,  # sketch-based: engine-specific estimates, rows-only check
+    category="extension: approximate percentiles",
+    doc="approx_percentile (KLL-style sketch): the 100 TB substitute for "
+        "exact percentiles — fixed-size, map-combinable state vs. "
+        "collect-all-values. No SQL oracle (DuckDB's approx_quantile uses "
+        "a different sketch); exact-percentile parity is covered by "
+        "percentiles_by_type.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", 0.5, 10000).alias("approx_p50"),
+        F.approx_percentile("value", 0.95, 10000).alias("approx_p95"))
