@@ -963,3 +963,56 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_percentile("value", 0.5, 10000).alias("approx_p50"),
         F.approx_percentile("value", 0.95, 10000).alias("approx_p95"))
+
+
+def _format_roundtrip_agg(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    from flinkapps_spark.sources.batch import load_table_as
+    od = load_table_as(spark, sf_dir, "orders", fmt)
+    return od.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_date"))
+
+
+_FMT_ORACLE = """
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           MIN(CAST(o_orderdate AS DATE)) AS first_date
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "source_csv_reader",
+    oracle=_FMT_ORACLE,
+    category="extension: source format (CSV)",
+    doc="Native CSV reader path: orders converted to CSV once (cached) and "
+        "read back with explicit schema + timestamp format; aggregate must "
+        "match the parquet-backed oracle — proves the text round-trip "
+        "loses nothing (header handling, timestamp parsing).",
+)
+def source_csv_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip_agg(spark, sf_dir, "csv")
+
+
+@query(
+    "source_json_reader",
+    oracle=_FMT_ORACLE,
+    category="extension: source format (JSON)",
+    doc="Native JSON-lines reader path (schema-on-read with explicit "
+        "schema), same aggregate-vs-parquet-oracle check.",
+)
+def source_json_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip_agg(spark, sf_dir, "json")
+
+
+@query(
+    "source_orc_reader",
+    oracle=_FMT_ORACLE,
+    category="extension: source format (ORC)",
+    doc="ORC reader path (vectorized columnar, same pushdown machinery as "
+        "parquet), same aggregate-vs-parquet-oracle check. Avro needs the "
+        "external spark-avro package — not bundled; documented absence.",
+)
+def source_orc_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip_agg(spark, sf_dir, "orc")

@@ -19,6 +19,7 @@ columns.
 from __future__ import annotations
 
 import os
+import tempfile
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -62,3 +63,37 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
 def from_rows(spark: SparkSession, rows, schema) -> DataFrame:
     """S5: in-memory collection source (env.fromElements equivalent)."""
     return spark.createDataFrame(rows, schema)
+
+
+def _format_cache_dir(sf_dir: str, name: str, fmt: str) -> str:
+    """Deterministic per-(sf,table,format) cache dir under /tmp for
+    format-conversion fixtures (testdata itself is read-only)."""
+    key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(),
+                        f"flinkapps_fmt_{key}_{name}_{fmt}")
+
+
+def load_table_as(spark: SparkSession, sf_dir: str, name: str,
+                  fmt: str) -> DataFrame:
+    """Read a fixture table through an alternate file format (csv/json/orc).
+
+    The parquet fixture is converted once into a cached /tmp copy, then
+    read back with the format's reader and the original schema — the
+    format-specific read path (header/type inference pitfalls, ORC
+    vectorization) is what gets exercised; values must match parquet.
+    """
+    df = load_table(spark, sf_dir, name)
+    path = _format_cache_dir(sf_dir, name, fmt)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        w = df.write.mode("overwrite")
+        if fmt == "csv":
+            # explicit timestamp format: CSV has no native types
+            w = w.option("header", "true") \
+                .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        w.format(fmt).save(path)
+    r = spark.read
+    if fmt == "csv":
+        r = r.option("header", "true") \
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    return r.schema(df.schema).format(fmt).load(path)
