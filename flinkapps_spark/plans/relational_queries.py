@@ -1016,3 +1016,145 @@ def source_json_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_orc_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _format_roundtrip_agg(spark, sf_dir, "orc")
+
+
+def _register_base_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@query(
+    "subquery_correlated_max",
+    oracle="""
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    category="extension: correlated scalar subquery (TPC-H Q2 shape)",
+    doc="Per-group argmax via correlated scalar subquery — Catalyst "
+        "decorrelates it into an aggregate + join (no per-row re-execution; "
+        "check: the plan contains one extra Aggregate, not a loop).",
+)
+def subquery_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_base_views(spark, sf_dir, "customer")
+    return spark.sql("""
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+    """)
+
+
+@query(
+    "subquery_having_fraction",
+    oracle="""
+        SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS nation_value
+        FROM supplier
+        GROUP BY s_nationkey
+        HAVING SUM(s_acctbal) > (SELECT SUM(s_acctbal) / 20.0 FROM supplier)
+    """,
+    category="extension: scalar subquery in HAVING (TPC-H Q11 shape)",
+    doc="Group filter against a fraction of a global aggregate — the "
+        "uncorrelated scalar subquery computes once and broadcasts as a "
+        "literal into the HAVING predicate.",
+)
+def subquery_having_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_base_views(spark, sf_dir, "supplier")
+    return spark.sql("""
+        SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS nation_value
+        FROM supplier
+        GROUP BY s_nationkey
+        HAVING SUM(s_acctbal) > (SELECT SUM(s_acctbal) / 20.0 FROM supplier)
+    """)
+
+
+@query(
+    "subquery_top_revenue_view",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    category="extension: view + max-over-agg (TPC-H Q15 shape)",
+    doc="Top supplier by quarterly revenue: CTE/view reused twice (once "
+        "aggregated to its max) — the scalar subquery pins the argmax "
+        "without a window sort.",
+)
+def subquery_top_revenue_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_base_views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql("""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """)
+
+
+@query(
+    "subquery_exists_combo",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+          AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = o.o_orderkey
+                            AND l2.l_quantity > 45)
+    """,
+    category="extension: EXISTS + NOT EXISTS combo (TPC-H Q21 shape)",
+    doc="Conjunction of correlated EXISTS and NOT EXISTS — planned as a "
+        "left-semi then left-anti join chain on the same fact.",
+)
+def subquery_exists_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_base_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql("""
+        SELECT o_orderkey, o_orderpriority
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+          AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = o.o_orderkey
+                            AND l2.l_quantity > 45)
+    """)
+
+
+@query(
+    "subquery_in_list",
+    oracle="""
+        SELECT p_partkey, p_brand
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                            WHERE l_quantity >= 49)
+    """,
+    category="extension: IN subquery",
+    doc="IN (subquery) — SQL-level semi join (vs the DataFrame left_semi "
+        "API covered separately).",
+)
+def subquery_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_base_views(spark, sf_dir, "part", "lineitem")
+    return spark.sql("""
+        SELECT p_partkey, p_brand
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                            WHERE l_quantity >= 49)
+    """)
