@@ -63,22 +63,83 @@ def shingle_codes_of(wc: Column) -> Column:
         .otherwise(F.array().cast("array<bigint>"))
 
 
+def _word_codes_arrow():
+    """Arrow-vectorized tokenize+poly-31: numpy Horner over a padded
+    codepoint matrix, masked past each word's length — bit-identical to the
+    Column-expression ``word_code`` (same fold, same modulus) but ~5-10x
+    faster than Catalyst's interpreted per-char lambda fold.
+
+    Tokenization mirrors regexp_extract_all('\\w+') with Java/RE2 ASCII
+    \\w = [A-Za-z0-9_] (python re's \\w is unicode-wide — not used).
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    token_re = re.compile(r"[a-z0-9_]+")
+    series_t = pd.Series
+
+    def batch_poly31(words: list[str]) -> "np.ndarray":
+        n = len(words)
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        cps = [np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32)
+               for w in words]
+        maxlen = max(len(c) for c in cps)
+        mat = np.zeros((n, maxlen), dtype=np.int64)
+        lens = np.empty(n, dtype=np.int64)
+        for i, c in enumerate(cps):
+            mat[i, :len(c)] = c
+            lens[i] = len(c)
+        acc = np.zeros(n, dtype=np.int64)
+        for j in range(maxlen):
+            acc = np.where(j < lens,
+                           (acc * 31 + mat[:, j]) % HASH_MOD, acc)
+        return acc
+
+    def codes(texts):
+        all_words: list[str] = []
+        offsets = [0]
+        for t in texts:
+            ws = token_re.findall(t.lower()) if t is not None else []
+            all_words.extend(ws)
+            offsets.append(len(all_words))
+        flat = batch_poly31(all_words)
+        return pd.Series([flat[offsets[i]:offsets[i + 1]].tolist()
+                          for i in range(len(texts))])
+
+    # explicit annotations (real types, not forward refs) so pandas_udf's
+    # type-hint inference resolves SERIES→SERIES
+    codes.__annotations__ = {"texts": series_t, "return": series_t}
+    return pandas_udf(codes, "array<long>")
+
+
 def shingled_docs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id", *,
+                  use_arrow: bool = True) -> DataFrame:
     """(doc, codes) — distinct shingle-code sets per doc.
 
-    Two-step projection: word codes are hashed once per word into an
-    aliased array column, and the shingle combination reads that attribute
-    (separate projections keep Catalyst from inlining the expensive hash
-    into the per-shingle lambda).  Repartitions first: this CPU-bound stage
-    must not inherit the parquet file's 1-2 input splits (at cluster scale,
-    tune spark.sql.files.maxPartitionBytes instead).
+    Word hashing is the CPU hot spot of the dedup family; the default path
+    is the Arrow-vectorized pandas UDF (values identical to the JVM
+    expression — asserted in tests), with the pure-Column path available
+    via use_arrow=False.  Shingle combination stays JVM-side (zip_with over
+    slices of the materialized word-code array — separate projection so
+    Catalyst cannot inline the hash into the per-shingle lambda).
+    Repartitions first: this CPU-bound stage must not inherit the parquet
+    file's 1-2 input splits (at cluster scale, tune
+    spark.sql.files.maxPartitionBytes instead).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    wc = (df.repartition(par)
-          .select(F.col(id_col).alias("doc"),
-                  F.transform(tokenize(F.col(text_col)), word_code)
-                  .alias("wc")))
+    rep = df.repartition(par)
+    if use_arrow:
+        wc = rep.select(F.col(id_col).alias("doc"),
+                        _word_codes_arrow()(F.col(text_col)).alias("wc"))
+    else:
+        wc = rep.select(F.col(id_col).alias("doc"),
+                        F.transform(tokenize(F.col(text_col)), word_code)
+                        .alias("wc"))
     return (wc.select("doc", shingle_codes_of(F.col("wc")).alias("codes"))
             .filter(F.size("codes") > 0))
 

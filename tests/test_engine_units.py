@@ -294,3 +294,15 @@ def test_jdbc_job_wrappers(spark):
     assert captured[0][0]["sensorId"] == "sensor_1"  # trim applied
     flink_batch_jdbc_sink(lines, lambda df: captured.append(df.collect()))
     assert len(captured) == 2
+
+
+def test_arrow_word_codes_match_jvm(spark):
+    """The Arrow-vectorized word-code path must be bit-identical to the
+    Column-expression poly-31 fold on real fixture text."""
+    from flinkapps_spark.operators.dedup import shingled_docs
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    a = {r["doc"]: r["codes"]
+         for r in shingled_docs(docs, use_arrow=True).collect()}
+    j = {r["doc"]: r["codes"]
+         for r in shingled_docs(docs, use_arrow=False).collect()}
+    assert a == j
