@@ -622,3 +622,19 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augment_near(load_table(spark, sf_dir, "documents"))
     return dedup.dedup_clusters(docs, threshold=0.6)
+
+
+@query(
+    "knn_cosine_ivf",
+    oracle=None,  # coarse quantizer is model-trained; recall vs brute force
+                  # asserted in tests/test_engine_units.py
+    category="extension: similarity (IVF ANN)",
+    doc="IVF inverted-file ANN: KMeans coarse quantizer (MLlib, fixed "
+        "seed), per-query search limited to the n_probe nearest cells — "
+        "the billion-vector scale path. Rows-only: cluster assignments are "
+        "model-trained; quality is gated by a recall test against brute "
+        "force (≥0.6 with 3/16 cells probed on the fixtures).",
+)
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5)

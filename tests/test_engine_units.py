@@ -306,3 +306,15 @@ def test_arrow_word_codes_match_jvm(spark):
     j = {r["doc"]: r["codes"]
          for r in shingled_docs(docs, use_arrow=False).collect()}
     assert a == j
+
+
+def test_ivf_recall(spark):
+    from flinkapps_spark.operators.similarity import knn_bruteforce, knn_ivf
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {(r["query_id"], r["vec_id"])
+             for r in knn_bruteforce(emb, queries, k=5).collect()}
+    ivf = {(r["query_id"], r["vec_id"])
+           for r in knn_ivf(emb, queries, k=5, n_probe=3).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
