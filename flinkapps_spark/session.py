@@ -30,6 +30,11 @@ _RUNTIME_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # timestamps in fixtures are naive; keep session in UTC for determinism
     "spark.sql.session.timeZone": "UTC",
+    # right-size the default 200 shuffle partitions for local fixtures —
+    # AQE coalesces down but the iterative operators (label propagation)
+    # plan one stage per round and profit from a sane starting point; on a
+    # real cluster override via SPARK_GRAFT_SHUFFLE / builder conf
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
