@@ -56,6 +56,7 @@ def _load_all() -> None:
     from flinkapps_spark.plans import (  # noqa: F401
         reference_queries,
         relational_queries,
+        tpch_extra_queries,
         pipeline_queries,
         streaming_queries,
     )

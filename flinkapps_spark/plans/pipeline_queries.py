@@ -638,3 +638,47 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.knn_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "text_token_counts",
+    oracle=r"""
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                   AS n_ws_tokens,
+               len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS n_bpe_tokens,
+               CASE WHEN len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\s]+')) > 0
+                    THEN CAST(n_chars AS DOUBLE)
+                         / len(regexp_extract_all(lower(text),
+                               '[a-z]+|[0-9]+|[^a-z0-9\s]+'))
+               END AS chars_per_token
+        FROM documents
+    """,
+    category="extension: text analysis (token counting)",
+    doc="Per-document token counts two ways: whitespace split and a "
+        "BPE-ish pre-tokenizer regex (letter runs | digit runs | "
+        "punctuation runs — the GPT-2-style segmentation boundary, minus "
+        "the learned merges), plus chars-per-token, the standard "
+        "tokens~bytes budget estimator for training-data sizing. All "
+        "JVM-side regexp builtins, zero Python; the quotient is left "
+        "unrounded — identical int/int division on both engines is "
+        "bit-deterministic, while ROUND on a repr boundary is not.",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # idx=0 = the whole match (Spark defaults to capture group 1)
+    bpe = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]+"), F.lit(0))
+    n_bpe = F.size(bpe)
+    n_ws = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.when(n_bpe > 0,
+               F.col("n_chars").cast("double") / n_bpe)
+         .alias("chars_per_token"))

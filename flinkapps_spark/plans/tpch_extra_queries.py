@@ -1,0 +1,505 @@
+"""Remaining TPC-H query shapes (Q4, Q7-Q10, Q13, Q16, Q17, Q19, Q20, Q22),
+adapted to the driver's narrowed star schema (no partsupp table, no
+l_commitdate/l_receiptdate, no c_phone — each adaptation is noted per query).
+
+The reference has no joins at all (SURVEY §2.10), so like
+relational_queries.py this module is beyond-reference extension coverage:
+the correlation / outer-join / disjunctive-predicate patterns a complete
+engine must plan well.
+
+Scale notes (100 TB) are given per query; the recurring principles:
+- nation/region are constant-size (25/5 rows) → always broadcast;
+- supplier/part/customer grow with SF → leave the strategy to AQE unless
+  a filter provably shrinks them to broadcast size;
+- orders⋈lineitem is the fact-fact join → shuffle on orderkey, AQE skew
+  handling; never nest it under a per-row subquery (Catalyst decorrelates
+  EXISTS/IN/scalar subqueries into joins — verified in plan tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flinkapps_spark.operators import joins
+from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.sources.batch import load_table
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+def _exact_money_sum(expr, scale: int = 10000, out_dp: int | None = 2):
+    """Order-independent money sum: round each term to a fixed-point integer
+    (exact in int64 — the true decimal values have <=4 dp, and the double
+    representation error is ~1e-5 of a unit, nowhere near the .5 boundary),
+    sum exactly, then divide once.  Plain ROUND(SUM(double), 2) flips the
+    last cent when the total lands near a .005 boundary because Spark and
+    DuckDB add partitions in different orders; integer summation is
+    associative so the result is bit-identical on both engines.  The oracle
+    SQL mirrors this as SUM(CAST(ROUND(e*s,0) AS BIGINT))/s.
+
+    out_dp=None skips the final ROUND: when the exact quotient has more
+    decimals than out_dp and can land exactly on a .5 digit boundary,
+    Spark (BigDecimal of the shortest repr, HALF_UP) and DuckDB (binary
+    value) round differently — the unrounded quotient is already
+    bit-identical, so rounding only loses determinism.
+    """
+    units = F.round(expr * scale, 0).cast("long")
+    q = F.sum(units) / float(scale)
+    return q if out_dp is None else F.round(q, out_dp)
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    category="extension: EXISTS semi join (TPC-H Q4 shape)",
+    doc="Order-priority checking: EXISTS with an extra inequality on the "
+        "correlated row (adapted: l_shipdate > o_orderdate stands in for "
+        "l_commitdate < l_receiptdate, absent from the fixture). Spark plans "
+        "the EXISTS as a LeftSemi hash join on orderkey with the inequality "
+        "as a join residual — one shuffle, no per-row subquery. Scale: "
+        "semi join keeps only orders columns (no row multiplication by the "
+        "~4 lineitems/order).",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1996-07-01 00:00:00")))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    exists = joins.semi_join(
+        od, li,
+        (od.o_orderkey == li.l_orderkey) & (li.l_shipdate > od.o_orderdate))
+    return exists.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count"))
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               ROUND(SUM(volume), 2) AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     YEAR(l_shipdate) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM supplier
+                JOIN lineitem ON s_suppkey = l_suppkey
+                JOIN orders   ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    category="extension: self-joined dimension (TPC-H Q7 shape)",
+    doc="Volume shipping between two nations: the nation table joins TWICE "
+        "under different roles (supplier's vs customer's nation) with a "
+        "disjunctive cross-pair filter. Scale: both nation joins broadcast "
+        "(25 rows, always); the nation-pair filter can only be applied "
+        "after both joins — Catalyst still pushes the year range to the "
+        "lineitem scan. orders⋈lineitem shuffles on orderkey; "
+        "supplier/customer joins are AQE-sized.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00")))
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    n1 = na.select(F.col("n_nationkey").alias("n1_key"),
+                   F.col("n_name").alias("supp_nation"))
+    n2 = na.select(F.col("n_nationkey").alias("n2_key"),
+                   F.col("n_name").alias("cust_nation"))
+    j = (li.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(cu, F.col("c_custkey") == F.col("o_custkey")))
+    j = joins.broadcast_dim_join(j, n1, F.col("s_nationkey") == F.col("n1_key"))
+    j = joins.broadcast_dim_join(j, n2, F.col("c_nationkey") == F.col("n2_key"))
+    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    return (j.filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / SUM(volume), 6) AS mkt_share
+        FROM (SELECT YEAR(o_orderdate) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume,
+                     n2.n_name AS nation
+              FROM part
+                JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region    ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') all_nations
+        GROUP BY o_year
+    """,
+    category="extension: conditional ratio agg (TPC-H Q8 shape)",
+    doc="National market share: fraction of regional revenue supplied by "
+        "one nation, per year — a conditional-sum / total-sum ratio in one "
+        "aggregation pass (no self-join, no window). Scale: 8-way join "
+        "tree where region/nation broadcast always; the PROMO part filter "
+        "shrinks part before its join (pushed to the scan); single "
+        "group-by on ~years groups so the final agg is tiny. Ratio "
+        "rounded 6dp on both engines (ulp determinism).",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00")))
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = na.select(F.col("n_nationkey").alias("n1_key"),
+                   F.col("n_regionkey").alias("n1_region"))
+    n2 = na.select(F.col("n_nationkey").alias("n2_key"),
+                   F.col("n_name").alias("nation"))
+    j = (li.join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
+         .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
+         .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(cu, F.col("o_custkey") == F.col("c_custkey")))
+    j = joins.broadcast_dim_join(j, n1, F.col("c_nationkey") == F.col("n1_key"))
+    j = joins.broadcast_dim_join(j, re, F.col("n1_region") == F.col("r_regionkey"))
+    j = joins.broadcast_dim_join(j, n2, F.col("s_nationkey") == F.col("n2_key"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    share_num = F.sum(F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0.0)))
+    return (j.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(share_num / F.sum(volume), 6).alias("mkt_share")))
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+        SELECT nation, o_year,
+               ROUND(SUM(CAST(ROUND(amount * 10000, 0) AS BIGINT)) / 10000.0, 2)
+                 AS sum_profit
+        FROM (SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS amount
+              FROM part
+                JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders   ON o_orderkey = l_orderkey
+                JOIN nation   ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%widget%') profit
+        GROUP BY nation, o_year
+    """,
+    category="extension: LIKE-filtered join agg (TPC-H Q9 shape)",
+    doc="Product-type profit by supplier nation and year (adapted: amount "
+        "is discounted revenue — the fixture has no ps_supplycost). The "
+        "%widget% infix LIKE cannot use min/max pruning, so it runs as a "
+        "scan-level string predicate on part (still pushed, still pruned "
+        "to 2 columns). Scale: filtered part (~13%) joins lineitem on "
+        "partkey — shuffle join at 100 TB (part grows with SF, too big to "
+        "broadcast unfiltered); nation broadcasts.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    od = load_table(spark, sf_dir, "orders")
+    na = load_table(spark, sf_dir, "nation")
+    j = (li.join(pa, F.col("p_partkey") == F.col("l_partkey"))
+         .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
+         .join(od, F.col("o_orderkey") == F.col("l_orderkey")))
+    j = joins.broadcast_dim_join(j, na, F.col("s_nationkey") == F.col("n_nationkey"))
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").alias("o_year"))
+            .agg(_exact_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("sum_profit")))
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+        SELECT c_custkey, c_name,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                        AS BIGINT)) / 10000.0 AS revenue,
+               c_acctbal, n_name
+        FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    category="extension: top-k join agg (TPC-H Q10 shape)",
+    doc="Returned-item reporting: top-20 customers by lost revenue in a "
+        "quarter. Scale: returnflag + quarter filters push to the lineitem/"
+        "orders scans before the orderkey shuffle join; the grouped result "
+        "is customer-cardinality, and top-k runs as TakeOrderedAndProject "
+        "(heap per partition + merge of 20-row heads — no global sort). "
+        "Deterministic: rounded revenue, unique custkey tiebreak.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1996-04-01 00:00:00")))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    na = load_table(spark, sf_dir, "nation")
+    j = (li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(cu, F.col("c_custkey") == F.col("o_custkey")))
+    j = joins.broadcast_dim_join(j, na, F.col("c_nationkey") == F.col("n_nationkey"))
+    return (j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(_exact_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                                  out_dp=None)
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+    """,
+    category="extension: outer-join histogram (TPC-H Q13 shape)",
+    doc="Customer order-count distribution: LEFT OUTER join with a "
+        "predicate INSIDE the join condition (filtering the right side "
+        "only — moving it to WHERE would wrongly drop order-less "
+        "customers), COUNT(col) null-skip semantics, then a second "
+        "aggregation over the counts. Adapted: priority <> '1-URGENT' "
+        "stands in for the comment NOT LIKE filter. Scale: two shuffles "
+        "(custkey, then c_count); the second input is one row per "
+        "customer, the final histogram ~tens of rows.",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT").select("o_custkey", "o_orderkey")
+    per_cust = (cu.join(od, cu.c_custkey == od.o_custkey, "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q16_supplier_cnt",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    category="extension: distinct-agg + NOT IN (TPC-H Q16 shape)",
+    doc="Supplier count per part group, excluding a supplier blocklist "
+        "(adapted: lineitem is the part-supplier association — no partsupp "
+        "table; negative account balance stands in for complaints). NOT IN "
+        "over a provably non-null key column = LeftAnti join (the "
+        "null-semantics trap of NOT IN doesn't bite; test pins it). "
+        "COUNT(DISTINCT) expands to a two-phase partial-distinct "
+        "aggregate. Scale: the blocklist is tiny → broadcast anti join; "
+        "part filter prunes before the partkey join.",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    li = joins.anti_join(li, F.broadcast(bad),
+                         li.l_suppkey == F.col("s_suppkey"))
+    return (li.join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+        SELECT SUM(CAST(ROUND(l1.l_extendedprice * 100, 0) AS BIGINT))
+                 / 100.0 / 7.0 AS avg_yearly
+        FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l1.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l1.l_partkey)
+    """,
+    category="extension: correlated avg subquery (TPC-H Q17 shape)",
+    doc="Small-quantity-order revenue: rows below 20% of their part's "
+        "average quantity. The correlated AVG decorrelates into a "
+        "per-partkey aggregate joined back on partkey — Spark builds it "
+        "explicitly here (same plan Catalyst derives from the SQL form): "
+        "one groupBy(partkey).avg over ONLY the brand's parts (push the "
+        "brand filter into the inner agg's domain via semi join — at "
+        "100 TB aggregating all parts when the outer needs 0.3% would be "
+        "the classic decorrelation waste; DuckDB's optimizer does the "
+        "same sideways pass).",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3").select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    # restrict to the brand's parts once; reuse for both branches
+    li_b = li.join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
+    thresh = (li_b.groupBy(F.col("l_partkey").alias("t_partkey"))
+              .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")))
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (li_b.join(thresh, F.col("l_partkey") == F.col("t_partkey"))
+            .filter(F.col("l_quantity") < F.col("qty_thresh"))
+            .agg((F.sum(cents) / 100.0 / 7.0).alias("avg_yearly")))
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    category="extension: disjunctive join predicate (TPC-H Q19 shape)",
+    doc="Discounted revenue under a 3-arm OR of brand/size/quantity "
+        "conjunctions — the classic CNF-extraction case: Catalyst factors "
+        "the part-only predicate (brand IN ... AND size <= 15) out of the "
+        "OR and pushes it to the part scan, and the lineitem-only "
+        "(quantity <= 30) to the lineitem scan, leaving the cross-table "
+        "residual on the join. Scale: that extraction is what keeps the "
+        "partkey join input small; without it the OR would force "
+        "full-table join inputs.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(pa, F.col("p_partkey") == F.col("l_partkey"))
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand) & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi))
+    cond = (arm("Brand#1", 5, 1, 11) | arm("Brand#2", 10, 10, 20)
+            | arm("Brand#3", 15, 20, 30))
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"))
+
+
+@query(
+    "q20_part_promotion",
+    oracle="""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE 'red%'
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(l_quantity) > 100)
+    """,
+    category="extension: IN over grouped HAVING (TPC-H Q20 shape)",
+    doc="Part-promotion suppliers: IN-subquery whose body is itself a "
+        "grouped HAVING (suppliers that moved >100 units of some 'red' "
+        "part; adapted — availqty vs half-of-shipped becomes a fixed "
+        "threshold, no partsupp). Spark: the prefix LIKE 'red%' is "
+        "range-prunable at the scan; the IN becomes a LeftSemi join "
+        "against the (suppkey,partkey) aggregate. Scale: the aggregate "
+        "shrinks lineitem to association cardinality before the semi "
+        "join, so supplier never joins raw lineitem.",
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    pa = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity")
+    heavy = (li.join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
+             .groupBy("l_suppkey", "l_partkey")
+             .agg(F.sum("l_quantity").alias("qty"))
+             .filter(F.col("qty") > 100)
+             .select("l_suppkey").distinct())
+    return joins.semi_join(su, heavy, su.s_suppkey == F.col("l_suppkey"))
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+        SELECT cntry, COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM (SELECT CAST(c_nationkey % 10 AS INT) AS cntry,
+                     c_acctbal, c_custkey
+              FROM customer
+              WHERE c_nationkey % 10 IN (1, 3, 5, 7)
+                AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                                 WHERE c_acctbal > 0
+                                   AND c_nationkey % 10 IN (1, 3, 5, 7))
+                AND NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey
+                                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+             ) custsale
+        GROUP BY cntry
+    """,
+    category="extension: scalar subquery + NOT EXISTS (TPC-H Q22 shape)",
+    doc="Global-sales-opportunity: above-average-balance customers with no "
+        "recent orders, grouped by country code (adapted: nationkey%10 "
+        "stands in for the phone prefix, 'no orders since 2000' for 'no "
+        "orders ever' — every fixture customer has some order). Composes "
+        "an uncorrelated scalar subquery (one global AVG, broadcast as a "
+        "1-row cross join — computed once, not per row) with a LeftAnti "
+        "join for NOT EXISTS. Scale: anti join shuffles on custkey; the "
+        "date filter shrinks the right side first.",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    code = (F.col("c_nationkey") % 10).cast("int")
+    cu = cu.select("c_custkey", "c_acctbal", code.alias("cntry")).filter(
+        F.col("cntry").isin(1, 3, 5, 7))
+    avg_bal = cu.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal"))
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts("2000-01-01 00:00:00")).select("o_custkey")
+    rich = (cu.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("avg_bal")))
+    dormant = joins.anti_join(rich, recent,
+                              F.col("c_custkey") == F.col("o_custkey"))
+    return dormant.groupBy("cntry").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
