@@ -83,3 +83,27 @@ def doc_fingerprint(tokens: Column) -> Column:
     return F.aggregate(
         codes, F.lit(0).cast("long"),
         lambda acc, c: (acc * FINGERPRINT_BASE + c) % HASH_MOD)
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings, built with ``zip_with`` over
+    aligned ``slice``s — each slice evaluates the token array once per row;
+    a ``transform(sequence(...), i -> element_at(tokens, i))`` formulation
+    would re-evaluate the array per ELEMENT (the O(n²) higher-order-function
+    trap).  Pass ``tokens`` as a materialized column, not a nested
+    expression, so the n slices share one evaluation of the tokenizer.
+    """
+    m = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    grams = F.slice(tokens, 1, m)
+    for k in range(1, n):
+        grams = F.zip_with(grams, F.slice(tokens, k + 1, m),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    return grams
+
+
+def dup_fraction(arr: Column) -> Column:
+    """Fraction of entries that are repeats of an earlier entry — the
+    Gopher/C4-style intra-document repetition signal; NULL for empty input."""
+    n = F.size(arr)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(arr))).cast("double") / n)

@@ -682,3 +682,50 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_bpe > 0,
                F.col("n_chars").cast("double") / n_bpe)
          .alias("chars_per_token"))
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+        g AS (SELECT doc_id, ws,
+                     list_transform(range(greatest(len(ws) - 1, 0)),
+                         i -> ws[i + 1] || ' ' || ws[i + 2]) AS g2,
+                     list_transform(range(greatest(len(ws) - 2, 0)),
+                         i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]) AS g3
+              FROM t)
+        SELECT doc_id, len(ws) AS n_tokens,
+               CASE WHEN len(ws) > 0 THEN
+                 CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws)
+               END AS dup_word_frac,
+               CASE WHEN len(g2) > 0 THEN
+                 CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+               END AS dup_2gram_frac,
+               CASE WHEN len(g3) > 0 THEN
+                 CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+               END AS dup_3gram_frac
+        FROM g
+    """,
+    category="extension: text analysis (repetition)",
+    doc="Intra-document repetition signals (Gopher/C4-style quality "
+        "filters): fraction of duplicate words / word-2-grams / "
+        "word-3-grams per document. N-grams via zip_with over aligned "
+        "slices of a materialized token column (array evaluated once per "
+        "slice — not the per-element higher-order-function trap). All "
+        "JVM-side; fractions are int/int divisions left unrounded "
+        "(bit-identical on both engines).",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize tokens once; downstream slices reference the column
+    base = docs.select("doc_id", textstats.tokenize(F.col("text")).alias("ws"))
+    g2 = textstats.word_ngrams(F.col("ws"), 2)
+    g3 = textstats.word_ngrams(F.col("ws"), 3)
+    staged = base.select(
+        "doc_id", "ws", g2.alias("g2"), g3.alias("g3"))
+    return staged.select(
+        "doc_id",
+        F.size("ws").alias("n_tokens"),
+        textstats.dup_fraction(F.col("ws")).alias("dup_word_frac"),
+        textstats.dup_fraction(F.col("g2")).alias("dup_2gram_frac"),
+        textstats.dup_fraction(F.col("g3")).alias("dup_3gram_frac"))

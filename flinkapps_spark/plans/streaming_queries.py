@@ -251,3 +251,75 @@ def stream_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
                .dropDuplicates(["user_id", "event_type"])
                .select("user_id", "event_type"))
     return run_stream_to_memory(deduped, output_mode="append")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+        SELECT event_id, user_id, value, c_mktsegment
+        FROM events JOIN customer ON user_id = c_custkey
+        WHERE event_type = 'purchase'
+    """,
+    category="streaming: stream-static enrichment join",
+    doc="Dimension enrichment of a live stream: streaming events inner-join "
+        "a static customer table. The static side is broadcast — each "
+        "micro-batch probes the hashed relation with NO shuffle of the "
+        "stream and no state store (stateless join; at 100 TB/day the "
+        "stream never repartitions, and dim refresh is a re-broadcast per "
+        "batch). Beyond the reference surface (it has no joins, SURVEY "
+        "§2.10) but a capability every Kafka-enrichment pipeline needs.",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.sources.batch import load_table
+    ev = file_stream_source(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    out = (ev.join(F.broadcast(cu), ev.user_id == cu.c_custkey)
+           .select("event_id", "user_id", "value", "c_mktsegment"))
+    return run_stream_to_memory(out, output_mode="append")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+        SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+               p.user_id, p.value AS purchase_value
+        FROM events p JOIN events s
+          ON p.user_id = s.user_id
+         AND p.event_type = 'purchase' AND s.event_type = 'signup'
+         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+    category="streaming: stream-stream interval join",
+    doc="Purchases attributed to a signup by the same user within the "
+        "previous hour: two watermarked streams, inner join with an "
+        "event-time range condition. Spark keeps both sides in the state "
+        "store only up to watermark + interval (bounded state — the range "
+        "condition is what makes an unbounded stream-stream join feasible); "
+        "availableNow replay converges to exactly the batch join. Scale: "
+        "state keyed by user_id, evicted by watermark; skewed users split "
+        "by AQE does NOT apply in streaming — salt the key if one user "
+        "dominates.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = file_stream_source(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.col("value").alias("purchase_value"),
+                 F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", "2 hours"))
+    s = (file_stream_source(spark, sf_dir, "events")
+         .filter(F.col("event_type") == "signup")
+         .select(F.col("event_id").alias("signup_id"),
+                 F.col("user_id").alias("s_user"),
+                 F.col("ts").alias("s_ts"))
+         .withWatermark("s_ts", "2 hours"))
+    joined = p.join(
+        s, (F.col("p_user") == F.col("s_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")))
+    out = joined.select(
+        "purchase_id", "signup_id",
+        F.col("p_user").alias("user_id"), "purchase_value")
+    return run_stream_to_memory(out, output_mode="append")

@@ -503,3 +503,29 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dormant.groupBy("cntry").agg(
         F.count("*").alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+                   AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    category="extension: cube grouping",
+    doc="CUBE over (status, priority): all 4 grouping sets in one pass — "
+        "Spark Expand duplicates each input row per grouping set before "
+        "one hash aggregate (rows×4 map-side, but partial agg collapses "
+        "to |groups| per task before the shuffle). Complements "
+        "rollup_status_priority (hierarchical sets). NULL marks the "
+        "rolled-up dimensions on both engines; money summed fixed-point.",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return (od.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 _exact_money_sum(F.col("o_totalprice"), scale=100,
+                                  out_dp=None).alias("total_price")))
