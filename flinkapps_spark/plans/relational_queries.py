@@ -1158,3 +1158,81 @@ def subquery_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_partkey IN (SELECT l_partkey FROM lineitem
                             WHERE l_quantity >= 49)
     """)
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+        WITH bounds AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, MIN(ts)) AS lo,
+                   time_bucket(INTERVAL 1 HOUR, MAX(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+            FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        grid AS (SELECT bucket, event_type FROM spine CROSS JOIN types),
+        counts AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT g.bucket, g.event_type, COALESCE(c.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN counts c
+          ON g.bucket = c.bucket AND g.event_type = c.event_type
+    """,
+    category="extension: time-series gap fill",
+    doc="Dense hourly rollup with zero-filled gaps (the hypertable/"
+        "time_bucket_gapfill pattern): generate the full bucket spine with "
+        "sequence()+explode, cross it with the observed key set, left-join "
+        "the sparse aggregate, coalesce 0. Scale: the spine is "
+        "(range/step)×|keys| rows — independent of event volume; events "
+        "aggregate to bucket cardinality BEFORE the join, and the tiny "
+        "grid side is broadcast, so raw data is never re-shuffled for the "
+        "fill.",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    counts = (ev.groupBy(bucket.alias("bucket"), F.col("event_type"))
+              .agg(F.count("*").alias("cnt")))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(F.explode(F.sequence(
+        F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))).alias("bucket"))
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    return (F.broadcast(grid)
+            .join(counts, ["bucket", "event_type"], "left_outer")
+            .select("bucket", "event_type",
+                    F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")))
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, measure, val
+        FROM (
+            UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                            l_extendedprice, l_discount, l_tax
+                     FROM lineitem WHERE l_orderkey % 100 = 0)
+            ON l_quantity, l_extendedprice, l_discount, l_tax
+            INTO NAME measure VALUE val
+        )
+    """,
+    category="extension: unpivot / melt",
+    doc="Wide-to-long unpivot of the four lineitem measures (the melt "
+        "operation feature-store exports need). Spark's unpivot is a "
+        "zero-shuffle Expand (rows×4 map-side, no exchange); the id filter "
+        "keeps the fixture result compact. Inverse of pivot_status_priority.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure", "val")
