@@ -1236,3 +1236,84 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_orderkey", "l_linenumber"],
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         "measure", "val")
+
+
+@query(
+    "window_battery",
+    oracle="""
+        SELECT event_id,
+               LEAD(value) OVER w AS next_value,
+               FIRST_VALUE(event_id) OVER w AS first_event,
+               LAST_VALUE(event_id) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS last_event,
+               DENSE_RANK() OVER (PARTITION BY user_id
+                   ORDER BY event_type) AS type_rank,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    category="extension: window function battery",
+    doc="The remaining OVER-window functions in one pass: lead, first/last "
+        "value (explicit unbounded frame for last_value — the default "
+        "frame ends at CURRENT ROW), dense_rank, ntile, percent_rank, "
+        "cume_dist. The six same-spec functions share one Window operator; "
+        "the different-order dense_rank adds a second Sort but REUSES the "
+        "user_id Exchange (verified: 1 Exchange, 2 Sorts, 2 Windows — "
+        "partitioning survives across specs, only the order re-sorts). "
+        "Deterministic: (ts, event_id) is a unique order key. percent/"
+        "cume are (rank-1)/(n-1)-style integer-derived divisions — "
+        "bit-identical on both engines; rounded 6dp only to absorb repr.",
+)
+def window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_type = Window.partitionBy("user_id").orderBy("event_type")
+    return ev.select(
+        "event_id",
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w_full).alias("last_event"),
+        F.dense_rank().over(w_type).alias("type_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
+@query(
+    "struct_map_battery",
+    oracle="""
+        SELECT event_id,
+               struct_pack(etype := event_type, v := value).etype AS s_type,
+               map_extract(map([event_type], [value]), event_type)[1]
+                   AS m_value,
+               cardinality(map([event_type, 'x'], [value, 0.0])) AS m_size,
+               array_to_string(map_keys(map([event_type, 'x'],
+                                            [value, 0.0])), ',') AS m_keys
+        FROM events
+        WHERE event_id % 50 = 0
+    """,
+    category="extension: struct/map functions",
+    doc="Struct construction + field access and map construction / lookup "
+        "/ cardinality / key listing — the nested-type surface (reference "
+        "exercises none, SURVEY §1.2). Outputs are projected back to flat "
+        "scalars so the oracle compares values, not engine-specific "
+        "nested-type renderings. All codegen'd expressions; nested types "
+        "at 100 TB cost only what the parquet reader materializes.",
+)
+def struct_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 50 == 0)
+    m = F.create_map(F.col("event_type"), F.col("value"))
+    m2 = F.create_map(F.col("event_type"), F.col("value"),
+                      F.lit("x"), F.lit(0.0))
+    return ev.select(
+        "event_id",
+        F.struct(F.col("event_type").alias("etype"),
+                 F.col("value").alias("v")).getField("etype").alias("s_type"),
+        F.element_at(m, F.col("event_type")).alias("m_value"),
+        F.size(m2).alias("m_size"),
+        F.array_join(F.map_keys(m2), ",").alias("m_keys"))
