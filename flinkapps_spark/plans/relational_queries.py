@@ -1317,3 +1317,41 @@ def struct_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, F.col("event_type")).alias("m_value"),
         F.size(m2).alias("m_size"),
         F.array_join(F.map_keys(m2), ",").alias("m_keys"))
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) / 10000.0
+                   AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    category="extension: skew-salted join",
+    doc="Hot-key-safe join: the fact side gets a deterministic salt "
+        "(event_id % 8), the dimension side is replicated once per salt "
+        "value with explode(sequence(0,7)), and the join key becomes "
+        "(key, salt) — a single hot key's rows spread across 8 tasks "
+        "instead of one straggler. Result provably equals the unsalted "
+        "join (the oracle IS the plain join). At 100 TB this is the "
+        "manual fallback when AQE skew-split can't apply (e.g. the "
+        "skewed side feeds an aggregation pinned to the same "
+        "partitioning); salt count tunes task granularity, dim "
+        "replication cost = |dim|x8 rows broadcast.",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "salt", (F.col("event_id") % n_salt).cast("int"))
+    cu = (load_table(spark, sf_dir, "customer")
+          .select("c_custkey", "c_mktsegment")
+          .withColumn("salt", F.explode(
+              F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>"))))
+    j = ev.join(F.broadcast(cu),
+                (ev.user_id == cu.c_custkey) & (ev.salt == cu.salt))
+    units = F.round(F.col("value") * 10000, 0).cast("long")
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_events"),
+                 (F.sum(units) / 10000.0).alias("total_value")))

@@ -323,3 +323,43 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id", "signup_id",
         F.col("p_user").alias("user_id"), "purchase_value")
     return run_stream_to_memory(out, output_mode="append")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    """,
+    category="streaming: session window + watermark",
+    doc="Gap-based sessionization (30-min inactivity) as a STREAMING "
+        "aggregation: session_window + watermark, availableNow replay, "
+        "complete mode → converged sessions equal the batch islands "
+        "(same oracle as events_sessionize). Scale: session state is "
+        "merged incrementally per key in the state store and evicted "
+        "once the watermark passes a session's close — the unbounded-"
+        "stream path the batch lag/cumsum reconstruction can't take.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = file_stream_source(spark, sf_dir, "events")
+    agged = (ev.withWatermark("ts", "1 hour")
+             .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+             .agg(F.count("*").alias("n_events"))
+             .select(F.col("user_id"),
+                     F.col("session_window.start").alias("session_start"),
+                     F.col("n_events")))
+    return run_stream_to_memory(agged, output_mode="complete")

@@ -125,3 +125,28 @@ def test_q5_fact_joins_not_hint_broadcast(spark):
     assert logical.count("UnresolvedHint") == 0
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in physical
+
+
+def test_partition_pruning_static_and_dynamic(spark, tmp_path):
+    """Partition-layout pruning, the single biggest scan saver at 100 TB:
+    (a) a literal filter on the partition column becomes a PartitionFilter
+    (directories never listed, files never opened); (b) joining on the
+    partition column against a filtered dim inserts a dynamic-partition-
+    pruning subquery, so the fact scan prunes by the dim's surviving keys
+    at runtime."""
+    from flinkapps_spark.sources.batch import load_table
+
+    path = str(tmp_path / "ev_part")
+    ev = load_table(spark, SF_ORACLE, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("error", 2)], "event_type string, pri int"
+    ).filter(F.col("pri") == 1)
+    j = spark.read.parquet(path).join(dim, "event_type")
+    jplan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in jplan.lower(), jplan
