@@ -76,8 +76,50 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         "use extract_byte_features for the tested plumbing path")
 
 
-def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Frame-sampling stub for video payloads (same contract as decode_image)."""
-    raise NotImplementedError(
-        "video codecs unavailable in this environment; "
-        "use extract_byte_features for the tested plumbing path")
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_bytes", T.IntegerType()),
+    T.StructField("frame_sum", T.LongType()),
+])
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id",
+                  payload_col: str = "payload",
+                  frame_bytes: int = 64, every_n: int = 4) -> DataFrame:
+    """Frame sampling over binary payloads: split each payload into
+    fixed-size frames, keep every ``every_n``-th, emit one row per kept
+    frame — the real 1→N mapInPandas batch shape a video frame-sampler
+    has (a true codec would swap the byte slicing for `av` decode; the
+    Spark contract — schema, Arrow batches, row expansion, map-side
+    execution before any shuffle — is exactly this).
+
+    The per-frame feature (byte sum) is deterministic so the DuckDB
+    oracle verifies the full path, not just row counts.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sizes: list[int] = []
+            sums: list[int] = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n_frames = (len(arr) + frame_bytes - 1) // frame_bytes
+                for f in range(0, n_frames, every_n):
+                    fr = arr[f * frame_bytes:(f + 1) * frame_bytes]
+                    ids.append(int(i))
+                    idxs.append(f)
+                    sizes.append(len(fr))
+                    sums.append(int(fr.sum()))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_bytes": pd.Series(sizes, dtype="int32"),
+                "frame_sum": pd.Series(sums, dtype="int64"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=FRAME_SCHEMA)

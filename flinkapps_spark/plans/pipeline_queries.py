@@ -729,3 +729,34 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.dup_fraction(F.col("ws")).alias("dup_word_frac"),
         textstats.dup_fraction(F.col("g2")).alias("dup_2gram_frac"),
         textstats.dup_fraction(F.col("g3")).alias("dup_3gram_frac"))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(n_chars / 64.0) AS INT), 4))
+                       AS frame_idx
+            FROM documents
+        )
+        SELECT doc_id, frame_idx,
+               length(substr(text, frame_idx * 64 + 1, 64)) AS frame_bytes,
+               CAST(list_sum(list_transform(
+                   string_split(substr(text, frame_idx * 64 + 1, 64), ''),
+                   c -> ascii(c))) AS BIGINT) AS frame_sum
+        FROM f
+    """,
+    category="extension: multimodal (frame sampling)",
+    doc="Video-style frame sampling over opaque binary payloads: 64-byte "
+        "frames, every 4th kept, one output row per frame (the 1:N "
+        "mapInPandas expansion a real decoder produces; numpy byte "
+        "slicing stands in for the codec). Runs map-side before any "
+        "shuffle — payload bytes never enter an exchange. Oracle works "
+        "because the fixture text is pure ASCII: UTF-8 byte sums equal "
+        "code-point sums.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_binary_payload(docs)
+    return multimodal.sample_frames(with_payload)

@@ -188,8 +188,22 @@ def test_multimodal_stubs_raise(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(1)
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(docs)
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_frames(docs)
+
+
+def test_sample_frames_exact(spark):
+    """Frame sampler on a known payload: 150 'a' bytes → frames of 64 at
+    stride 4 keep only frame 0 (frames are 0,1,2; stride 4 → idx 0)."""
+    from flinkapps_spark.operators import multimodal
+    df = spark.createDataFrame([(1, "a" * 150)], "doc_id long, text string")
+    out = multimodal.sample_frames(
+        multimodal.attach_binary_payload(df)).collect()
+    assert [(r.doc_id, r.frame_idx, r.frame_bytes, r.frame_sum)
+            for r in out] == [(1, 0, 64, 64 * 97)]
+    # stride 1 keeps all 3 frames incl. the 22-byte tail
+    out_all = multimodal.sample_frames(
+        multimodal.attach_binary_payload(df), every_n=1).collect()
+    assert [(r.frame_idx, r.frame_bytes) for r in out_all] == [
+        (0, 64), (1, 64), (2, 22)]
 
 
 # --- week-year quirk (SURVEY §7.5.2) ---------------------------------------
