@@ -176,3 +176,37 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(rank_w))
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def embedding_centroids(df: DataFrame, label_col: str = "label",
+                        vec_col: str = "embedding",
+                        scale: int = 10 ** 7) -> DataFrame:
+    """Per-label centroid of an embedding column: posexplode to
+    (label, pos, value), aggregate per position, re-assemble the array in
+    position order.
+
+    Elements are fixed-pointed (ROUND(v*scale, 0) → int64) before summing:
+    double summation is order-dependent across engines/partitions, while
+    integer sums are associative.  ROUND at 0 dp is cross-engine-safe for
+    any input (a double below 2^51 whose shortest repr ends in .5 IS
+    exactly .5, and both engines break ties away from zero) — unlike
+    ROUND at dp>0, which diverges on repr boundaries.  Precision loss is
+    1/scale per element, documented contract of the operator.
+
+    Scale: the explode shuffles n_vectors x dim skinny rows; partial
+    aggregation collapses each (label, pos) to one row per task before
+    the exchange, so shuffle bytes ~ |labels| x dim x n_tasks, not data
+    size.  The re-assembly aggregates |labels| x dim rows — trivial.
+    """
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"))
+    units = F.round(F.col("v") * scale, 0).cast("long")
+    per_pos = (e.groupBy("label", "pos")
+               .agg((F.sum(units) / F.count("*") / scale).alias("c"),
+                    F.count("*").alias("n")))
+    return (per_pos.groupBy("label")
+            .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                     lambda s: s.getField("c")).alias("centroid"),
+                 F.max("n").alias("n_vectors")))

@@ -760,3 +760,39 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_payload = multimodal.attach_binary_payload(docs)
     return multimodal.sample_frames(with_payload)
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+        WITH idx AS (
+            SELECT label, embedding,
+                   unnest(range(len(embedding))) AS pos
+            FROM embeddings
+        ),
+        e AS (
+            SELECT label, pos,
+                   CAST(ROUND(CAST(embedding[pos + 1] AS DOUBLE) * 10000000,
+                              0) AS BIGINT) AS units
+            FROM idx
+        ),
+        c AS (
+            SELECT label, pos,
+                   SUM(units) / COUNT(*) / 10000000 AS c,
+                   COUNT(*) AS n
+            FROM e GROUP BY label, pos
+        )
+        SELECT label, list(c ORDER BY pos) AS centroid,
+               MAX(n) AS n_vectors
+        FROM c GROUP BY label
+    """,
+    category="extension: embedding centroid agg",
+    doc="Per-label centroid over array<float> embeddings (the cluster-"
+        "center / class-prototype aggregation): posexplode → per-position "
+        "fixed-point mean → position-ordered re-assembly. See "
+        "operators/similarity.embedding_centroids for why ROUND(v*s, 0) "
+        "int64 sums are the cross-engine-deterministic formulation.",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_centroids(emb)
