@@ -1355,3 +1355,63 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.groupBy("c_mktsegment")
             .agg(F.count("*").alias("n_events"),
                  (F.sum(units) / 10000.0).alias("total_value")))
+
+
+@query(
+    "agg_minby_maxby",
+    oracle="""
+        SELECT c_mktsegment,
+               max_by(c_custkey, c_acctbal ORDER BY c_acctbal, c_custkey)
+                   AS richest_cust,
+               min_by(c_custkey, c_acctbal ORDER BY c_acctbal, c_custkey)
+                   AS poorest_cust,
+               MAX(c_acctbal) AS max_bal,
+               MIN(c_acctbal) AS min_bal
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    category="extension: argmin/argmax aggregates",
+    doc="max_by/min_by (argmax/argmin) per segment — the SQL:2023 "
+        "aggregates that replace the self-join-on-max anti-pattern with "
+        "one two-phase hash agg pass. Ties on c_acctbal are broken by "
+        "the unique c_custkey via a (value, key) struct ordering on the "
+        "Spark side, mirroring DuckDB's ORDER BY tiebreak, so the result "
+        "is deterministic even with duplicate balances.",
+)
+def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    # (value, key) struct: lexicographic max/min == value-then-key order
+    vk = F.struct(F.col("c_acctbal").alias("v"), F.col("c_custkey").alias("k"))
+    return (cu.groupBy("c_mktsegment")
+            .agg(F.max(vk).getField("k").alias("richest_cust"),
+                 F.min(vk).getField("k").alias("poorest_cust"),
+                 F.max("c_acctbal").alias("max_bal"),
+                 F.min("c_acctbal").alias("min_bal")))
+
+
+@query(
+    "grouping_sets_explicit",
+    oracle="""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    category="extension: explicit grouping sets",
+    doc="Arbitrary (non-hierarchical) grouping sets — per-status, "
+        "per-priority, and grand total in ONE scan via the Expand "
+        "operator, where rollup/cube cover only the hierarchical/full "
+        "lattices. Expressed through Spark SQL (the DataFrame API "
+        "exposes only rollup/cube; groupingSets is SQL-first).",
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)

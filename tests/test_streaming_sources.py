@@ -79,3 +79,36 @@ def test_console_sink_batch(spark, capsys):
     ev.select("event_id", "event_type").show()
     out = capsys.readouterr().out
     assert "event_id" in out and "event_type" in out
+
+
+def test_rocksdb_state_store_provider(spark):
+    """The RocksDB state store — the provider for state bigger than
+    executor heap (100 TB-scale streaming aggs) — produces the same
+    converged result as the default HDFS-backed store."""
+    from pyspark.sql import functions as F
+    from flinkapps_spark.streaming.jobs import (
+        file_stream_source, run_stream_to_memory,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key, "org.apache.spark.sql.execution.streaming.state."
+                 "RocksDBStateStoreProvider")
+        docs = file_stream_source(spark, SF_SMOKE, "documents")
+        counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+        got = sorted(
+            (r.lang, r.n)
+            for r in run_stream_to_memory(
+                counts, output_mode="complete").collect())
+        want = sorted(
+            (r.lang, r.n)
+            for r in load_table(spark, SF_SMOKE, "documents")
+            .groupBy("lang").agg(F.count("*").alias("n")).collect())
+        assert got == want
+    finally:
+        if saved is not None:
+            spark.conf.set(key, saved)
+        else:
+            spark.conf.unset(key)
