@@ -796,3 +796,69 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_centroids(emb)
+
+
+@query(
+    "pipeline_training_prep",
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id, text, lang FROM documents
+            UNION ALL
+            SELECT doc_id + 2000000, text, lang FROM documents
+            WHERE doc_id % 10 = 0
+        ),
+        keep AS (
+            SELECT MIN(doc_id) AS doc_id FROM aug GROUP BY md5(text)
+        ),
+        kept AS (
+            SELECT a.doc_id, a.text, a.lang
+            FROM aug a JOIN keep USING (doc_id)
+        ),
+        tok AS (
+            SELECT doc_id, lang, len({SQL_WORDS}) AS n_tokens FROM kept
+        ),
+        q AS (SELECT * FROM tok WHERE n_tokens >= 30),
+        s AS (
+            SELECT doc_id, lang, n_tokens,
+                   {_sql_word_code("lang || '-' || CAST(doc_id AS VARCHAR)")}
+                       % 100 AS bucket
+            FROM q
+        )
+        SELECT doc_id, lang, n_tokens FROM s
+        WHERE (lang = 'en' AND bucket < 50)
+           OR (lang <> 'en' AND bucket < 20)
+    """,
+    category="extension: composed training-data pipeline",
+    doc="The end-to-end curation pipeline as ONE declarative plan: exact "
+        "dedup keep-set → length/quality gate → deterministic stratified "
+        "sample → per-doc token counts. Because every stage is a Column "
+        "expression or join, Catalyst fuses the whole chain — the quality "
+        "filter and the hash-sample predicate run in the same codegen "
+        "stage, and only the dedup keep-set join shuffles (keyed by md5). "
+        "This is the shape a 100 TB curation run takes: one pass + one "
+        "digest shuffle, not four materialized intermediate datasets.",
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.functions.text import word_code
+    from flinkapps_spark.operators import joins
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text", "lang")
+    aug = docs.unionByName(dup)
+    keep = (aug.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    kept = joins.semi_join(aug, keep, "doc_id")
+    tok = kept.select(
+        "doc_id", "lang",
+        textstats.token_count(textstats.tokenize(F.col("text")))
+        .alias("n_tokens"))
+    q = tok.filter(F.col("n_tokens") >= 30)
+    bucket = word_code(
+        F.concat(F.col("lang"), F.lit("-"),
+                 F.col("doc_id").cast("string"))) % 100
+    s = q.withColumn("bucket", bucket)
+    return (s.filter(((F.col("lang") == "en") & (F.col("bucket") < 50))
+                     | ((F.col("lang") != "en") & (F.col("bucket") < 20)))
+            .select("doc_id", "lang", "n_tokens"))
