@@ -834,7 +834,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample → per-doc token counts. Because every stage is a Column "
         "expression or join, Catalyst fuses the whole chain — the quality "
         "filter and the hash-sample predicate run in the same codegen "
-        "stage, and only the dedup keep-set join shuffles (keyed by md5). "
+        "stage; the one shuffle is the md5 keep-set aggregate (the keep-set then BROADCASTS into a LeftSemi reused across both union branches — verified: 1 hash Exchange + ReusedExchange). "
         "This is the shape a 100 TB curation run takes: one pass + one "
         "digest shuffle, not four materialized intermediate datasets.",
 )

@@ -112,3 +112,47 @@ def test_rocksdb_state_store_provider(spark):
             spark.conf.set(key, saved)
         else:
             spark.conf.unset(key)
+
+
+def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
+    """T1 exactly-once evidence: a file-sink query stopped mid-stream and
+    resumed from its checkpoint neither loses nor duplicates rows — the
+    offset log + file-sink commit log make the restart idempotent."""
+    import time
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    n_total = docs.count()
+    schema = spark.read.parquet(src).schema
+
+    def start(trigger_kwargs):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        return (stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(**trigger_kwargs)
+                .start())
+
+    # run 1: process at least one (but not necessarily all) file, then stop
+    q1 = start({"processingTime": "200 milliseconds"})
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        p = q1.lastProgress
+        if p and p["numInputRows"] > 0:
+            break
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination()
+
+    # run 2: resume from the same checkpoint, drain the rest
+    q2 = start({"availableNow": True})
+    q2.awaitTermination()
+
+    got = spark.read.parquet(out)
+    assert got.count() == n_total                       # nothing lost
+    assert got.select("doc_id").distinct().count() == n_total  # no dupes
