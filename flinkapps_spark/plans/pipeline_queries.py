@@ -862,3 +862,38 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.filter(((F.col("lang") == "en") & (F.col("bucket") < 50))
                      | ((F.col("lang") != "en") & (F.col("bucket") < 20)))
             .select("doc_id", "lang", "n_tokens"))
+
+
+@query(
+    "dedup_levenshtein_verify",
+    oracle="""
+        SELECT d.doc_id AS doc_a, d.doc_id + 1000000 AS doc_b,
+               levenshtein(d.text,
+                           regexp_replace(d.text, '^\\w+\\W+', '')) AS dist,
+               CASE WHEN length(d.text) > 0 THEN
+                 CAST(levenshtein(d.text,
+                      regexp_replace(d.text, '^\\w+\\W+', '')) AS DOUBLE)
+                 / length(d.text)
+               END AS dist_ratio
+        FROM documents d
+    """,
+    category="extension: dedup (edit distance)",
+    doc="Edit-distance verification of near-dup candidates: levenshtein "
+        "between each doc and its first-word-dropped variant (the "
+        "constructed near-dup), absolute and normalized by length — the "
+        "character-level fuzzy-match check that complements set-based "
+        "Jaccard (catches reorderings Jaccard misses and vice versa). "
+        "Scale: O(n*m) per pair — ONLY ever run on candidate pairs from "
+        "LSH/banding, never as a pairwise pass; here the candidate set "
+        "is the deterministic constructed pairs.",
+)
+def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    variant = F.regexp_replace("text", "^\\w+\\W+", "")
+    dist = F.levenshtein(F.col("text"), variant)
+    return docs.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1000000).alias("doc_b"),
+        dist.alias("dist"),
+        F.when(F.length("text") > 0,
+               dist.cast("double") / F.length("text")).alias("dist_ratio"))

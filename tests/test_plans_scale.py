@@ -150,3 +150,36 @@ def test_partition_pruning_static_and_dynamic(spark, tmp_path):
     j = spark.read.parquet(path).join(dim, "event_type")
     jplan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in jplan.lower(), jplan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime bloom-filter join pruning: a selective build side injects a
+    bloom_filter_agg into the probe side's scan stage, filtering fact rows
+    BEFORE the shuffle.  At 100 TB the default thresholds (10 GB probe
+    scan) trigger this automatically; at fixture scale we lower the
+    application-side threshold to demonstrate the rewrite."""
+    from flinkapps_spark.sources.batch import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        pa = load_table(spark, SF_ORACLE, "part").filter(
+            F.col("p_name").like("red%"))
+        j = li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
