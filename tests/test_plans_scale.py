@@ -183,3 +183,30 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_range_partitioned_sorted_write_layout(spark, tmp_path):
+    """Write-optimized layout: repartitionByRange(shipdate) +
+    sortWithinPartitions gives RangePartitioning (one Exchange) and an
+    in-partition Sort with NO second exchange — the layout that makes
+    parquet min/max row-group stats selective for time-range scans at
+    100 TB (each file covers a narrow date band instead of the full
+    range)."""
+    from flinkapps_spark.sources.batch import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice")
+    laid_out = (li.repartitionByRange(8, F.col("l_shipdate"))
+                .sortWithinPartitions("l_shipdate"))
+    plan = laid_out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    assert plan.lower().count("exchange") == 1, plan  # sort adds no shuffle
+
+    # the layout round-trips: narrow date filter over the written files
+    # still pushes to the scan (row-group pruning then applies file-side)
+    path = str(tmp_path / "li_sorted")
+    laid_out.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("l_shipdate") >= F.lit("1999-06-01 00:00:00").cast("timestamp"))
+    bplan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual" in bplan
