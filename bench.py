@@ -37,14 +37,20 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q12_shipmode_case",
     "q14_promo_ratio",
+    "q4_order_priority",
+    "q9_product_profit",
+    "q10_returned_items",
     "topk_per_group",
+    "window_battery",
     "join_asof_signup",
     "events_sessionize",
     "json_extract_props",
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_cosine_bruteforce",
+    "embedding_centroids",
     "text_quality_score",
+    "pipeline_training_prep",
 ]
 
 

@@ -62,3 +62,24 @@ def test_batch_equals_stream_wordcount(spark):
         word_count(stream_df, "text"), output_mode="complete")
     stream = {(r["word"], r["cnt"]) for r in streamed.collect()}
     assert batch == stream
+
+
+def test_fixed_point_sum_order_independent(spark):
+    """The SCALE.md float-determinism contract, property-checked: the
+    fixed-point int64 sum of random 2dp money values equals the exact
+    Decimal sum at 2dp, for any partitioning/summation order."""
+    from decimal import Decimal
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        vals = (rng.integers(1, 10_000_000, size=2000) / 100.0).tolist()
+        want = sum(Decimal(f"{v:.2f}") for v in vals)
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        for n_part in (1, 7, 32):
+            units = F.round(F.col("v") * 100, 0).cast("long")
+            got = (df.repartition(n_part)
+                   .agg((F.sum(units)).alias("u")).collect()[0].u)
+            assert Decimal(got) / 100 == want, (trial, n_part)
