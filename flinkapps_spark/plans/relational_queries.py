@@ -1415,3 +1415,34 @@ def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
+
+
+@query(
+    "json_roundtrip",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(j, '$.t') AS t_back,
+               CAST(json_extract(j, '$.v') AS DOUBLE) AS v_back
+        FROM (
+            SELECT event_id,
+                   to_json(struct_pack(t := event_type, v := value)) AS j
+            FROM events
+            WHERE event_id % 20 = 0
+        )
+    """,
+    category="extension: JSON serialize/parse roundtrip",
+    doc="Struct → JSON string → typed fields: the wire-format round-trip "
+        "for JSON sinks/sources (complements json_extract_props, which "
+        "only parses). Spark: to_json(struct) + get_json_object; both "
+        "codegen'd. DuckDB json_extract returns quoted JSON strings — "
+        "normalized identically on both sides by trimming quotes "
+        "(Spark's get_json_object unquotes scalars).",
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    j = F.to_json(F.struct(F.col("event_type").alias("t"),
+                           F.col("value").alias("v")))
+    return ev.select(
+        "event_id",
+        F.get_json_object(j, "$.t").alias("t_back"),
+        F.get_json_object(j, "$.v").cast("double").alias("v_back"))

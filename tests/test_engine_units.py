@@ -332,3 +332,21 @@ def test_ivf_recall(spark):
            for r in knn_ivf(emb, queries, k=5, n_probe=3).collect()}
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+
+def test_observation_metrics(spark):
+    """df.observe: zero-cost pipeline metrics collected during the action
+    (row counts, sums for data-quality monitoring) — no second scan."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    obs = Observation("li_metrics")
+    observed = li.observe(
+        obs, F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_quantity") < 0).cast("int")).alias("neg_qty"))
+    n = observed.filter(F.col("l_returnflag") == "R").count()
+    assert n > 0
+    got = obs.get
+    assert got["n_rows"] == li.count()
+    assert got["neg_qty"] == 0
