@@ -123,3 +123,46 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(id_col, payload_col).mapInPandas(
         batches, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("profile", T.ArrayType(T.DoubleType())),
+])
+
+
+def resize_profile(df: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "payload",
+                   n_bins: int = 8) -> DataFrame:
+    """Resize stage over binary payloads: block-mean downsample of the
+    byte sequence to a fixed n_bins profile — the 1-D analog of image
+    resize (area interpolation), with the same mapInPandas contract a
+    real resizer has (fixed-size output per row, numpy vectorized body).
+
+    Bin i covers bytes[floor(i*n/bins) : floor((i+1)*n/bins)); the mean
+    is an int-sum / int-count division, so the profile is bit-identical
+    across engines (no float accumulation).
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, sizes, profs = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                n = len(arr)
+                prof = []
+                for k in range(n_bins):
+                    lo, hi = (k * n) // n_bins, ((k + 1) * n) // n_bins
+                    prof.append(float(arr[lo:hi].sum() / (hi - lo))
+                                if hi > lo else None)
+                ids.append(int(i)); sizes.append(n); profs.append(prof)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_bytes": pd.Series(sizes, dtype="int32"),
+                "profile": pd.Series(profs, dtype="object"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=RESIZE_SCHEMA)

@@ -897,3 +897,35 @@ def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.alias("dist"),
         F.when(F.length("text") > 0,
                dist.cast("double") / F.length("text")).alias("dist_ratio"))
+
+
+@query(
+    "multimodal_resize_profile",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id, n_chars,
+                   list_transform(string_split(text, ''),
+                                  c -> CAST(ascii(c) AS BIGINT)) AS codes
+            FROM documents
+        )
+        SELECT doc_id, n_chars AS n_bytes,
+               list_transform(range(8), k ->
+                   CASE WHEN ((k + 1) * n_chars) // 8 > (k * n_chars) // 8
+                        THEN CAST(list_sum(codes[
+                                 (k * n_chars) // 8 + 1 :
+                                 ((k + 1) * n_chars) // 8]) AS DOUBLE)
+                             / (((k + 1) * n_chars) // 8 - (k * n_chars) // 8)
+                   END) AS profile
+        FROM chars
+    """,
+    category="extension: multimodal (resize)",
+    doc="Resize stage: block-mean downsample of each payload's byte "
+        "sequence to a fixed 8-bin profile (1-D area interpolation — the "
+        "deterministic stand-in for image resize, same fixed-size-output "
+        "mapInPandas contract). Bin means are int-sum/int-count "
+        "divisions → bit-identical across engines; oracle mirrors the "
+        "bins with list slices over ASCII codes.",
+)
+def multimodal_resize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.resize_profile(multimodal.attach_binary_payload(docs))
