@@ -286,24 +286,59 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 6) -> DataFrame:
+                  id_col: str = "doc_id", max_hamming: int = 6,
+                  blocked: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Fixture-scale implementation is the O(n²) signature cross join (cheap:
-    signatures are 1 long per doc).  At 100 TB: block by bit-band (split the
-    32 bits into max_hamming+1 chunks; pigeonhole guarantees any pair within
-    the distance shares one exact chunk → equi-join per chunk).
+    Default path (``blocked=True``) is the 100 TB algorithm: split the 32
+    signature bits into max_hamming+1 chunks — by pigeonhole, any pair
+    within the distance agrees EXACTLY on at least one chunk — so
+    candidates come from an equi-join on (chunk_idx, chunk_value), never a
+    cross join.  Each candidate is then verified by exact hamming.  The
+    result set is provably identical to the O(n²) scan (the oracle is the
+    cross-join SQL); only the candidate generation changes.  Skew note:
+    a chunk value shared by k docs makes a k² candidate block — widen
+    chunks (smaller max_hamming per band) or sub-split hot chunks if one
+    value dominates.
+
+    ``blocked=False`` keeps the direct cross join for reference/debug.
     """
     s = simhash(df, text_col, id_col)
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(
-            F.col("ha").bitwiseXOR(F.col("hb"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    if not blocked:
+        return (
+            a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .withColumn("hamming", F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming")
+        )
+    n_bands = max_hamming + 1
+    base_w, extra = divmod(SIMHASH_BITS, n_bands)
+    chunks, lo = [], 0
+    for k in range(n_bands):
+        w = base_w + (1 if k < extra else 0)
+        chunks.append(F.shiftright(F.col("simhash"), lo)
+                      .bitwiseAND(F.lit((1 << w) - 1)))
+        lo += w
+    exploded = s.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*chunks)).alias("band", "chunk"))
+    ca = exploded.select(F.col("doc_id").alias("doc_a"),
+                         F.col("simhash").alias("ha"),
+                         "band", "chunk")
+    cb = exploded.select(F.col("doc_id").alias("doc_b"),
+                         F.col("simhash").alias("hb"),
+                         "band", "chunk")
+    cand = (ca.join(cb, ["band", "chunk"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "ha", "hb").distinct())
+    return (cand
+            .withColumn("hamming", F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
 
 
 def dedup_clusters(df: DataFrame, text_col: str = "text",

@@ -350,3 +350,17 @@ def test_observation_metrics(spark):
     got = obs.get
     assert got["n_rows"] == li.count()
     assert got["neg_qty"] == 0
+
+
+def test_simhash_blocked_equals_crossjoin(spark):
+    """Pigeonhole banding is lossless: the banded candidate generation
+    returns exactly the cross-join pair set for any max_hamming."""
+    from flinkapps_spark.operators.dedup import simhash_pairs
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for mh in (3, 6):
+        blocked = {(r.doc_a, r.doc_b, r.hamming) for r in
+                   simhash_pairs(docs, max_hamming=mh).collect()}
+        direct = {(r.doc_a, r.doc_b, r.hamming) for r in
+                  simhash_pairs(docs, max_hamming=mh,
+                                blocked=False).collect()}
+        assert blocked == direct
