@@ -929,3 +929,60 @@ def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.resize_profile(multimodal.attach_binary_payload(docs))
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({SQL_WORDS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, term, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term) AS rk
+            FROM scored
+        )
+        SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3
+    """,
+    category="extension: text analysis (TF-IDF)",
+    doc="Top-3 TF-IDF terms per document: explode → tf per (doc, term), "
+        "df per term (COUNT DISTINCT), idf = ln(N/df) via a broadcast "
+        "1-row N, windowed row_number with a term tiebreak. Scale: the "
+        "df table is vocabulary-sized → broadcast into the tf join; the "
+        "only big shuffles are the two token aggregations. Determinism: "
+        "ln of identical int-ratio doubles is the same libm-correct "
+        "value on both engines; ties break on the term string.",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(textstats.tokenize(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(n))
+              .select("doc_id", "term",
+                      (F.col("tf") * F.log(F.col("n_docs")
+                                           .cast("double") / F.col("df")))
+                      .alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "term", "score", "rk"))
