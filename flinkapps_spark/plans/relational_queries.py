@@ -1446,3 +1446,28 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object(j, "$.t").alias("t_back"),
         F.get_json_object(j, "$.v").cast("double").alias("v_back"))
+
+
+@query(
+    "agg_collect_sorted_sets",
+    oracle="""
+        SELECT user_id,
+               list_sort(list(DISTINCT event_type)) AS types_seen,
+               len(list(DISTINCT event_type)) AS n_types
+        FROM events
+        GROUP BY user_id
+    """,
+    category="extension: array collection agg",
+    doc="Per-key sorted distinct collection (the feature-list / "
+        "label-set assembly aggregate): collect_set + sort_array. "
+        "Sorting makes the collected array deterministic — bare "
+        "collect_set order is partition-dependent and would never "
+        "hash-match across engines. Scale: per-key state = distinct "
+        "values (bounded by the event-type vocabulary), partial "
+        "aggregation merges sets map-side.",
+)
+def agg_collect_sorted_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.sort_array(F.collect_set("event_type")).alias("types_seen"),
+                 F.size(F.collect_set("event_type")).alias("n_types")))
