@@ -363,3 +363,28 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("session_window.start").alias("session_start"),
                      F.col("n_events")))
     return run_stream_to_memory(agged, output_mode="complete")
+
+
+@query(
+    "stream_dropdup_within_watermark",
+    oracle="""
+        SELECT event_id, event_type, value FROM events
+    """,
+    category="streaming: dropDuplicatesWithinWatermark",
+    doc="At-least-once source dedup: the input stream carries every event "
+        "TWICE (constructed exact redelivery) and "
+        "dropDuplicatesWithinWatermark(event_id) restores exactly-once "
+        "rows. Unlike plain dropDuplicates, per-key state is EVICTED "
+        "once the watermark passes — bounded state on an unbounded "
+        "stream, the production shape for deduping retried deliveries. "
+        "Duplicates are byte-identical so the kept row is independent "
+        "of arrival order.",
+)
+def stream_dropdup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (file_stream_source(spark, sf_dir, "events")
+          .select("event_id", "ts", "event_type", "value"))
+    doubled = ev.unionByName(ev)  # simulated redelivery
+    dd = (doubled.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark(["event_id"])
+          .select("event_id", "event_type", "value"))
+    return run_stream_to_memory(dd, output_mode="append")

@@ -364,3 +364,22 @@ def test_simhash_blocked_equals_crossjoin(spark):
                   simhash_pairs(docs, max_hamming=mh,
                                 blocked=False).collect()}
         assert blocked == direct
+
+
+def test_python_udtf_registration(spark):
+    """Python UDTF surface (table function: one input row → N output
+    rows), registered and callable from SQL — the §2.8 UDF hook extended
+    to table functions."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, n: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in (text or "").split():
+                yield (w, len(w))
+
+    spark.udtf.register("split_words_t", SplitWords)
+    got = [(r.word, r.n) for r in
+           spark.sql("SELECT * FROM split_words_t('hello big world')")
+           .collect()]
+    assert got == [("hello", 5), ("big", 3), ("world", 5)]
