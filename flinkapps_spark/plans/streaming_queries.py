@@ -388,3 +388,125 @@ def stream_dropdup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
           .dropDuplicatesWithinWatermark(["event_id"])
           .select("event_id", "event_type", "value"))
     return run_stream_to_memory(dd, output_mode="append")
+
+
+def _stream_minhash_oracle() -> str:
+    from flinkapps_spark.plans.pipeline_queries import (
+        SQL_AUG_NEAR, SQL_WORDS, _sql_band_keys, _sql_minhash_sig,
+        _sql_shingle_codes, _sql_word_code,
+    )
+    from flinkapps_spark.operators.dedup import N_BANDS
+
+    return f"""
+        WITH aug AS ({SQL_AUG_NEAR}),
+        docs_w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM aug),
+        wcodes AS (
+            SELECT doc_id,
+                   list_transform(ws, w -> {_sql_word_code('w')}) AS wc
+            FROM docs_w WHERE len(ws) >= 3
+        ),
+        codes AS (
+            SELECT doc_id, {_sql_shingle_codes('wc')} AS cset FROM wcodes
+        ),
+        sig_t AS (
+            SELECT doc_id AS doc, {_sql_minhash_sig()} AS sig FROM codes
+        ),
+        bands AS (
+            SELECT doc, unnest([{_sql_band_keys()}]) AS band_key,
+                   unnest({list(range(1, N_BANDS + 1))}) AS band_idx
+            FROM sig_t
+        ),
+        cand AS (
+            SELECT x.doc AS doc_a, y.doc AS doc_b,
+                   COUNT(*) AS shared_bands
+            FROM bands x JOIN bands y
+              ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+             AND x.doc < 1000000 AND y.doc >= 1000000
+            GROUP BY x.doc, y.doc
+        )
+        SELECT c.doc_a, c.doc_b, c.shared_bands,
+               ROUND(CAST(len(list_intersect(ca.cset, cb.cset)) AS DOUBLE)
+                     / (len(ca.cset) + len(cb.cset)
+                        - len(list_intersect(ca.cset, cb.cset))), 6)
+                   AS jaccard
+        FROM cand c
+        JOIN codes ca ON ca.doc_id = c.doc_a
+        JOIN codes cb ON cb.doc_id = c.doc_b
+        WHERE ROUND(CAST(len(list_intersect(ca.cset, cb.cset)) AS DOUBLE)
+                    / (len(ca.cset) + len(cb.cset)
+                       - len(list_intersect(ca.cset, cb.cset))), 6) >= 0.5
+    """
+
+
+@query(
+    "stream_minhash_neardup",
+    # oracle generated from the same constants as dedup_minhash_lsh,
+    # restricted to (static original, streamed variant) cross pairs
+    oracle=_stream_minhash_oracle(),
+    category="streaming: incremental near-dup vs static index",
+    doc="Incremental dedup: a stream of incoming documents (the "
+        "constructed first-word-dropped variants) is checked for "
+        "near-duplicates against a STATIC corpus band index — the "
+        "production shape for deduping new data against an existing "
+        "training set. Candidate generation runs inside the stream as a "
+        "stateless stream-static broadcast join on (band_idx, band_key); "
+        "the converged candidate set is then verified batch-side with "
+        "exact Jaccard over shingle-code sets. Scale: per micro-batch "
+        "cost = signature math + broadcast probe; the static index "
+        "re-broadcasts per batch (pin it with a persisted table or a "
+        "state-store join if the corpus outgrows broadcast).",
+)
+def stream_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.operators import dedup
+    from flinkapps_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # static corpus: shingle-code sets + band index (batch, reused twice)
+    static_base = dedup.shingled_docs(docs).persist()
+    static_base.count()
+    static_sig = static_base.select(
+        "doc", dedup.minhash_signature(F.col("codes")).alias("sig"))
+    static_bands = static_sig.select(
+        F.col("doc").alias("static_doc"),
+        F.posexplode(F.array(*dedup.band_keys(F.col("sig"))))
+        .alias("band_idx", "band_key"))
+
+    # stream of incoming variants (id+1000000, first word dropped)
+    incoming = (file_stream_source(spark, sf_dir, "documents")
+                .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                        F.regexp_replace("text", "^\\w+\\W+", "")
+                        .alias("text")))
+    s_base = dedup.shingled_docs(incoming)
+    s_sig = s_base.select(
+        "doc", dedup.minhash_signature(F.col("codes")).alias("sig"))
+    s_bands = s_sig.select(
+        F.col("doc").alias("stream_doc"),
+        F.posexplode(F.array(*dedup.band_keys(F.col("sig"))))
+        .alias("band_idx", "band_key"))
+    hits = s_bands.join(F.broadcast(static_bands), ["band_idx", "band_key"])
+
+    # converge the stream (stateless append), then verify batch-side
+    raw = run_stream_to_memory(
+        hits.select("static_doc", "stream_doc"), output_mode="append")
+    cand = (raw.groupBy("static_doc", "stream_doc")
+            .agg(F.count("*").alias("shared_bands")))
+
+    ca = static_base.select(F.col("doc").alias("static_doc"),
+                            F.col("codes").alias("ca"))
+    # streamed side codes recomputed batch-side (same transform, same codes)
+    var_batch = docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                            F.regexp_replace("text", "^\\w+\\W+", "")
+                            .alias("text"))
+    cb = dedup.shingled_docs(var_batch).select(
+        F.col("doc").alias("stream_doc"), F.col("codes").alias("cb"))
+    common = F.size(F.array_intersect(F.col("ca"), F.col("cb")))
+    return (cand.join(ca, "static_doc").join(cb, "stream_doc")
+            .withColumn("jaccard", F.round(
+                common / (F.size("ca") + F.size("cb") - common), 6))
+            .filter(F.col("jaccard") >= 0.5)
+            .select(F.col("static_doc").alias("doc_a"),
+                    F.col("stream_doc").alias("doc_b"),
+                    "shared_bands", "jaccard"))
+
+
+
