@@ -42,3 +42,33 @@ def test_contract_shape():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 10
+
+
+# 10x-scale spot check: the driver verifies sf0.01; these heavyweight
+# queries are ALSO verified at sf0.1, catching scale-dependent failures
+# (fixed-point overflow, summation-order drift, top-k tie instability).
+SF01_SAMPLE = [
+    "q1_pricing_summary", "q5_local_supplier", "q9_product_profit",
+    "q10_returned_items", "q17_small_qty_revenue", "q22_dormant_customers",
+    "cube_status_priority", "embedding_centroids", "dedup_exact",
+    "window_battery", "pipeline_training_prep", "text_tfidf_topterms",
+]
+
+
+@pytest.fixture(scope="module")
+def duck_oracle_sf01():
+    import duckdb
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('/root/testdata/sf0.1/{t}.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SF01_SAMPLE)
+def test_oracle_parity_sf01(spark, duck_oracle_sf01, name):
+    q = REGISTRY[name]
+    sdf = q.build(spark, "/root/testdata/sf0.1")
+    compare(sdf, duck_oracle_sf01.sql(q.oracle), name)
