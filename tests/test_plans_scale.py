@@ -210,3 +210,22 @@ def test_range_partitioned_sorted_write_layout(spark, tmp_path):
         F.col("l_shipdate") >= F.lit("1999-06-01 00:00:00").cast("timestamp"))
     bplan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual" in bplan
+
+
+def test_no_cartesian_entire_catalog(spark):
+    """Catalog-wide plan lint: NO batch query may contain a
+    CartesianProduct.  Intentional small-side nested loops (range join,
+    broadcast k-NN, 1-row scalar cross joins) plan as
+    BroadcastNestedLoopJoin, which is allowed; an unhinted
+    CartesianProduct means a join lost its condition — fatal at scale."""
+    from tests.conftest import SF_SMOKE
+
+    offenders = []
+    for name, q in sorted(REG.items()):
+        if name.startswith("stream_"):
+            continue  # build() executes a real stream; covered elsewhere
+        df = q.build(spark, SF_SMOKE)
+        if "CartesianProduct" in \
+                df._jdf.queryExecution().executedPlan().toString():
+            offenders.append(name)
+    assert not offenders, offenders
