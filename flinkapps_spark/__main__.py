@@ -27,6 +27,18 @@ DEMO_LINES = [
     "NYSE,CAT,2009-05-20,60.0,61.0,59.0,60.5,750000,60.5",
 ]
 
+# the JDBC jobs parse sensor CSV (sensor_id, epoch_sec, temp) — the
+# reference feeds them sensor files, not daily-prices topics
+DEMO_SENSOR_LINES = [
+    "sensor_01,1664553600,21.5",
+    "sensor_02,1664553660,23.0",
+    "sensor_01,1664553720,22.1",
+]
+
+JDBC_JOBS = ("flinkTableJDBC", "flinkTableJDBC02", "flinkStreamingJDBCSink",
+             "flinkStreamingJDBCSink02", "flinkBatchJDBCSink",
+             "flinkBatchJDBCSink01")
+
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="flinkapps_spark")
@@ -47,8 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     if ns.input:
         lines = spark.read.text(ns.input)
     else:
-        lines = spark.createDataFrame([(s,) for s in DEMO_LINES],
-                                      "value string")
+        demo = DEMO_SENSOR_LINES if ns.job in JDBC_JOBS else DEMO_LINES
+        lines = spark.createDataFrame([(s,) for s in demo], "value string")
 
     fn = J.JOBS[ns.job]
     if ns.job == "flinkStarter":
@@ -59,9 +71,7 @@ def main(argv: list[str] | None = None) -> int:
             "name string, score int"))
     elif ns.job in ("flinkTableManipulation",):
         out = fn(lines)
-    elif ns.job in ("flinkTableJDBC", "flinkTableJDBC02",
-                    "flinkStreamingJDBCSink", "flinkStreamingJDBCSink02",
-                    "flinkBatchJDBCSink", "flinkBatchJDBCSink01"):
+    elif ns.job in JDBC_JOBS:
         rows = []
         fn(lines, lambda df: rows.extend(df.collect()))
         print(f"{len(rows)} rows delivered to sink")

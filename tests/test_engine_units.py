@@ -383,3 +383,12 @@ def test_python_udtf_registration(spark):
            spark.sql("SELECT * FROM split_words_t('hello big world')")
            .collect()]
     assert got == [("hello", 5), ("big", 3), ("world", 5)]
+
+
+def test_cli_jdbc_jobs_demo_input(spark):
+    """CLI regression: the JDBC jobs get sensor-shaped demo lines (their
+    parsers cast field 2 to long — daily-prices lines would explode under
+    ANSI casts)."""
+    from flinkapps_spark.__main__ import main
+    assert main(["--job", "flinkTableJDBC"]) == 0
+    assert main(["--job", "flinkBatchJDBCSink"]) == 0
