@@ -156,3 +156,43 @@ def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n_total                       # nothing lost
     assert got.select("doc_id").distinct().count() == n_total  # no dupes
+
+
+def test_foreachbatch_multi_sink_fanout(spark, tmp_path):
+    """foreachBatch fan-out: each micro-batch lands in TWO sinks — raw
+    parquet (append) and an accumulated per-key aggregate table — from
+    one pass over the batch (cache() so the fan-out doesn't recompute
+    the stream transform twice)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    raw_out = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    agg_state: dict[int, float] = {}
+
+    def fanout(batch, batch_id):
+        batch = batch.cache()
+        try:
+            batch.write.mode("append").parquet(raw_out)
+            for r in (batch.groupBy("user_id")
+                      .agg(F.sum("value").alias("s")).collect()):
+                agg_state[r.user_id] = agg_state.get(r.user_id, 0.0) + r.s
+        finally:
+            batch.unpersist()
+
+    schema = spark.read.parquet(src).schema
+    q = (spark.readStream.schema(schema).parquet(src)
+         .writeStream.foreachBatch(fanout)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    assert spark.read.parquet(raw_out).count() == ev.count()
+    want = {r.user_id: r.s for r in
+            ev.groupBy("user_id").agg(F.sum("value").alias("s")).collect()}
+    assert set(agg_state) == set(want)
+    for k in want:
+        assert abs(agg_state[k] - want[k]) < 1e-6
