@@ -385,10 +385,14 @@ def test_python_udtf_registration(spark):
     assert got == [("hello", 5), ("big", 3), ("world", 5)]
 
 
-def test_cli_jdbc_jobs_demo_input(spark):
+def test_cli_jdbc_jobs_demo_input(spark, monkeypatch):
     """CLI regression: the JDBC jobs get sensor-shaped demo lines (their
     parsers cast field 2 to long — daily-prices lines would explode under
-    ANSI casts)."""
+    ANSI casts).  main() calls spark.stop() (correct for its own process);
+    neutralize it here so the suite's shared session survives."""
+    from pyspark.sql import SparkSession
+
     from flinkapps_spark.__main__ import main
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
     assert main(["--job", "flinkTableJDBC"]) == 0
     assert main(["--job", "flinkBatchJDBCSink"]) == 0

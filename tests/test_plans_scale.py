@@ -112,6 +112,11 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                # get(k, None)==None means the conf had no explicit value;
+                # unset, or the -1 leaks into the shared session and
+                # degrades later unhinted joins to cartesian products
+                spark.conf.unset(k)
         spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
 
 
@@ -182,7 +187,7 @@ def test_runtime_bloom_filter_injection(spark):
             if v is not None:
                 spark.conf.set(k, v)
             else:
-                spark.conf.unset(k)
+                spark.conf.unset(k)  # no explicit prior value: unset, don't leak
 
 
 def test_range_partitioned_sorted_write_layout(spark, tmp_path):
