@@ -396,3 +396,22 @@ def test_cli_jdbc_jobs_demo_input(spark, monkeypatch):
     monkeypatch.setattr(SparkSession, "stop", lambda self: None)
     assert main(["--job", "flinkTableJDBC"]) == 0
     assert main(["--job", "flinkBatchJDBCSink"]) == 0
+
+
+def test_haversine_known_distances(spark):
+    """Haversine against published city-pair distances (±0.5%)."""
+    from flinkapps_spark.functions.geo import haversine_km
+    rows = [
+        # (lat1, lon1, lat2, lon2, expected_km)
+        (48.8566, 2.3522, 51.5074, -0.1278, 343.6),    # Paris-London
+        (40.7128, -74.0060, 34.0522, -118.2437, 3935.7),  # NYC-LA
+        (0.0, 0.0, 0.0, 180.0, 20015.1),               # antipodal equator
+    ]
+    df = spark.createDataFrame(
+        rows, "lat1 double, lon1 double, lat2 double, lon2 double, want double")
+    got = df.select(
+        haversine_km(F.col("lat1"), F.col("lon1"),
+                     F.col("lat2"), F.col("lon2")).alias("d"),
+        "want").collect()
+    for r in got:
+        assert abs(r.d - r.want) / r.want < 0.005, (r.d, r.want)
