@@ -42,11 +42,44 @@ JDBC_JOBS = ("flinkTableJDBC", "flinkTableJDBC02", "flinkStreamingJDBCSink",
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="flinkapps_spark")
-    p.add_argument("--job", required=True, choices=sorted(J.JOBS))
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--job", choices=sorted(J.JOBS),
+                   help="run a reference-parity job")
+    g.add_argument("--query", help="run a catalog query by name")
+    g.add_argument("--list-queries", action="store_true",
+                   help="list the query catalog and exit")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="fixture dir for --query")
+    p.add_argument("--explain", action="store_true",
+                   help="print the physical plan instead of rows (--query)")
     p.add_argument("--input", help="text file of CSV lines (S4)")
     p.add_argument("--output", help="write result as text instead of show()")
     p.add_argument("--limit", type=int, default=20)
     ns, rest = p.parse_known_args(argv)
+
+    if ns.list_queries:
+        from flinkapps_spark.plans.catalog import registry
+        for name, q in sorted(registry().items()):
+            oracle = "oracle" if q.oracle else "rows-only"
+            print(f"{name:36s} [{oracle}] {q.category}")
+        return 0
+
+    if ns.query:
+        from flinkapps_spark.plans.catalog import registry
+        reg = registry()
+        if ns.query not in reg:
+            print(f"unknown query: {ns.query} (use --list-queries)",
+                  file=sys.stderr)
+            return 2
+        spark = get_spark(f"query-{ns.query}")
+        spark.sparkContext.setLogLevel("ERROR")
+        df = reg[ns.query].build(spark, ns.sf_dir)
+        if ns.explain:
+            df.explain("formatted")
+        else:
+            df.show(ns.limit, truncate=False)
+        spark.stop()
+        return 0
 
     try:
         cfg = EngineConfig.from_args(rest)

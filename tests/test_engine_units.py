@@ -415,3 +415,16 @@ def test_haversine_known_distances(spark):
         "want").collect()
     for r in got:
         assert abs(r.d - r.want) / r.want < 0.005, (r.d, r.want)
+
+
+def test_cli_query_surface(spark, monkeypatch, capsys):
+    """--list-queries and --query run the catalog from the command line."""
+    from pyspark.sql import SparkSession
+
+    from flinkapps_spark.__main__ import main
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    assert main(["--list-queries"]) == 0
+    listed = capsys.readouterr().out
+    assert "q1_pricing_summary" in listed and "[oracle]" in listed
+    assert main(["--query", "agg_sum_group", "--sf-dir", SF_SMOKE]) == 0
+    assert main(["--query", "nope_not_real"]) == 2
