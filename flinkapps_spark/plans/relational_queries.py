@@ -1496,3 +1496,88 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.parse_json(F.col("props"))
     k = F.variant_get(v, "$.k", "int")
     return ev.select("event_id", k.alias("k"), (k % 10).alias("k_mod"))
+
+
+@query(
+    "events_funnel",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, MIN(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT s.user_id, s.signup_ts,
+               MIN(p.ts) AS first_purchase_ts,
+               COUNT(p.ts) AS purchases_after
+        FROM s LEFT JOIN p
+          ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        GROUP BY s.user_id, s.signup_ts
+    """,
+    category="extension: funnel / sequence analytics",
+    doc="Signup→purchase funnel: per user, the first signup and the "
+        "purchases at-or-after it (CEP-lite ordered-sequence matching, "
+        "which the reference's ecosystem delegates to FlinkCEP — SURVEY "
+        "§2.10 notes the reference itself has none). Expressed as an "
+        "aggregate + conditional self-join, so Catalyst plans it as two "
+        "hash aggs and one shuffle join on user_id — no per-user "
+        "iteration. COUNT(col) null-skip keeps never-converted users "
+        "with purchases_after = 0.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")))
+    j = s.join(p, (F.col("p_user") == F.col("user_id"))
+               & (F.col("p_ts") >= F.col("signup_ts")), "left_outer")
+    return (j.groupBy("user_id", "signup_ts")
+            .agg(F.min("p_ts").alias("first_purchase_ts"),
+                 F.count("p_ts").alias("purchases_after")))
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   make_timestamp(((CAST(epoch(MIN(ts)) AS BIGINT) // 604800)
+                                   * 604800) * 1000000) AS cohort
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   make_timestamp(((CAST(epoch(ts) AS BIGINT) // 604800)
+                                   * 604800) * 1000000) AS week
+            FROM events
+        )
+        SELECT f.cohort,
+               (CAST(epoch(a.week) AS BIGINT)
+                - CAST(epoch(f.cohort) AS BIGINT)) // 604800 AS week_offset,
+               COUNT(DISTINCT a.user_id) AS active_users
+        FROM firsts f JOIN activity a ON f.user_id = a.user_id
+        GROUP BY f.cohort, week_offset
+    """,
+    category="extension: cohort retention",
+    doc="Weekly cohort retention matrix: users bucketed by first-seen "
+        "week, counted in each later week they were active — the "
+        "product-analytics staple. Weeks are epoch-aligned 7-day buckets "
+        "via integer epoch division on BOTH engines (DuckDB's time_bucket "
+        "uses a Monday origin — a silent off-by-alignment trap). Scale: the distinct (user, week) "
+        "activity table is the only heavy aggregate; the cohort join is "
+        "user-keyed and the final matrix is |cohorts| x |weeks| rows.",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / (7 * 86400)).cast("long") * (7 * 86400))
+    firsts = (ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+              .select("user_id", F.timestamp_seconds(
+                  (F.unix_timestamp("first_ts") / (7 * 86400)).cast("long")
+                  * (7 * 86400)).alias("cohort")))
+    activity = ev.select("user_id", week.alias("week")).distinct()
+    j = firsts.join(activity, "user_id")
+    offset = ((F.unix_timestamp("week") - F.unix_timestamp("cohort"))
+              / (7 * 86400)).cast("long")
+    return (j.groupBy("cohort", offset.alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("active_users")))
