@@ -35,6 +35,10 @@ _RUNTIME_CONFS = {
     # plan one stage per round and profit from a sane starting point; on a
     # real cluster override via SPARK_GRAFT_SHUFFLE / builder conf
     "spark.sql.shuffle.partitions": "32",
+    # zstd for engine parquet writes (bucketed tables, sinks): ~20-30%
+    # smaller files than snappy at comparable CPU — at 100 TB that is
+    # storage AND scan-time bandwidth; readers are codec-agnostic
+    "spark.sql.parquet.compression.codec": "zstd",
 }
 
 
