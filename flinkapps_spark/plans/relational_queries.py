@@ -1581,3 +1581,36 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
               / (7 * 86400)).cast("long")
     return (j.groupBy("cohort", offset.alias("week_offset"))
             .agg(F.countDistinct("user_id").alias("active_users")))
+
+
+@query(
+    "window_locf_fill",
+    oracle="""
+        SELECT event_id, user_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                   AS raw_value,
+               last_value(CASE WHEN event_type = 'error' THEN NULL
+                               ELSE value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_value
+        FROM events
+    """,
+    category="extension: LOCF gap fill (ignore-nulls window)",
+    doc="Last-observation-carried-forward: error readings are nulled "
+        "(constructed gaps — the fixture has no nulls) and each gap is "
+        "filled with the user's most recent valid value via "
+        "last(IGNORE NULLS) over an ordered running frame — the sensor/"
+        "telemetry forward-fill that complements events_gap_fill's "
+        "zero-fill. One shuffle + sort per user; leading gaps before any "
+        "valid value stay NULL on both engines.",
+)
+def window_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.when(F.col("event_type") == "error", F.lit(None)) \
+        .otherwise(F.col("value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id", raw.alias("raw_value"),
+        F.last(raw, ignorenulls=True).over(w).alias("filled_value"))
