@@ -1,0 +1,75 @@
+"""Fixed-point exact aggregation helpers (the SCALE.md float-determinism
+policy, centralized).
+
+Why: ``ROUND(SUM(double), dp>0)`` is order-dependent (partition addition
+order differs between Spark and DuckDB) AND the final rounding itself
+diverges between engines when the total lands on a ``.xx5`` boundary —
+Spark rounds the shortest decimal repr via BigDecimal HALF_UP while DuckDB
+rounds the binary value (SCALE.md "Float determinism": 307843.595 → .60
+vs .59).  The fix used everywhere in this repo: round each TERM to a
+fixed-point int64 (``ROUND(x, 0)`` is engine-identical below 2^51), sum
+exactly (integer addition is associative → order-independent), divide ONCE
+by the scale, and do NOT re-round.  The resulting double is bit-identical
+on both engines because it is the same integer divided by the same scale.
+
+Scale choice: 100 for columns with ≤2 true decimals (prices, balances),
+10000 for products like ``extendedprice * (1 - discount)`` (≤4 true
+decimals).  Six-decimal products (price·disc·tax) are *defined* as the
+4dp-per-term rounded metric — deterministic on both engines, documented
+per query.
+
+int64 headroom: terms are ≤ ~1e5 · 1e4 = 1e9 units; 2^63/1e9 ≈ 9.2e9 rows
+per group before overflow — at true 100 TB scale (1e10+ rows in one group)
+drop to scale=100, which buys another 100×, or pre-aggregate per partition.
+
+The DuckDB side mirrors the exact same shape; ``CAST(SUM(...) AS BIGINT)``
+also guards the HUGEINT fetch trap (DuckDB SUM(integer) → HUGEINT →
+pandas float64, which breaks the driver's value hash — see the q12
+round-1 post-mortem in VERDICT.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _units(expr, scale: int) -> Column:
+    if isinstance(expr, str):
+        expr = F.col(expr)
+    return F.round(expr * scale, 0).cast("long")
+
+
+def exact_sum(expr, scale: int = 10000):
+    """Order-independent fixed-point sum; returns an un-rounded double
+    (= exact integer total / scale, bit-identical across engines)."""
+    return F.sum(_units(expr, scale)) / float(scale)
+
+
+def exact_avg(expr, scale: int = 10000):
+    """Order-independent average: exact fixed-point sum divided by count.
+    Op order (sum/scale)/count is mirrored in :func:`sql_avg`."""
+    return F.sum(_units(expr, scale)) / float(scale) / F.count(F.lit(1))
+
+
+def exact_sum_over(expr, window, scale: int = 10000):
+    """Windowed variant: fixed-point sum OVER a frame — frame-order
+    independent, unlike a double running sum."""
+    return F.sum(_units(expr, scale)).over(window) / float(scale)
+
+
+def sql_sum(expr: str, scale: int = 10000) -> str:
+    """DuckDB oracle mirror of :func:`exact_sum`."""
+    return (f"(CAST(SUM(CAST(ROUND(({expr}) * {scale}, 0) AS BIGINT)) "
+            f"AS BIGINT) / {scale}.0)")
+
+
+def sql_avg(expr: str, scale: int = 10000) -> str:
+    """DuckDB oracle mirror of :func:`exact_avg`."""
+    return f"({sql_sum(expr, scale)} / COUNT(*))"
+
+
+def sql_sum_over(expr: str, over: str, scale: int = 10000) -> str:
+    """DuckDB oracle mirror of :func:`exact_sum_over`; ``over`` is the
+    window spec, e.g. ``"w"`` or ``"(PARTITION BY k ORDER BY ts)"``."""
+    return (f"(CAST(SUM(CAST(ROUND(({expr}) * {scale}, 0) AS BIGINT)) "
+            f"OVER {over} AS BIGINT) / {scale}.0)")

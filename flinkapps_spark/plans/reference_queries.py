@@ -24,6 +24,7 @@ from flinkapps_spark.operators.projections import (
     csv_parse, csv_serialize, rename_all, select_column_range,
 )
 from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.plans.exact import exact_sum, sql_sum
 from flinkapps_spark.sources.batch import load_table
 
 # ---------------------------------------------------------------------------
@@ -234,20 +235,23 @@ def tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_sum_group",
-    oracle="""
-        SELECT c_mktsegment AS name, ROUND(SUM(c_acctbal), 2) AS total
+    oracle=f"""
+        SELECT c_mktsegment AS name, {sql_sum('c_acctbal', 100)} AS total
         FROM customer GROUP BY c_mktsegment
     """,
     category="agg A4",
     doc="SELECT name, SUM(score) GROUP BY name over a stream-able table "
-        "(reference source/flinkStreamTable.scala:73; name_score→customer).",
+        "(reference source/flinkStreamTable.scala:73; name_score→customer). "
+        "Summed in fixed-point cents (grouped_sum over int units) per the "
+        "exact-sum policy.",
 )
 def agg_sum_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load_table(spark, sf_dir, "customer") \
         .select(F.col("c_mktsegment").alias("name"),
-                F.col("c_acctbal").alias("score"))
+                F.round(F.col("c_acctbal") * 100, 0).cast("long")
+                .alias("score"))
     return grouped_sum(cu, "name", "score", out="total") \
-        .select("name", F.round(F.col("total"), 2).alias("total"))
+        .select("name", (F.col("total") / 100.0).alias("total"))
 
 
 @query(
@@ -273,25 +277,28 @@ def agg_minmax_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_count_avg",
     oracle="""
         SELECT COUNT(*) AS num_orders,
-               ROUND(AVG(YEAR(o_orderdate)), 4) AS avg_year
+               AVG(YEAR(o_orderdate)) AS avg_year
         FROM orders
     """,
     category="agg A6",
     doc="COUNT(*) + AVG(YEAR(date)) (reference "
-        "source/flinkTableManipulation.scala:202-208, commented demo).",
+        "source/flinkTableManipulation.scala:202-208, commented demo). "
+        "Unrounded: an integer-sum average divides the same exact long by "
+        "the same count on both engines — bit-identical; rounding it would "
+        "reintroduce cross-engine divergence.",
 )
 def agg_count_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
     return od.agg(
         F.count("*").alias("num_orders"),
-        F.round(F.avg(F.year("o_orderdate")), 4).alias("avg_year"))
+        F.avg(F.year("o_orderdate")).alias("avg_year"))
 
 
 @query(
     "agg_tumbling_window",
-    oracle="""
+    oracle=f"""
         SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
-               event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total
+               event_type, COUNT(*) AS cnt, {sql_sum('value')} AS total
         FROM events
         GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type
     """,
@@ -305,8 +312,8 @@ def agg_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = tumbling_window_agg(
         ev, "ts", "5 minutes", ["event_type"],
-        [F.count("*").alias("cnt"), F.sum("value").alias("total")])
-    return out.withColumn("total", F.round(F.col("total"), 2))
+        [F.count("*").alias("cnt"), exact_sum("value").alias("total")])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -400,14 +407,17 @@ def scalar_strings_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sql_grouped_sum",
-    oracle="""
-        SELECT name, ROUND(SUM(score), 2) AS total
+    oracle=f"""
+        SELECT name, {sql_sum('score', 100)} AS total
         FROM (SELECT c_mktsegment AS name, c_acctbal AS score FROM customer)
         GROUP BY name
     """,
     category="sql §2.7-1",
-    doc="SQL string 1 run verbatim through spark.sql over a registered temp "
-        "view (reference source/flinkStreamTable.scala:68-73).",
+    doc="SQL string 1 run through spark.sql over a registered temp view "
+        "(reference source/flinkStreamTable.scala:68-73 — verbatim shape "
+        "'SELECT name, SUM(score) FROM InputTable GROUP BY name'; the sum "
+        "is expressed fixed-point per the exact-sum policy, same SQL text "
+        "on both engines).",
 )
 def sql_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load_table(spark, sf_dir, "customer") \
@@ -415,7 +425,7 @@ def sql_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c_acctbal").alias("score"))
     cu.createOrReplaceTempView("InputTable")
     return spark.sql(
-        "SELECT name, ROUND(SUM(score), 2) AS total "
+        f"SELECT name, {sql_sum('score', 100)} AS total "
         "FROM InputTable GROUP BY name")
 
 

@@ -11,6 +11,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flinkapps_spark.operators import joins
 from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.plans.exact import (exact_avg, exact_sum, exact_sum_over,
+                                         sql_avg, sql_sum, sql_sum_over)
 from flinkapps_spark.sources.batch import load_table
 
 # ---------------------------------------------------------------------------
@@ -20,15 +22,15 @@ from flinkapps_spark.sources.batch import load_table
 
 @query(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               ROUND(AVG(l_quantity), 4) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 4) AS avg_price,
-               ROUND(AVG(l_discount), 6) AS avg_disc,
+               {sql_sum('l_quantity', 100)} AS sum_qty,
+               {sql_sum('l_extendedprice', 100)} AS sum_base_price,
+               {sql_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {sql_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {sql_avg('l_quantity', 100)} AS avg_qty,
+               {sql_avg('l_extendedprice', 100)} AS avg_price,
+               {sql_avg('l_discount', 100)} AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -37,7 +39,9 @@ from flinkapps_spark.sources.batch import load_table
     category="extension: agg (TPC-H Q1 shape)",
     doc="Pricing summary report: wide multi-aggregate scan-group. Scale: "
         "single pass, map-side partial agg, 6 groups — shuffle carries ~6 "
-        "rows/task regardless of input size.",
+        "rows/task regardless of input size. Money sums/avgs use the "
+        "fixed-point int64 policy (plans/exact.py); sum_charge is defined "
+        "as the 4dp-per-term metric.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -45,22 +49,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        .agg(exact_sum("l_quantity", 100).alias("sum_qty"),
+             exact_sum("l_extendedprice", 100).alias("sum_base_price"),
+             exact_sum(disc_price).alias("sum_disc_price"),
+             exact_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+             exact_avg("l_quantity", 100).alias("avg_qty"),
+             exact_avg("l_extendedprice", 100).alias("avg_price"),
+             exact_avg("l_discount", 100).alias("avg_disc"),
              F.count("*").alias("count_order"))
     )
 
 
 @query(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
         SELECT l_orderkey,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               {sql_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
                CAST(o_orderdate AS DATE) AS odate
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON l_orderkey = o_orderkey
@@ -88,7 +92,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(li, F.col("l_orderkey") == F.col("o_orderkey")))
     return (
         j.groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("revenue"))
         .select("l_orderkey", "revenue",
                 F.col("o_orderdate").cast("date").alias("odate"))
@@ -99,9 +103,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q5_local_supplier",
-    oracle="""
+    oracle=f"""
         SELECT n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {sql_sum('l_extendedprice * (1 - l_discount)')} AS revenue
         FROM customer
           JOIN orders   ON c_custkey = o_custkey
           JOIN lineitem ON l_orderkey = o_orderkey
@@ -137,15 +141,15 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
          .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey")))
     return j.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .alias("revenue"))
 
 
 @query(
     "join_broadcast_parts",
-    oracle="""
+    oracle=f"""
         SELECT p_brand, COUNT(*) AS n_items,
-               ROUND(SUM(l_extendedprice), 2) AS total_price
+               {sql_sum('l_extendedprice', 100)} AS total_price
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
     """,
@@ -160,7 +164,7 @@ def join_broadcast_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = joins.broadcast_dim_join(li, pt, li.l_partkey == pt.p_partkey)
     return j.groupBy("p_brand").agg(
         F.count("*").alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+        exact_sum("l_extendedprice", 100).alias("total_price"))
 
 
 @query(
@@ -218,9 +222,9 @@ def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_range_bands",
-    oracle="""
+    oracle=f"""
         SELECT band, COUNT(*) AS n_items,
-               ROUND(SUM(l_extendedprice), 2) AS total_price
+               {sql_sum('l_extendedprice', 100)} AS total_price
         FROM lineitem
         JOIN (VALUES (0.0, 20000.0, 'small'), (20000.0, 40000.0, 'mid'),
                      (40000.0, 70000.0, 'large'), (70000.0, 1e9, 'huge'))
@@ -241,7 +245,7 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = joins.range_join(li, bands, "l_extendedprice")
     return j.groupBy("band").agg(
         F.count("*").alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+        exact_sum("l_extendedprice", 100).alias("total_price"))
 
 
 @query(
@@ -367,14 +371,13 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_analytics",
-    oracle="""
+    oracle=f"""
         SELECT event_id, user_id, value,
-               LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   AS prev_value,
-               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND CURRENT ROW), 2) AS run_total
+               LAG(value) OVER w AS prev_value,
+               {sql_sum_over('value', 'w')} AS run_total
         FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     category="extension: analytic window",
     doc="lag + running sum per user ordered by time (absent from reference).",
@@ -386,17 +389,17 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", "value",
         F.lag("value").over(w).alias("prev_value"),
-        F.round(F.sum("value").over(wr), 2).alias("run_total"))
+        exact_sum_over("value", wr).alias("run_total"))
 
 
 @query(
     "rollup_status_priority",
-    oracle="""
+    oracle=f"""
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,
                COALESCE(o_orderpriority, 'ALL') AS priority,
                GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS grp_id,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total
+               {sql_sum('o_totalprice', 100)} AS total
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -410,7 +413,7 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         od.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.grouping_id().alias("grp_id"),
              F.count("*").alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("total"))
+             exact_sum("o_totalprice", 100).alias("total"))
         .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
                 F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
                 F.col("grp_id").cast("long").alias("grp_id"),
@@ -442,8 +445,8 @@ def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_two_phase_salted",
-    oracle="""
-        SELECT user_id, ROUND(SUM(value), 2) AS total, COUNT(*) AS n
+    oracle=f"""
+        SELECT user_id, {sql_sum('value')} AS total, COUNT(*) AS n
         FROM events GROUP BY user_id
     """,
     category="extension: skew-safe aggregation",
@@ -456,10 +459,13 @@ def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_two_phase_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     salted = ev.withColumn("salt", (F.col("event_id") % 8).cast("int"))
+    # fixed-point partials: integer partial sums merge associatively, so
+    # the salted two-phase total is bit-equal to the oracle's direct sum
+    units = F.round(F.col("value") * 10000, 0).cast("long")
     partial = salted.groupBy("user_id", "salt").agg(
-        F.sum("value").alias("psum"), F.count("*").alias("pcnt"))
+        F.sum(units).alias("psum"), F.count("*").alias("pcnt"))
     return partial.groupBy("user_id").agg(
-        F.round(F.sum("psum"), 2).alias("total"),
+        (F.sum("psum") / 10000.0).alias("total"),
         F.sum("pcnt").alias("n"))
 
 
@@ -514,8 +520,8 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q6_forecast_revenue",
-    oracle="""
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    oracle=f"""
+        SELECT {sql_sum('l_extendedprice * l_discount')} AS revenue,
                COUNT(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -535,7 +541,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
                   & F.col("l_discount").between(0.03, 0.07)
                   & (F.col("l_quantity") < 24))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .agg(exact_sum(F.col("l_extendedprice") * F.col("l_discount"))
              .alias("revenue"),
              F.count("*").alias("n_items"))
     )
@@ -543,12 +549,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q12_shipmode_case",
-    oracle="""
+    oracle=f"""
         SELECT o_orderpriority,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-               SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n_other,
-               ROUND(SUM(CASE WHEN o_orderstatus = 'F'
-                              THEN o_totalprice ELSE 0 END), 2) AS finished_value
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_finished,
+               CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_other,
+               {sql_sum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END", 100)}
+                   AS finished_value
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -557,7 +565,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     category="extension: conditional agg (TPC-H Q12 shape)",
     doc="CASE-WHEN pivot counts inside aggregation over a fact-fact join "
-        "(shuffle on orderkey; AQE coalesces post-filter partitions).",
+        "(shuffle on orderkey; AQE coalesces post-filter partitions). "
+        "Oracle casts the conditional counts to BIGINT: DuckDB SUM(int) is "
+        "HUGEINT, which the pandas fetch path degrades to float64 and "
+        "breaks the driver's value hash (round-1 red row).",
 )
 def q12_shipmode_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
@@ -571,18 +582,17 @@ def q12_shipmode_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.sum(fin).alias("n_finished"),
              F.sum(1 - fin).alias("n_other"),
-             F.round(F.sum(F.when(F.col("o_orderstatus") == "F",
-                                  F.col("o_totalprice")).otherwise(0.0)), 2)
+             exact_sum(F.when(F.col("o_orderstatus") == "F",
+                              F.col("o_totalprice")).otherwise(0.0), 100)
              .alias("finished_value"))
     )
 
 
 @query(
     "q14_promo_ratio",
-    oracle="""
-        SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
-                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                     / SUM(l_extendedprice * (1 - l_discount)), 4)
+    oracle=f"""
+        SELECT 100.0 * {sql_sum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+                     / {sql_sum('l_extendedprice * (1 - l_discount)')}
                    AS promo_revenue_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -601,16 +611,17 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
     return (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
+        .agg((F.lit(100.0) * exact_sum(promo) / exact_sum(rev))
              .alias("promo_revenue_pct"))
     )
 
 
 @query(
     "q18_large_orders",
-    oracle="""
-        SELECT o_orderkey, ROUND(total_qty, 2) AS total_qty
-        FROM (SELECT l_orderkey AS o_orderkey, SUM(l_quantity) AS total_qty
+    oracle=f"""
+        SELECT o_orderkey, total_qty
+        FROM (SELECT l_orderkey AS o_orderkey,
+                     {sql_sum('l_quantity', 100)} AS total_qty
               FROM lineitem GROUP BY l_orderkey)
         WHERE total_qty > 150
     """,
@@ -622,9 +633,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
-        .agg(F.sum("l_quantity").alias("total_qty"))
+        .agg(exact_sum("l_quantity", 100).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
-        .select("o_orderkey", F.round("total_qty", 2).alias("total_qty"))
+        .select("o_orderkey", "total_qty")
     )
 
 
@@ -810,14 +821,11 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pivot_status_priority",
-    oracle="""
+    oracle=f"""
         SELECT o_orderpriority,
-               ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
-                              ELSE 0 END), 2) AS F,
-               ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice
-                              ELSE 0 END), 2) AS O,
-               ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice
-                              ELSE 0 END), 2) AS P
+               {sql_sum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END", 100)} AS F,
+               {sql_sum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END", 100)} AS O,
+               {sql_sum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END", 100)} AS P
         FROM orders GROUP BY o_orderpriority
     """,
     category="extension: pivot",
@@ -827,21 +835,26 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
-    piv = (od.groupBy("o_orderpriority")
+    # fixed-point before the pivot: pivot-cell sums stay integer (exact),
+    # divided once on the way out; absent cells coalesce to 0 units like
+    # the oracle's CASE ... ELSE 0
+    units = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    piv = (od.withColumn("units", units)
+           .groupBy("o_orderpriority")
            .pivot("o_orderstatus", ["F", "O", "P"])
-           .sum("o_totalprice"))
+           .sum("units"))
     return piv.select(
         "o_orderpriority",
-        *[F.round(F.coalesce(F.col(s), F.lit(0.0)), 2).alias(s)
+        *[(F.coalesce(F.col(s), F.lit(0)) / 100.0).alias(s)
           for s in ("F", "O", "P")])
 
 
 @query(
     "rolling_time_window",
-    oracle="""
+    oracle=f"""
         SELECT event_id, user_id,
                COUNT(*) OVER w AS n_last_hour,
-               ROUND(SUM(value) OVER w, 2) AS sum_last_hour
+               {sql_sum_over('value', 'w')} AS sum_last_hour
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL '1 hour' PRECEDING
@@ -861,12 +874,12 @@ def rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id",
         F.count("*").over(w).alias("n_last_hour"),
-        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"))
+        exact_sum_over("value", w).alias("sum_last_hour"))
 
 
 @query(
     "agg_sliding_window",
-    oracle="""
+    oracle=f"""
         WITH w AS (
             SELECT event_type, value, ts,
                    unnest([time_bucket(INTERVAL '5 minutes', ts),
@@ -874,7 +887,7 @@ def rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                                - INTERVAL '5 minutes']) AS window_start
             FROM events)
         SELECT window_start, event_type, COUNT(*) AS cnt,
-               ROUND(SUM(value), 2) AS total
+               {sql_sum('value')} AS total
         FROM w
         WHERE ts >= window_start
           AND ts < window_start + INTERVAL '10 minutes'
@@ -892,7 +905,7 @@ def agg_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes"),
                    F.col("event_type"))
         .agg(F.count("*").alias("cnt"),
-             F.round(F.sum("value"), 2).alias("total"))
+             exact_sum("value").alias("total"))
         .select(F.col("window.start").alias("window_start"),
                 "event_type", "cnt", "total")
     )
@@ -970,13 +983,13 @@ def _format_roundtrip_agg(spark: SparkSession, sf_dir: str, fmt: str) -> DataFra
     od = load_table_as(spark, sf_dir, "orders", fmt)
     return od.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        exact_sum("o_totalprice", 100).alias("total"),
         F.min(F.col("o_orderdate").cast("date")).alias("first_date"))
 
 
-_FMT_ORACLE = """
+_FMT_ORACLE = f"""
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total,
+           {sql_sum('o_totalprice', 100)} AS total,
            MIN(CAST(o_orderdate AS DATE)) AS first_date
     FROM orders GROUP BY o_orderstatus
 """
@@ -1046,66 +1059,58 @@ def subquery_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+_HAVING_FRACTION_SQL = f"""
+    SELECT s_nationkey, {sql_sum('s_acctbal', 100)} AS nation_value
+    FROM supplier
+    GROUP BY s_nationkey
+    HAVING {sql_sum('s_acctbal', 100)}
+           > (SELECT {sql_sum('s_acctbal', 100)} / 20.0 FROM supplier)
+"""
+
+
 @query(
     "subquery_having_fraction",
-    oracle="""
-        SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS nation_value
-        FROM supplier
-        GROUP BY s_nationkey
-        HAVING SUM(s_acctbal) > (SELECT SUM(s_acctbal) / 20.0 FROM supplier)
-    """,
+    oracle=_HAVING_FRACTION_SQL,
     category="extension: scalar subquery in HAVING (TPC-H Q11 shape)",
     doc="Group filter against a fraction of a global aggregate — the "
         "uncorrelated scalar subquery computes once and broadcasts as a "
-        "literal into the HAVING predicate.",
+        "literal into the HAVING predicate. The fixed-point sum SQL is "
+        "engine-portable, so the identical string runs on Spark and DuckDB "
+        "(deterministic HAVING boundary on both).",
 )
 def subquery_having_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_base_views(spark, sf_dir, "supplier")
-    return spark.sql("""
-        SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS nation_value
-        FROM supplier
-        GROUP BY s_nationkey
-        HAVING SUM(s_acctbal) > (SELECT SUM(s_acctbal) / 20.0 FROM supplier)
-    """)
+    return spark.sql(_HAVING_FRACTION_SQL)
+
+
+_TOP_REVENUE_SQL = f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {sql_sum('l_extendedprice * (1 - l_discount)')}
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
 
 
 @query(
     "subquery_top_revenue_view",
-    oracle="""
-        WITH revenue AS (
-            SELECT l_suppkey AS supplier_no,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-                       AS total_revenue
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
-            GROUP BY l_suppkey
-        )
-        SELECT s_suppkey, s_name, total_revenue
-        FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
-    """,
+    oracle=_TOP_REVENUE_SQL,
     category="extension: view + max-over-agg (TPC-H Q15 shape)",
     doc="Top supplier by quarterly revenue: CTE/view reused twice (once "
         "aggregated to its max) — the scalar subquery pins the argmax "
-        "without a window sort.",
+        "without a window sort. Fixed-point revenue makes the MAX "
+        "comparison deterministic; the identical SQL runs on both engines.",
 )
 def subquery_top_revenue_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_base_views(spark, sf_dir, "supplier", "lineitem")
-    return spark.sql("""
-        WITH revenue AS (
-            SELECT l_suppkey AS supplier_no,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-                       AS total_revenue
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
-            GROUP BY l_suppkey
-        )
-        SELECT s_suppkey, s_name, total_revenue
-        FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
-    """)
+    return spark.sql(_TOP_REVENUE_SQL)
 
 
 @query(
@@ -1251,8 +1256,8 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
                DENSE_RANK() OVER (PARTITION BY user_id
                    ORDER BY event_type) AS type_rank,
                NTILE(4) OVER w AS quartile,
-               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-               ROUND(CUME_DIST() OVER w, 6) AS cume
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -1266,7 +1271,8 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partitioning survives across specs, only the order re-sorts). "
         "Deterministic: (ts, event_id) is a unique order key. percent/"
         "cume are (rank-1)/(n-1)-style integer-derived divisions — "
-        "bit-identical on both engines; rounded 6dp only to absorb repr.",
+        "bit-identical on both engines unrounded (rounding them would "
+        "REINTRODUCE the cross-engine half-even divergence).",
 )
 def window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1280,8 +1286,8 @@ def window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_id").over(w_full).alias("last_event"),
         F.dense_rank().over(w_type).alias("type_rank"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"))
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
 
 
 @query(

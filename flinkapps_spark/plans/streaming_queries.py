@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flinkapps_spark.functions.text import tokenize
 from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.plans.exact import exact_sum, sql_sum
 from flinkapps_spark.streaming.jobs import (
     file_stream_source, run_stream_to_memory,
 )
@@ -87,8 +88,8 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_sql_grouped_sum",
-    oracle="""
-        SELECT name, ROUND(SUM(score), 2) AS total
+    oracle=f"""
+        SELECT name, {sql_sum('score', 100)} AS total
         FROM (SELECT c_mktsegment AS name, c_acctbal AS score FROM customer)
         GROUP BY name
     """,
@@ -102,16 +103,18 @@ def stream_sql_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_mktsegment").alias("name"),
                 F.col("c_acctbal").alias("score"))
     cu.createOrReplaceTempView("stream_input_table")
+    # the fixed-point sum SQL is engine-portable: same expression as the
+    # DuckDB oracle (streaming state accumulates exact integer units)
     agged = spark.sql(
-        "SELECT name, ROUND(SUM(score), 2) AS total "
+        f"SELECT name, {sql_sum('score', 100)} AS total "
         "FROM stream_input_table GROUP BY name")
     return run_stream_to_memory(agged, output_mode="complete")
 
 
 @query(
     "stream_upsert_accumulate",
-    oracle="""
-        SELECT user_id AS sensor_id, ROUND(SUM(value), 2) AS sensor_temp
+    oracle=f"""
+        SELECT user_id AS sensor_id, {sql_sum('value')} AS sensor_temp
         FROM events GROUP BY user_id
     """,
     category="streaming: foreachBatch upsert sink (K7)",
@@ -129,8 +132,10 @@ def stream_upsert_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flinkapps_spark.sinks.jdbc import foreach_batch_upsert
 
     con = duckdb.connect(":memory:")
+    # accumulate fixed-point int units in the DB so cross-batch addition is
+    # associative (matches the oracle's fixed-point SUM bit-for-bit)
     con.execute("CREATE TABLE t_sensor (sensor_id BIGINT PRIMARY KEY, "
-                "sensor_temp DOUBLE)")
+                "sensor_temp BIGINT)")
 
     class _SharedCon:
         # foreachBatch runs on the driver: share one in-process connection,
@@ -146,14 +151,16 @@ def stream_upsert_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = file_stream_source(spark, sf_dir, "events") \
         .select(F.col("user_id").alias("sensor_id"),
-                F.col("value").alias("sensor_temp"))
+                F.round(F.col("value") * 10000, 0).cast("long")
+                .alias("sensor_temp"))
     import tempfile
     ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")
     q = foreach_batch_upsert(
         ev, ckpt, connection_factory=_SharedCon, table="t_sensor",
-        key_cols=["sensor_id"], val_cols=["sensor_temp"], accumulate=True)
+        key_cols=["sensor_id"], val_cols=["sensor_temp"], accumulate=True,
+        driver_collect=True)
     q.awaitTermination()
-    rows = con.execute("SELECT sensor_id, ROUND(sensor_temp, 2) "
+    rows = con.execute("SELECT sensor_id, sensor_temp / 10000.0 "
                        "FROM t_sensor").fetchall()
     con.close()
     return spark.createDataFrame(
@@ -162,8 +169,8 @@ def stream_upsert_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_update_mode_sum",
-    oracle="""
-        SELECT event_type, ROUND(SUM(value), 2) AS total
+    oracle=f"""
+        SELECT event_type, {sql_sum('value')} AS total
         FROM events GROUP BY event_type
     """,
     category="streaming: update-mode changelog (T4)",
@@ -175,7 +182,7 @@ def stream_upsert_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_update_mode_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = file_stream_source(spark, sf_dir, "events")
     agged = (ev.groupBy("event_type")
-             .agg(F.round(F.sum("value"), 2).alias("total")))
+             .agg(exact_sum("value").alias("total")))
     mem = run_stream_to_memory(agged, output_mode="update")
     # update mode appends one row per key per batch that touched the key;
     # the converged state is the LAST emission per key
@@ -188,9 +195,9 @@ def stream_update_mode_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_stateful_running_count",
-    oracle="""
+    oracle=f"""
         SELECT user_id, COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS total_value
+               {sql_sum('value')} AS total_value
         FROM events GROUP BY user_id
     """,
     category="streaming: custom stateful operator",
@@ -210,16 +217,24 @@ def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("user_id", "value")
 
     out_schema = ("user_id bigint, n_events bigint, total_value double")
-    state_schema = "n bigint, s double"
+    # state holds fixed-point int units so the running sum is
+    # order-independent and matches the oracle's fixed-point SUM exactly
+    state_schema = "n bigint, s bigint"
 
     def update(key, pdfs, state: GroupState):
-        n, s = (state.get if state.exists else (0, 0.0))
+        import numpy as np
+        n, s = (state.get if state.exists else (0, 0))
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            v = pdf["value"].to_numpy() * 10000.0
+            # half-away-from-zero, mirroring SQL ROUND(x, 0) on both engines
+            # (np.round would use half-even)
+            units = np.where(v >= 0, np.floor(v + 0.5),
+                             np.ceil(v - 0.5)).astype("int64")
+            s += int(units.sum())
         state.update((n, s))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                            "total_value": [round(s, 2)]})
+                            "total_value": [s / 10000.0]})
 
     updates = ev.groupBy("user_id").applyInPandasWithState(
         update, outputStructType=out_schema, stateStructType=state_schema,

@@ -22,32 +22,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flinkapps_spark.operators import joins
 from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.plans.exact import exact_avg, exact_sum, sql_avg, sql_sum
 from flinkapps_spark.sources.batch import load_table
 
 
 def _ts(s: str):
     return F.lit(s).cast("timestamp")
-
-
-def _exact_money_sum(expr, scale: int = 10000, out_dp: int | None = 2):
-    """Order-independent money sum: round each term to a fixed-point integer
-    (exact in int64 — the true decimal values have <=4 dp, and the double
-    representation error is ~1e-5 of a unit, nowhere near the .5 boundary),
-    sum exactly, then divide once.  Plain ROUND(SUM(double), 2) flips the
-    last cent when the total lands near a .005 boundary because Spark and
-    DuckDB add partitions in different orders; integer summation is
-    associative so the result is bit-identical on both engines.  The oracle
-    SQL mirrors this as SUM(CAST(ROUND(e*s,0) AS BIGINT))/s.
-
-    out_dp=None skips the final ROUND: when the exact quotient has more
-    decimals than out_dp and can land exactly on a .5 digit boundary,
-    Spark (BigDecimal of the shortest repr, HALF_UP) and DuckDB (binary
-    value) round differently — the unrounded quotient is already
-    bit-identical, so rounding only loses determinism.
-    """
-    units = F.round(expr * scale, 0).cast("long")
-    q = F.sum(units) / float(scale)
-    return q if out_dp is None else F.round(q, out_dp)
 
 
 @query(
@@ -85,9 +65,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q7_volume_shipping",
-    oracle="""
+    oracle=f"""
         SELECT supp_nation, cust_nation, l_year,
-               ROUND(SUM(volume), 2) AS revenue
+               {sql_sum('volume')} AS revenue
         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                      YEAR(l_shipdate) AS l_year,
                      l_extendedprice * (1 - l_discount) AS volume
@@ -134,16 +114,16 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.filter(pair)
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").alias("l_year"))
-            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                  .alias("revenue")))
 
 
 @query(
     "q8_market_share",
-    oracle="""
+    oracle=f"""
         SELECT o_year,
-               ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                     / SUM(volume), 6) AS mkt_share
+               {sql_sum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END")}
+                     / {sql_sum('volume')} AS mkt_share
         FROM (SELECT YEAR(o_orderdate) AS o_year,
                      l_extendedprice * (1 - l_discount) AS volume,
                      n2.n_name AS nation
@@ -166,8 +146,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregation pass (no self-join, no window). Scale: 8-way join "
         "tree where region/nation broadcast always; the PROMO part filter "
         "shrinks part before its join (pushed to the scan); single "
-        "group-by on ~years groups so the final agg is tiny. Ratio "
-        "rounded 6dp on both engines (ulp determinism).",
+        "group-by on ~years groups so the final agg is tiny. Ratio of two "
+        "fixed-point sums, unrounded — bit-identical on both engines.",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
@@ -191,17 +171,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = joins.broadcast_dim_join(j, re, F.col("n1_region") == F.col("r_regionkey"))
     j = joins.broadcast_dim_join(j, n2, F.col("s_nationkey") == F.col("n2_key"))
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    share_num = F.sum(F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0.0)))
+    share_num = exact_sum(
+        F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0.0)))
     return (j.groupBy(F.year("o_orderdate").alias("o_year"))
-            .agg(F.round(share_num / F.sum(volume), 6).alias("mkt_share")))
+            .agg((share_num / exact_sum(volume)).alias("mkt_share")))
 
 
 @query(
     "q9_product_profit",
-    oracle="""
+    oracle=f"""
         SELECT nation, o_year,
-               ROUND(SUM(CAST(ROUND(amount * 10000, 0) AS BIGINT)) / 10000.0, 2)
-                 AS sum_profit
+               {sql_sum('amount')} AS sum_profit
         FROM (SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
                      l_extendedprice * (1 - l_discount) AS amount
               FROM part
@@ -234,7 +214,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = joins.broadcast_dim_join(j, na, F.col("s_nationkey") == F.col("n_nationkey"))
     return (j.groupBy(F.col("n_name").alias("nation"),
                       F.year("o_orderdate").alias("o_year"))
-            .agg(_exact_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                  .alias("sum_profit")))
 
 
@@ -275,8 +255,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(cu, F.col("c_custkey") == F.col("o_custkey")))
     j = joins.broadcast_dim_join(j, na, F.col("c_nationkey") == F.col("n_nationkey"))
     return (j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-            .agg(_exact_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                                  out_dp=None)
+            .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                  .alias("revenue"))
             .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
             .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -389,8 +368,8 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q19_disjunctive_revenue",
-    oracle="""
-        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    oracle=f"""
+        SELECT {sql_sum('l_extendedprice * (1 - l_discount)')} AS revenue
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
                AND l_quantity BETWEEN 1 AND 11)
@@ -419,7 +398,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = (arm("Brand#1", 5, 1, 11) | arm("Brand#2", 10, 10, 20)
             | arm("Brand#3", 15, 20, 30))
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .alias("revenue"))
 
 
@@ -461,14 +440,15 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q22_dormant_customers",
-    oracle="""
+    oracle=f"""
         SELECT cntry, COUNT(*) AS numcust,
-               ROUND(SUM(c_acctbal), 2) AS totacctbal
+               {sql_sum('c_acctbal', 100)} AS totacctbal
         FROM (SELECT CAST(c_nationkey % 10 AS INT) AS cntry,
                      c_acctbal, c_custkey
               FROM customer
               WHERE c_nationkey % 10 IN (1, 3, 5, 7)
-                AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                AND c_acctbal > (SELECT {sql_avg('c_acctbal', 100)}
+                                 FROM customer
                                  WHERE c_acctbal > 0
                                    AND c_nationkey % 10 IN (1, 3, 5, 7))
                 AND NOT EXISTS (SELECT 1 FROM orders
@@ -492,8 +472,10 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     code = (F.col("c_nationkey") % 10).cast("int")
     cu = cu.select("c_custkey", "c_acctbal", code.alias("cntry")).filter(
         F.col("cntry").isin(1, 3, 5, 7))
+    # fixed-point avg: the comparison boundary must be the same double on
+    # both engines (a plain double AVG is partition-order dependent)
     avg_bal = cu.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal"))
+        exact_avg("c_acctbal", 100).alias("avg_bal"))
     recent = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= _ts("2000-01-01 00:00:00")).select("o_custkey")
     rich = (cu.crossJoin(F.broadcast(avg_bal))
@@ -502,7 +484,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("c_custkey") == F.col("o_custkey"))
     return dormant.groupBy("cntry").agg(
         F.count("*").alias("numcust"),
-        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        exact_sum("c_acctbal", 100).alias("totacctbal"))
 
 
 @query(
@@ -527,5 +509,4 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
     return (od.cube("o_orderstatus", "o_orderpriority")
             .agg(F.count("*").alias("n_orders"),
-                 _exact_money_sum(F.col("o_totalprice"), scale=100,
-                                  out_dp=None).alias("total_price")))
+                 exact_sum("o_totalprice", 100).alias("total_price")))

@@ -61,21 +61,54 @@ def upsert_sql(table: str, key_cols: Sequence[str],
             f"ON CONFLICT ({keys}) DO UPDATE SET {sets}")
 
 
+def _write_rows(rows_iter, sql: str, connection_factory: Callable,
+                batch_size: int) -> None:
+    """Stream rows into the database in bounded batches (runs on an
+    executor under foreachPartition, or on the driver in shim mode).
+    The connection opens lazily so empty partitions cost nothing."""
+    con = None
+    buf: list[tuple] = []
+    try:
+        for row in rows_iter:
+            buf.append(tuple(row))
+            if len(buf) >= batch_size:
+                if con is None:
+                    con = connection_factory()
+                con.executemany(sql, buf)
+                buf = []
+        if buf:
+            if con is None:
+                con = connection_factory()
+            con.executemany(sql, buf)
+        if con is not None and hasattr(con, "commit"):
+            con.commit()
+    finally:
+        if con is not None:
+            con.close()
+
+
 def upsert_batch(df: DataFrame, *, connection_factory: Callable,
                  table: str, key_cols: Sequence[str],
                  val_cols: Sequence[str], accumulate: bool = False,
                  agg_exprs: dict[str, str] | None = None,
-                 batch_size: int = JDBC_BATCH_SIZE) -> None:
+                 batch_size: int = JDBC_BATCH_SIZE,
+                 driver_collect: bool = False) -> None:
     """Atomic upsert of a (micro-)batch DataFrame into a DB-API database.
 
     Step 1 — pre-aggregate per key so each key appears once in the batch
     (reference semantics: accumulate → SUM the values; last-write-wins →
     arbitrary deterministic pick via max).
-    Step 2 — collect per partition and execute batched upserts.
+    Step 2 — ``foreachPartition``: each executor opens its own connection
+    via ``connection_factory`` (which must be picklable and valid on the
+    workers — e.g. a psycopg2/sqlite3 connect closure) and streams its
+    partition through batched atomic upserts.  Memory per task is one
+    ``batch_size`` buffer — never the whole batch, never the driver.
+    Atomic ON CONFLICT statements make concurrent partitions safe — the
+    reference needed parallelism=1 here (SURVEY §7.5.6); this doesn't.
 
-    The collect happens on the driver for DB-API simplicity (fixture
-    scale); on a cluster use foreachPartition with a per-executor
-    connection — same statements.
+    ``driver_collect=True`` is the test shim for in-process DB handles
+    (e.g. a shared in-memory DuckDB) that can't cross the executor
+    process boundary; it bounds memory by streaming ``toLocalIterator``.
     """
     agg_exprs = agg_exprs or {}
     if accumulate:
@@ -86,15 +119,13 @@ def upsert_batch(df: DataFrame, *, connection_factory: Callable,
                 else F.expr(agg_exprs[c]).alias(c) for c in val_cols]
     deduped = df.groupBy(*key_cols).agg(*aggs)
     sql = upsert_sql(table, key_cols, val_cols, accumulate)
-    rows = [tuple(r) for r in deduped.select(*key_cols, *val_cols).collect()]
-    con = connection_factory()
-    try:
-        for i in range(0, len(rows), batch_size):
-            con.executemany(sql, rows[i:i + batch_size])
-        if hasattr(con, "commit"):
-            con.commit()
-    finally:
-        con.close()
+    out = deduped.select(*key_cols, *val_cols)
+    if driver_collect:
+        _write_rows(out.toLocalIterator(), sql, connection_factory,
+                    batch_size)
+        return
+    out.foreachPartition(
+        lambda rows: _write_rows(rows, sql, connection_factory, batch_size))
 
 
 def foreach_batch_upsert(stream_df: DataFrame, checkpoint: str, **upsert_kw):

@@ -143,16 +143,51 @@ def test_upsert_accumulate_duckdb(spark):
         "sensor_id string, sensor_temp double")
     upsert_batch(batch1, connection_factory=factory, table="t_temp",
                  key_cols=["sensor_id"], val_cols=["sensor_temp"],
-                 accumulate=True)
+                 accumulate=True, driver_collect=True)
     batch2 = spark.createDataFrame(
         [("s1", 2.0), ("s3", 7.0)], "sensor_id string, sensor_temp double")
     upsert_batch(batch2, connection_factory=factory, table="t_temp",
                  key_cols=["sensor_id"], val_cols=["sensor_temp"],
-                 accumulate=True)
+                 accumulate=True, driver_collect=True)
     got = dict(con.execute(
         "SELECT sensor_id, sensor_temp FROM t_temp").fetchall())
     assert got == {"s1": 17.0, "s2": 1.0, "s3": 7.0}
     con.close()
+
+
+def test_upsert_foreachpartition_executor_side(spark, tmp_path):
+    """K7 default path: the upsert runs via foreachPartition with a
+    per-executor connection — no driver collect.  sqlite3 is the stand-in
+    DB because its connections can be opened inside worker processes
+    (a file path pickles; a live handle doesn't)."""
+    import sqlite3
+
+    db = str(tmp_path / "upsert.db")
+    init = sqlite3.connect(db)
+    init.execute("CREATE TABLE t_temp (sensor_id TEXT PRIMARY KEY, "
+                 "sensor_temp REAL)")
+    init.commit()
+    init.close()
+
+    def factory(path=db):
+        c = sqlite3.connect(path, timeout=30.0)
+        c.execute("PRAGMA busy_timeout=30000")
+        return c
+
+    rows = [(f"s{i % 7}", float(i)) for i in range(200)]
+    batch = spark.createDataFrame(
+        rows, "sensor_id string, sensor_temp double").repartition(8)
+    upsert_batch(batch, connection_factory=factory, table="t_temp",
+                 key_cols=["sensor_id"], val_cols=["sensor_temp"],
+                 accumulate=True, batch_size=3)
+    chk = sqlite3.connect(db)
+    got = dict(chk.execute(
+        "SELECT sensor_id, sensor_temp FROM t_temp").fetchall())
+    chk.close()
+    expect: dict[str, float] = {}
+    for k, v in rows:
+        expect[k] = expect.get(k, 0.0) + v
+    assert got == expect
 
 
 def test_upsert_sql_shapes():
