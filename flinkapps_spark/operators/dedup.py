@@ -26,7 +26,10 @@ SHINGLE_SIZE = 3
 N_MINHASH = 16
 N_BANDS = 4
 ROWS_PER_BAND = 4
-SIMHASH_BITS = 32
+# 31, not 32: word_code is poly-31 mod 2^31-1, so code bit 31 is always 0
+# and a 32nd signature bit would be constant (every token votes -1) —
+# carrying it would silently weaken the pigeonhole chunks.
+SIMHASH_BITS = 31
 
 # Deterministic affine coefficients for the 16 minhash "permutations":
 # h_j(x) = (a_j * x + b_j) mod (2^31-1).  Generated from fixed mixing
@@ -290,8 +293,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                   blocked: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Default path (``blocked=True``) is the 100 TB algorithm: split the 32
-    signature bits into max_hamming+1 chunks — by pigeonhole, any pair
+    Default path (``blocked=True``) is the 100 TB algorithm: split the
+    SIMHASH_BITS signature bits into max_hamming+1 chunks — by pigeonhole,
+    any pair
     within the distance agrees EXACTLY on at least one chunk — so
     candidates come from an equi-join on (chunk_idx, chunk_value), never a
     cross join.  Each candidate is then verified by exact hamming.  The

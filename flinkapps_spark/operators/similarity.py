@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from flinkapps_spark.functions.vectors import cosine_similarity
+from flinkapps_spark.functions.vectors import cosine_similarity, l2_norm
 
 # deterministic "random" hyperplanes: plane p component i =
 # sin(p*10007 + i*101) — reproducible anywhere, no RNG state.
@@ -101,25 +101,77 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "vec_id", "cosine", "rank"))
 
 
+GRID_DIMS = 3  # leading normalized components used as blocking keys
+
+
 def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.99,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            exhaustive: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
-    Fixture-scale: cross join (corpus is small). 100 TB path: bucket with
-    knn_lsh's signatures first, cross join only within buckets.
+    Default path — RECALL-LOSSLESS grid blocking (the 100 TB plan):
+    normalize each vector, quantize its first GRID_DIMS components into a
+    grid of cell width w, and join only same-or-adjacent cells (3^d probe
+    fan-out on one side).  Losslessness proof: for unit vectors,
+    cosine ≥ t  ⟹  ‖â−b̂‖ = √(2−2t), and no single component can differ
+    by more than the whole L2 distance; with the 6-dp-rounded filter the
+    weakest admissible pair has cos ≥ t − 5e-7, so any reported pair has
+    per-dim |Δ| ≤ √(2−2(t−5e-7)) < w, which means each blocking dim lands
+    in the same or an adjacent cell — always inside the 27-cell probe.
+    Therefore the blocked result EQUALS the all-pairs result (the oracle
+    checks this equality empirically against a plain cross join).
+
+    Scale: the join shuffles on 3 small int cell keys instead of forming
+    n² pairs; dense regions of embedding space still pair quadratically
+    within their cells — that residual skew is inherent to the problem
+    (those pairs ARE the candidates) and splits further by raising
+    GRID_DIMS.  Zero vectors have undefined cosine and drop out (cell
+    keys go null through the 0-norm division).
+
+    ``exhaustive=True`` keeps the n² all-pairs join (oracle shape /
+    tiny-corpus shortcut).
     """
     a = df.select(F.col(id_col).alias("id_a"),
                   _as_double(F.col(vec_col)).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"),
                   _as_double(F.col(vec_col)).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
-                .alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    if exhaustive:
+        return (a.join(b, F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", cos.alias("cosine"))
+                .filter(F.col("cosine") >= threshold))
+
+    # cell width: strictly above the max per-dim diff of an admissible pair
+    import math
+    w = float(math.sqrt(2.0 - 2.0 * (threshold - 5e-7)) * 1.02)
+
+    def with_cells(side: DataFrame, vec: str, prefix: str) -> DataFrame:
+        nrm = l2_norm(F.col(vec))
+        out = side.withColumn("_nrm", nrm)
+        for i in range(GRID_DIMS):
+            out = out.withColumn(
+                f"{prefix}{i}",
+                F.floor(F.element_at(F.col(vec), i + 1) / F.col("_nrm") / w)
+                .cast("long"))
+        return out.drop("_nrm")
+
+    ca = with_cells(a, "va", "ca")
+    cb = with_cells(b, "vb", "cb")
+    # probe side A into its 3^d neighbor cells; B stays at its home cell,
+    # so every candidate pair is generated exactly once (no dedup pass)
+    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               for dz in (-1, 0, 1)]
+    probe = F.explode(F.array(*[
+        F.struct(*[(F.col(f"ca{i}") + d[i]).alias(f"p{i}")
+                   for i in range(GRID_DIMS)]) for d in offsets]))
+    pa = ca.select("id_a", "va", probe.alias("p"))
+    cond = (F.col("id_a") < F.col("id_b"))
+    for i in range(GRID_DIMS):
+        cond = cond & (F.col("p").getField(f"p{i}") == F.col(f"cb{i}"))
+    return (pa.join(cb, cond)
+            .select("id_a", "id_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
 
 
 def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,

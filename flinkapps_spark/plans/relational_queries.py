@@ -333,18 +333,30 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; driver does rows-only
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users_exact,
+               true AS within_tol
+        FROM events GROUP BY event_type
+    """,
     category="extension: approximate agg",
     doc="approx_count_distinct (HyperLogLog++): the 100 TB-scale substitute "
         "for exact COUNT(DISTINCT) — no per-key value set, fixed-size sketch, "
-        "map-side combinable. No SQL oracle: sketch estimates are "
-        "engine-specific (DuckDB's approx_count_distinct uses a different "
-        "HLL seed/width).",
+        "map-side combinable. Sketch estimates are engine-specific (DuckDB "
+        "seeds/widths differ), so the estimate itself can't be hashed; "
+        "instead the query emits the exact count plus a deterministic "
+        "self-check boolean (|approx−exact|/exact < 0.15 — generous vs the "
+        "default 5% rsd) and the oracle asserts literal true: the driver's "
+        "hash then verifies the sketch is in-bounds.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"))
+        exact.alias("n_users_exact"),
+        ((F.abs(approx.cast("double") - exact.cast("double"))
+          / exact.cast("double")) < 0.15).alias("within_tol"))
 
 
 @query(
@@ -963,19 +975,34 @@ def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_percentile",
-    oracle=None,  # sketch-based: engine-specific estimates, rows-only check
+    oracle="""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.50), 4) AS p50_exact,
+               ROUND(quantile_cont(value, 0.95), 4) AS p95_exact,
+               true AS p50_ok, true AS p95_ok
+        FROM events GROUP BY event_type
+    """,
     category="extension: approximate percentiles",
     doc="approx_percentile (KLL-style sketch): the 100 TB substitute for "
         "exact percentiles — fixed-size, map-combinable state vs. "
-        "collect-all-values. No SQL oracle (DuckDB's approx_quantile uses "
-        "a different sketch); exact-percentile parity is covered by "
-        "percentiles_by_type.",
+        "collect-all-values. The sketch estimate is engine-specific, so the "
+        "query emits the exact percentiles plus self-check booleans "
+        "(|approx−exact| ≤ 5%·|exact|+1e-6; accuracy=10000 keeps rank "
+        "error ≤ n/10000, far inside that) and the oracle asserts literal "
+        "true — the hash verifies the estimates deterministically.",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    p50e = F.percentile("value", 0.5)
+    p95e = F.percentile("value", 0.95)
+    p50a = F.approx_percentile("value", 0.5, 10000)
+    p95a = F.approx_percentile("value", 0.95, 10000)
+    ok = lambda a, e: (F.abs(a - e) <= 0.05 * F.abs(e) + 1e-6)  # noqa: E731
     return ev.groupBy("event_type").agg(
-        F.approx_percentile("value", 0.5, 10000).alias("approx_p50"),
-        F.approx_percentile("value", 0.95, 10000).alias("approx_p95"))
+        F.round(p50e, 4).alias("p50_exact"),
+        F.round(p95e, 4).alias("p95_exact"),
+        ok(p50a, p50e).alias("p50_ok"),
+        ok(p95a, p95e).alias("p95_ok"))
 
 
 def _format_roundtrip_agg(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:

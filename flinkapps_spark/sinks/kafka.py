@@ -50,16 +50,21 @@ def write_stream_kafka(df: DataFrame, brokers: str, topic: str,
 
 def write_stream_kafka_dedup(df: DataFrame, brokers: str, topic: str,
                              checkpoint: str, value_expr: str = "value"):
-    """Exactly-once-equivalent: embed the checkpointed micro-batch id in
-    every record (foreachBatch), so consumers dedup replays on
-    (batch_id, row content)."""
+    """Exactly-once-equivalent: attach the checkpointed micro-batch id to
+    every record as a Kafka HEADER (out-of-band), so consumers dedup
+    replays on (batch_id header, row content) while the value payload
+    keeps its original wire format — prefixing the id into the value
+    would silently break consumers of structured values (e.g. JSON)."""
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        headers = F.array(F.struct(
+            F.lit("spark_batch_id").alias("key"),
+            F.lit(str(batch_id)).cast("binary").alias("value")))
         (to_kafka_records(batch_df, value_expr)
-         .withColumn("value",
-                     F.concat_ws(",", F.lit(str(batch_id)), F.col("value")))
+         .withColumn("headers", headers)
          .write.format("kafka")
          .option("kafka.bootstrap.servers", brokers)
          .option("topic", topic)
+         .option("includeHeaders", "true")
          .save())
 
     return (df.writeStream.foreachBatch(handle)

@@ -48,7 +48,51 @@ def normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
+_INT_SPARK = {"tinyint", "smallint", "int", "bigint"}
+_FLOAT_SPARK = {"float", "double"}
+
+
+def assert_fetch_dtypes(spark_df, duck_rel, name: str = "") -> None:
+    """Mirror the DRIVER's strictest fetch path: the driver pulls the
+    oracle through pandas/Arrow, where DuckDB HUGEINT (the type of a bare
+    SUM(integer)) degrades to float64 and hash-mismatches Spark's long
+    even when every value is equal (round-1 q12 post-mortem).  Two guards:
+
+    1. no oracle output column may be HUGEINT/UHUGEINT — always CAST such
+       sums to BIGINT (or use count_if/COUNT which are BIGINT already);
+    2. the pandas dtype family of each oracle column must match the Spark
+       column's type family (int↔int, float↔float, bool↔bool) whenever the
+       fetched column is null-free (nulls legitimately float-ify pandas
+       int columns on BOTH sides, so those are skipped).
+    """
+    d_cols = list(duck_rel.columns)
+    d_types = [str(t).upper() for t in duck_rel.types]
+    for c, t in zip(d_cols, d_types):
+        assert "HUGEINT" not in t, (
+            f"{name}: oracle column {c} is {t} — a bare integer SUM? "
+            f"CAST it to BIGINT (pandas fetch turns HUGEINT into float64 "
+            f"and breaks the driver hash)")
+    s_types = {f.name: f.dataType.simpleString() for f in spark_df.schema}
+    pdf = duck_rel.df()
+    for c in d_cols:
+        if c not in s_types or pdf[c].isnull().any():
+            continue
+        p = str(pdf[c].dtype)
+        s = s_types[c]
+        if s in _INT_SPARK:
+            assert p.startswith(("int", "uint")), (
+                f"{name}: column {c}: spark {s} vs pandas-fetched {p} — "
+                f"driver hash would compare int against {p}")
+        elif s in _FLOAT_SPARK:
+            assert p.startswith("float"), (
+                f"{name}: column {c}: spark {s} vs pandas-fetched {p}")
+        elif s == "boolean":
+            assert p in ("bool", "boolean", "object"), (
+                f"{name}: column {c}: spark {s} vs pandas-fetched {p}")
+
+
 def compare(spark_df, duck_rel, name: str = "") -> None:
+    assert_fetch_dtypes(spark_df, duck_rel, name)
     s_cols = list(spark_df.columns)
     s_data = [tuple(r) for r in spark_df.collect()]
     d_cols = list(duck_rel.columns)
