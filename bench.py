@@ -51,6 +51,10 @@ HEADLINE = [
     "embedding_centroids",
     "text_quality_score",
     "pipeline_training_prep",
+    "text_decontaminate",
+    "doc_chunk_windows",
+    "pack_sequences_budget",
+    "embedding_neardup_pairs",
 ]
 
 

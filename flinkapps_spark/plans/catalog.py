@@ -58,6 +58,7 @@ def _load_all() -> None:
         relational_queries,
         tpch_extra_queries,
         pipeline_queries,
+        curation_queries,
         streaming_queries,
     )
 

@@ -1,0 +1,267 @@
+"""Curation-stage queries: decontamination, chunking, packing, PII scrub,
+plus storage-layout capabilities (partition pruning, bucketed co-located
+joins) — the remaining pieces of a production training-data pipeline.
+
+Oracle SQL mirrors the same constants/regexes the Spark operators use, so
+both sides share one definition (same pattern as pipeline_queries.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flinkapps_spark.functions.text import HASH_MOD
+from flinkapps_spark.operators import curation
+from flinkapps_spark.operators.curation import (
+    CHUNK_STRIDE, CHUNK_WINDOW, CONTAM_MIN_SHARED, PACK_BUDGET, PII_PATTERNS,
+)
+from flinkapps_spark.operators.dedup import SHINGLE_BASE
+from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.plans.exact import exact_sum, sql_sum
+from flinkapps_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments (mirroring functions/text.py + operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+SQL_WORDS = ("list_filter(string_split_regex(lower(text), '\\W+'), "
+             "w -> w <> '')")
+
+# word-code list via nested lambdas (poly-31 per word, applied in-place)
+SQL_WORD_CODES = (
+    f"list_transform({SQL_WORDS}, "
+    f"w -> list_reduce([CAST(0 AS BIGINT)] || "
+    f"list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT)), "
+    f"(a, b) -> (a * 31 + b) % {HASH_MOD}))")
+
+
+def _sql_shingles(wc: str) -> str:
+    return (f"list_distinct(list_transform(range(1, len({wc}) - 1), "
+            f"i -> ((({wc}[i] * {SHINGLE_BASE} + {wc}[i+1]) % {HASH_MOD}) "
+            f"* {SHINGLE_BASE} + {wc}[i+2]) % {HASH_MOD}))")
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+        WITH wc AS (SELECT doc_id, {SQL_WORD_CODES} AS wcl FROM documents),
+        sh AS (SELECT doc_id, unnest({_sql_shingles('wcl')}) AS code
+               FROM wc WHERE len(wcl) >= 3),
+        bench AS (SELECT DISTINCT code FROM sh WHERE doc_id % 50 = 0),
+        hits AS (SELECT sh.doc_id, COUNT(*) AS n_shared
+                 FROM sh JOIN bench USING (code) GROUP BY sh.doc_id)
+        SELECT d.doc_id,
+               COALESCE(h.n_shared, 0) AS n_shared,
+               COALESCE(h.n_shared, 0) >= {CONTAM_MIN_SHARED} AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    category="extension: curation (benchmark decontamination)",
+    doc="Benchmark decontamination: flag training docs sharing ≥5 distinct "
+        "3-word shingles with a 'benchmark' corpus (stand-in: docs with "
+        "id%50=0). Scale: the benchmark shingle vocabulary is tiny and "
+        "broadcast; the corpus streams through one inverted-index join — "
+        "never doc-to-doc comparison. The n-gram-overlap check used before "
+        "LLM pre-training runs (e.g. GPT-3 appendix C methodology, from "
+        "the public paper).",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return curation.contamination_flags(docs, bench)
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+        s AS (SELECT doc_id, ws,
+                     unnest(range(0, len(ws), {CHUNK_STRIDE})) AS st
+              FROM w WHERE len(ws) > 0)
+        SELECT doc_id,
+               CAST(st / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(least({CHUNK_WINDOW}, len(ws) - st) AS BIGINT) AS n_words,
+               array_to_string(ws[st + 1 : st + {CHUNK_WINDOW}], ' ')
+                   AS chunk_text
+        FROM s
+    """,
+    category="extension: curation (document chunking)",
+    doc="Overlapping word-window chunking (window 40, stride 20): the "
+        "long-document → training-sample splitter. Zero shuffle — "
+        "tokenize/sequence/posexplode are all map-side; a 100 TB corpus "
+        "chunks at scan speed.",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.chunk_windows(docs)
+
+
+@query(
+    "pack_sequences_budget",
+    oracle=f"""
+        WITH t AS (
+            SELECT lang, doc_id,
+                   CAST(len({SQL_WORDS}) AS BIGINT) AS n_tokens
+            FROM documents)
+        SELECT lang, doc_id, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang
+                                               ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / {float(PACK_BUDGET)}) AS BIGINT)
+                   AS pack_id
+        FROM t
+    """,
+    category="extension: curation (sequence packing)",
+    doc="Token-budget sequence packing (256/pack): documents map to the "
+        "pack where their cumulative offset starts — the 'concatenate and "
+        "split every N tokens' packing used to fill training context "
+        "windows. Per-language running sums (integer, exact) so the sort "
+        "parallelizes across partitions; a global ORDER BY would "
+        "serialize at 100 TB.",
+)
+def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.pack_sequences(docs)
+
+
+_SQL_PII_TEXT = ("text || ' contact user' || doc_id || '@example.com or +1-555-' "
+                 "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+                 "|| '-110 ip 10.0.' || (doc_id % 256) || '.1'")
+
+
+def _sql_scrub(expr: str) -> str:
+    out = expr
+    for pat, repl in PII_PATTERNS:  # identical class-only syntax in RE2
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+        WITH aug AS (SELECT doc_id, {_SQL_PII_TEXT} AS t FROM documents)
+        SELECT doc_id,
+               {_sql_scrub('t')} AS scrubbed,
+               CAST(len(regexp_extract_all(t, '{PII_PATTERNS[0][0]}'))
+                    AS INT) AS n_emails
+        FROM aug
+    """,
+    category="extension: curation (PII scrubbing)",
+    doc="PII redaction: synthetic email/phone/IP markers are appended "
+        "per-doc (the fixture has no natural PII), then scrubbed with a "
+        "chain of portable regexp_replace calls (<EMAIL>/<IP>/<PHONE>). "
+        "All codegen'd — regex scrubbing at 100 TB is scan-bound, no "
+        "shuffle, no UDF.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("-110 ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"))
+    aug = docs.select("doc_id", pii_text.alias("t"))
+    return aug.select(
+        "doc_id",
+        curation.scrub_pii(F.col("t")).alias("scrubbed"),
+        F.regexp_count("t", F.lit(PII_PATTERNS[0][0])).cast("int")
+        .alias("n_emails"))
+
+
+# ---------------------------------------------------------------------------
+# storage-layout capabilities: partition pruning, bucketed co-located join
+# ---------------------------------------------------------------------------
+
+_LAYOUT_CACHE: dict[str, str] = {}
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """events written once per (session, sf) as parquet partitioned by
+    event_type — the layout that turns a type filter into directory
+    pruning instead of a scan."""
+    key = f"part:{sf_dir}"
+    if key not in _LAYOUT_CACHE:
+        out = os.path.join(tempfile.gettempdir(),
+                           "flinkapps_layout",
+                           sf_dir.strip("/").replace("/", "_"), "events_by_type")
+        (load_table(spark, sf_dir, "events")
+         .write.mode("overwrite").partitionBy("event_type").parquet(out))
+        _LAYOUT_CACHE[key] = out
+    return _LAYOUT_CACHE[key]
+
+
+@query(
+    "source_partition_pruning",
+    oracle=f"""
+        SELECT user_id, COUNT(*) AS n, {sql_sum('value')} AS total
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    """,
+    category="extension: storage layout (partition pruning)",
+    doc="Hive-style partitioned parquet + partition-pruned read: events "
+        "are laid out partitionBy(event_type); the type predicate resolves "
+        "to directory pruning (PartitionFilters in the scan, verified in "
+        "plan tests) so non-matching partitions are never opened. At "
+        "100 TB this is the difference between scanning 1/N of the data "
+        "and all of it. Result must equal the unpartitioned oracle.",
+)
+def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n"), exact_sum("value").alias("total"))
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """customer+orders saved as bucketed tables (8 buckets on the join
+    key) — pre-shuffled storage so the join needs no exchange."""
+    key = f"bucket:{sf_dir}"
+    if key not in _LAYOUT_CACHE:
+        from flinkapps_spark.sinks.files import write_bucketed
+        tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+        cu_t, od_t = f"cust_b_{tag}", f"ord_b_{tag}"
+        # a previous PROCESS may have left the managed-table directories
+        # behind (the in-memory catalog forgets them, the filesystem
+        # doesn't) — saveAsTable refuses to reuse the location
+        import shutil
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = wh.removeprefix("file:")
+        for t in (cu_t, od_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        write_bucketed(load_table(spark, sf_dir, "customer")
+                       .select("c_custkey", "c_mktsegment"),
+                       cu_t, "c_custkey", 8, sort_col="c_custkey")
+        write_bucketed(load_table(spark, sf_dir, "orders")
+                       .select("o_custkey", "o_totalprice"),
+                       od_t, "o_custkey", 8, sort_col="o_custkey")
+        _LAYOUT_CACHE[key] = (cu_t, od_t)
+    return _LAYOUT_CACHE[key]
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle=f"""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               {sql_sum('o_totalprice', 100)} AS total
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+    category="extension: storage layout (bucketed join)",
+    doc="Bucket-pruned co-located join: customer and orders bucketed 8× on "
+        "the join key at write time, so the join consumes matching buckets "
+        "directly — NO shuffle exchange on either side (verified in plan "
+        "tests). The pre-partitioned-storage pattern that amortizes one "
+        "write-time shuffle across every future join at 100 TB.",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu_t, od_t = _bucketed_tables(spark, sf_dir)
+    cu, od = spark.table(cu_t), spark.table(od_t)
+    j = cu.join(od, cu.c_custkey == od.o_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        exact_sum("o_totalprice", 100).alias("total"))

@@ -9,8 +9,9 @@ results non-trivial:
 - text near-dups: every document re-appears (id+1000000) with its first
   word removed → Jaccard ≈ (n-3)/(n-2) over 3-shingles;
 - text exact dups: docs with id%10==0 re-appear verbatim (id+2000000);
-- embedding near-dups: every vector re-appears (id+100000) with +0.5 on
-  component 0 → cosine ≈ 0.998 vs its original, ≪ any random pair.
+- embedding near-dups: every vector re-appears (id+100000) with +0.05 on
+  component 0 → cosine ≈ 0.9987 vs its original (vectors are unit-norm;
+  a +0.5 bump would land at ≈0.895, silently below the 0.99 threshold).
 
 Oracle SQL is *generated* from the same constants the Spark operators use
 (MINHASH_COEFFS, STOPWORDS, ...), so both sides share one definition.

@@ -52,6 +52,7 @@ SF01_SAMPLE = [
     "q10_returned_items", "q17_small_qty_revenue", "q22_dormant_customers",
     "cube_status_priority", "embedding_centroids", "dedup_exact",
     "window_battery", "pipeline_training_prep", "text_tfidf_topterms",
+    "text_decontaminate", "embedding_neardup_pairs", "pack_sequences_budget",
 ]
 
 

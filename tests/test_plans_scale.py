@@ -234,3 +234,26 @@ def test_no_cartesian_entire_catalog(spark):
                 df._jdf.queryExecution().executedPlan().toString():
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_catalog_layout_queries_plan_shapes(spark):
+    """The catalog's storage-layout queries really exercise the layout:
+    source_partition_pruning must resolve its predicate as PartitionFilters
+    (directory pruning + pruned ReadSchema), and join_bucketed_colocated
+    must scan bucketed tables (SelectedBucketsCount present; with broadcast
+    disabled the join is a no-exchange SortMergeJoin — covered by
+    test_bucketed_join_no_shuffle)."""
+    from flinkapps_spark.plans.curation_queries import (
+        join_bucketed_colocated, source_partition_pruning,
+    )
+    from tests.conftest import SF_SMOKE
+
+    p1 = source_partition_pruning(spark, SF_SMOKE) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in p1, p1
+    assert "= purchase" in p1, p1
+    assert "ReadSchema: struct<user_id:bigint,value:double>" in p1, p1
+
+    p2 = join_bucketed_colocated(spark, SF_SMOKE) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount: 8 out of 8" in p2, p2
