@@ -285,7 +285,8 @@ def embedding_centroids(df: DataFrame, label_col: str = "label",
     e = df.select(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"))
-    units = F.round(F.col("v") * scale, 0).cast("long")
+    from flinkapps_spark.plans.exact import units_col
+    units = units_col(F.col("v"), scale)
     per_pos = (e.groupBy("label", "pos")
                .agg((F.sum(units) / F.count("*") / scale).alias("c"),
                     F.count("*").alias("n")))

@@ -30,6 +30,7 @@ from flinkapps_spark.operators.textstats import (
     FINGERPRINT_BASE, LANG_MARKERS, LANG_PRIORITY, STOPWORDS,
 )
 from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.plans.exact import sql_units
 from flinkapps_spark.sources.batch import load_table
 
 # ---------------------------------------------------------------------------
@@ -801,7 +802,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_centroids",
-    oracle="""
+    oracle=f"""
         WITH idx AS (
             SELECT label, embedding,
                    unnest(range(len(embedding))) AS pos
@@ -809,8 +810,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         e AS (
             SELECT label, pos,
-                   CAST(ROUND(CAST(embedding[pos + 1] AS DOUBLE) * 10000000,
-                              0) AS BIGINT) AS units
+                   {sql_units('CAST(embedding[pos + 1] AS DOUBLE)', 10 ** 7)}
+                       AS units
             FROM idx
         ),
         c AS (

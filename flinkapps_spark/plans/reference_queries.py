@@ -24,7 +24,7 @@ from flinkapps_spark.operators.projections import (
     csv_parse, csv_serialize, rename_all, select_column_range,
 )
 from flinkapps_spark.plans.catalog import query
-from flinkapps_spark.plans.exact import exact_sum, sql_sum
+from flinkapps_spark.plans.exact import exact_sum, sql_sum, units_col
 from flinkapps_spark.sources.batch import load_table
 
 # ---------------------------------------------------------------------------
@@ -248,7 +248,7 @@ def tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_sum_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load_table(spark, sf_dir, "customer") \
         .select(F.col("c_mktsegment").alias("name"),
-                F.round(F.col("c_acctbal") * 100, 0).cast("long")
+                units_col(F.col("c_acctbal"), 100)
                 .alias("score"))
     return grouped_sum(cu, "name", "score", out="total") \
         .select("name", (F.col("total") / 100.0).alias("total"))

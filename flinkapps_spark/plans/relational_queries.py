@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from flinkapps_spark.operators import joins
 from flinkapps_spark.plans.catalog import query
 from flinkapps_spark.plans.exact import (exact_avg, exact_sum, exact_sum_over,
-                                         sql_avg, sql_sum, sql_sum_over)
+                                         sql_avg, sql_sum, sql_sum_over,
+                                         sql_units, units_col)
 from flinkapps_spark.sources.batch import load_table
 
 # ---------------------------------------------------------------------------
@@ -473,7 +474,7 @@ def agg_two_phase_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = ev.withColumn("salt", (F.col("event_id") % 8).cast("int"))
     # fixed-point partials: integer partial sums merge associatively, so
     # the salted two-phase total is bit-equal to the oracle's direct sum
-    units = F.round(F.col("value") * 10000, 0).cast("long")
+    units = units_col(F.col("value"), 10000)
     partial = salted.groupBy("user_id", "salt").agg(
         F.sum(units).alias("psum"), F.count("*").alias("pcnt"))
     return partial.groupBy("user_id").agg(
@@ -850,7 +851,7 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-point before the pivot: pivot-cell sums stay integer (exact),
     # divided once on the way out; absent cells coalesce to 0 units like
     # the oracle's CASE ... ELSE 0
-    units = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    units = units_col(F.col("o_totalprice"), 100)
     piv = (od.withColumn("units", units)
            .groupBy("o_orderpriority")
            .pivot("o_orderstatus", ["F", "O", "P"])
@@ -1354,11 +1355,10 @@ def struct_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_salted_skew",
-    oracle="""
+    oracle=f"""
         SELECT c_mktsegment,
                COUNT(*) AS n_events,
-               SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) / 10000.0
-                   AS total_value
+               {sql_sum('value')} AS total_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
     """,
@@ -1384,7 +1384,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>"))))
     j = ev.join(F.broadcast(cu),
                 (ev.user_id == cu.c_custkey) & (ev.salt == cu.salt))
-    units = F.round(F.col("value") * 10000, 0).cast("long")
+    units = units_col(F.col("value"), 10000)
     return (j.groupBy("c_mktsegment")
             .agg(F.count("*").alias("n_events"),
                  (F.sum(units) / 10000.0).alias("total_value")))

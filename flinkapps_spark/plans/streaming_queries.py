@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flinkapps_spark.functions.text import tokenize
 from flinkapps_spark.plans.catalog import query
-from flinkapps_spark.plans.exact import exact_sum, sql_sum
+from flinkapps_spark.plans.exact import exact_sum, sql_sum, units_col
 from flinkapps_spark.streaming.jobs import (
     file_stream_source, run_stream_to_memory,
 )
@@ -151,7 +151,7 @@ def stream_upsert_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = file_stream_source(spark, sf_dir, "events") \
         .select(F.col("user_id").alias("sensor_id"),
-                F.round(F.col("value") * 10000, 0).cast("long")
+                units_col(F.col("value"), 10000)
                 .alias("sensor_temp"))
     import tempfile
     ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")

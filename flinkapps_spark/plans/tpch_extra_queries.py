@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flinkapps_spark.operators import joins
 from flinkapps_spark.plans.catalog import query
-from flinkapps_spark.plans.exact import exact_avg, exact_sum, sql_avg, sql_sum
+from flinkapps_spark.plans.exact import (exact_avg, exact_sum, sql_avg,
+                                         sql_sum, sql_units, units_col)
 from flinkapps_spark.sources.batch import load_table
 
 
@@ -220,10 +221,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
         SELECT c_custkey, c_name,
-               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
-                        AS BIGINT)) / 10000.0 AS revenue,
+               {sql_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
                c_acctbal, n_name
         FROM customer
           JOIN orders   ON c_custkey = o_custkey
@@ -331,8 +331,8 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q17_small_qty_revenue",
-    oracle="""
-        SELECT SUM(CAST(ROUND(l1.l_extendedprice * 100, 0) AS BIGINT))
+    oracle=f"""
+        SELECT SUM({sql_units('l1.l_extendedprice', 100)})
                  / 100.0 / 7.0 AS avg_yearly
         FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
         WHERE p_brand = 'Brand#3'
@@ -360,7 +360,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_b = li.join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
     thresh = (li_b.groupBy(F.col("l_partkey").alias("t_partkey"))
               .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")))
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    cents = units_col(F.col("l_extendedprice"), 100)
     return (li_b.join(thresh, F.col("l_partkey") == F.col("t_partkey"))
             .filter(F.col("l_quantity") < F.col("qty_thresh"))
             .agg((F.sum(cents) / 100.0 / 7.0).alias("avg_yearly")))
@@ -489,11 +489,10 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cube_status_priority",
-    oracle="""
+    oracle=f"""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
-               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
-                   AS total_price
+               {sql_sum('o_totalprice', 100)} AS total_price
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,

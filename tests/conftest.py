@@ -17,7 +17,11 @@ from flinkapps_spark.session import get_spark
 
 TESTDATA_ROOT = "/root/testdata"
 SF_SMOKE = os.path.join(TESTDATA_ROOT, "sf0.001")
-SF_ORACLE = os.path.join(TESTDATA_ROOT, "sf0.01")
+# sweepable: SPARK_GRAFT_PARITY_SF_DIR=/root/testdata/sf0.001 python -m
+# pytest tests/test_oracle_parity.py  → re-checks every oracle at another
+# scale factor (boundary behavior is sf-dependent)
+SF_ORACLE = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR",
+                           os.path.join(TESTDATA_ROOT, "sf0.01"))
 
 
 @pytest.fixture(scope="session")
