@@ -55,6 +55,11 @@ HEADLINE = [
     "doc_chunk_windows",
     "pack_sequences_budget",
     "embedding_neardup_pairs",
+    "q2_min_cost_supplier",
+    "q21_waiting_supplier",
+    "vocab_build",
+    "quality_filter_sweep",
+    "embedding_quantize_int8",
 ]
 
 

@@ -19,6 +19,7 @@ from flinkapps_spark.operators.curation import (
     CHUNK_STRIDE, CHUNK_WINDOW, CONTAM_MIN_SHARED, PACK_BUDGET, PII_PATTERNS,
 )
 from flinkapps_spark.operators.dedup import SHINGLE_BASE
+from flinkapps_spark.operators.textstats import STOPWORDS
 from flinkapps_spark.plans.catalog import query
 from flinkapps_spark.plans.exact import exact_sum, sql_sum
 from flinkapps_spark.sources.batch import load_table
@@ -265,3 +266,160 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
         exact_sum("o_totalprice", 100).alias("total"))
+
+
+@query(
+    "vocab_build",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({SQL_WORDS}) AS token FROM documents)
+        SELECT token, COUNT(*) AS term_freq,
+               COUNT(DISTINCT doc_id) AS doc_freq
+        FROM toks
+        GROUP BY token
+        ORDER BY term_freq DESC, token
+        LIMIT 100
+    """,
+    category="extension: curation (vocabulary build)",
+    doc="Tokenizer-vocabulary construction: corpus-wide term frequency + "
+        "document frequency, top-100 by count — the first step of "
+        "training any BPE/WordPiece vocab. (term_freq DESC, token) is a "
+        "total order, so the cut is deterministic on both engines. "
+        "Scale: explode is map-side; the groupBy partial-aggregates "
+        "per task before one shuffle keyed by token (vocab keys follow a "
+        "Zipf law — AQE skew handling covers the head tokens); top-k is "
+        "TakeOrderedAndProject, never a full sort.",
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.functions.text import tokenize
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.explode(tokenize(F.col("text"))).alias("token"))
+    return (toks.groupBy("token")
+            .agg(F.count("*").alias("term_freq"),
+                 F.countDistinct("doc_id").alias("doc_freq"))
+            .orderBy(F.desc("term_freq"), "token").limit(100))
+
+
+# threshold grid swept by quality_filter_sweep (shared by oracle + Spark)
+SWEEP_MIN_TOKENS = (10, 20, 30, 40)
+SWEEP_MIN_STOP = (0.0, 0.05, 0.1)
+
+
+@query(
+    "quality_filter_sweep",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len({SQL_WORDS}) AS n_tokens,
+                   CAST(len(list_filter({SQL_WORDS},
+                            w -> list_contains({list(STOPWORDS)}, w)))
+                        AS DOUBLE)
+                       / len({SQL_WORDS}) AS stop_ratio
+            FROM documents
+            WHERE len({SQL_WORDS}) > 0),
+        grid AS (
+            SELECT mt.mt AS min_tokens, ms.ms AS min_stop
+            FROM (SELECT unnest({list(SWEEP_MIN_TOKENS)}) AS mt) mt,
+                 (SELECT CAST(unnest({list(SWEEP_MIN_STOP)}) AS DOUBLE)
+                      AS ms) ms)
+        SELECT min_tokens, min_stop,
+               COUNT(*) FILTER (WHERE n_tokens >= min_tokens
+                                  AND stop_ratio >= min_stop) AS n_pass,
+               COUNT(*) FILTER (WHERE n_tokens >= min_tokens
+                                  AND stop_ratio >= min_stop)
+                   / COUNT(*) AS pass_rate
+        FROM m CROSS JOIN grid
+        GROUP BY min_tokens, min_stop
+    """,
+    category="extension: curation (quality threshold sweep)",
+    doc="Quality-filter threshold sweep: survival count and rate for every "
+        "cell of a (min token count × min stopword ratio) grid, in ONE "
+        "pass over the corpus — how a pipeline picks its Gopher-style "
+        "cut points without re-scanning per candidate threshold. The "
+        "per-doc metrics compute once; the 12-cell grid cross-joins as a "
+        "broadcast literal; conditional counts use the FILTER/count_if "
+        "form (BIGINT on both engines — never a HUGEINT-summing CASE). "
+        "Scale: corpus scan → map-side metrics → 12× row replication "
+        "only at the aggregation input, partial-agged to 12 rows per "
+        "task before the shuffle.",
+)
+def quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.functions.text import tokenize
+    from flinkapps_spark.operators.textstats import STOPWORDS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    m = (docs
+         .select(F.size(toks).alias("n_tokens"),
+                 (F.size(F.filter(toks,
+                                  lambda t: F.array_contains(stops, t)))
+                  .cast("double") / F.size(toks)).alias("stop_ratio"))
+         .filter(F.col("n_tokens") > 0))
+    grid = spark.createDataFrame(
+        [(mt, ms) for mt in SWEEP_MIN_TOKENS for ms in SWEEP_MIN_STOP],
+        "min_tokens int, min_stop double")
+    passed = (F.col("n_tokens") >= F.col("min_tokens")) \
+        & (F.col("stop_ratio") >= F.col("min_stop"))
+    return (m.crossJoin(F.broadcast(grid))
+            .groupBy("min_tokens", "min_stop")
+            .agg(F.count(F.when(passed, 1)).alias("n_pass"),
+                 (F.count(F.when(passed, 1)) / F.count("*"))
+                 .alias("pass_rate")))
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, pos, CAST(embedding[pos + 1] AS DOUBLE) AS v
+            FROM (SELECT vec_id, embedding,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)),
+        amax AS (
+            SELECT pos, MAX(ABS(v)) AS amax FROM e GROUP BY pos),
+        q AS (
+            SELECT e.pos, amax, v,
+                   GREATEST(-127, LEAST(127,
+                       CASE WHEN v * (127.0 / amax) >= 0
+                            THEN floor(v * (127.0 / amax) + 0.5)
+                            ELSE ceil(v * (127.0 / amax) - 0.5) END)) AS qv
+            FROM e JOIN amax ON e.pos = amax.pos
+            WHERE amax > 0)
+        SELECT pos, amax,
+               MAX(ABS(v - qv * (amax / 127.0))) AS max_abs_err,
+               COUNT(*) AS n_values
+        FROM q GROUP BY pos, amax
+    """,
+    category="extension: curation (embedding int8 quantization)",
+    doc="Per-dimension symmetric int8 quantization of the embedding "
+        "column with a reconstruction-error audit: scale each dimension "
+        "by 127/max|v|, round half-away-from-zero (the engine's shared "
+        "floor/ceil form — identical IEEE ops on both engines), clamp to "
+        "[-127, 127], and report the worst dequantization error per "
+        "dimension. Every aggregate is a MIN/MAX over identical double "
+        "sets (order-independent), so parity is exact with no fixed-point "
+        "machinery. Scale: two shuffles keyed by dimension index (64 "
+        "keys — partial agg collapses each task's contribution first); "
+        "the per-dim scale table is 64 rows, broadcast back for the "
+        "quantize pass. The storage step for shipping embeddings to an "
+        "ANN index at 4× compression.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("pos", "v"))
+    amax = (e.groupBy("pos").agg(F.max(F.abs(F.col("v"))).alias("amax"))
+            .filter(F.col("amax") > 0))
+    j = e.join(F.broadcast(amax), "pos")
+    scaled = F.col("v") * (F.lit(127.0) / F.col("amax"))
+    qv = F.greatest(F.lit(-127.0), F.least(F.lit(127.0), F.when(
+        scaled >= 0, F.floor(scaled + 0.5)).otherwise(
+        F.ceil(scaled - 0.5)).cast("double")))
+    err = F.abs(F.col("v") - qv * (F.col("amax") / F.lit(127.0)))
+    return (j.select("pos", "amax", err.alias("err"))
+            .groupBy("pos", "amax")
+            .agg(F.max("err").alias("max_abs_err"),
+                 F.count("*").alias("n_values")))

@@ -1024,3 +1024,63 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 3)
             .select("doc_id", "term", "score", "rk"))
+
+
+@query(
+    "dedup_cluster_representative",
+    oracle=(_sql_shingle_cte(SQL_AUG_NEAR) + """,
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.6
+            UNION ALL
+            SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.6
+        ),
+        reach AS (
+            SELECT doc_id AS doc, doc_id AS r FROM aug
+            UNION
+            SELECT reach.doc, e.dst
+            FROM reach JOIN edges e ON reach.r = e.src
+        ),
+        clusters AS (
+            SELECT doc AS doc_id, MIN(r) AS cluster_id
+            FROM reach GROUP BY doc
+        ),
+        sized AS (
+            SELECT c.cluster_id, a.doc_id, len(a.text) AS n_chars
+            FROM clusters c JOIN aug a ON c.doc_id = a.doc_id
+        )
+        SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars,
+               cluster_size
+        FROM (SELECT cluster_id, doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                        ORDER BY n_chars DESC, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY cluster_id)
+                         AS cluster_size
+              FROM sized) ranked
+        WHERE rn = 1
+    """).replace("WITH ", "WITH RECURSIVE ", 1),
+    category="extension: dedup (cluster representative selection)",
+    doc="Canonical-document selection after transitive dedup: per "
+        "connected component, keep the longest document (ties → lowest "
+        "doc id) — the 'which copy survives' step that turns dedup "
+        "clusters into an actual training corpus. Built as clusters → "
+        "join docs → per-cluster ROW_NUMBER over (length DESC, id); "
+        "the rank and the size share one window partition. Scale: the "
+        "only new shuffle beyond clustering is one hash partition by "
+        "cluster_id; cluster cardinality ≈ corpus size, and per-cluster "
+        "group sizes are tiny (dedup clusters are shallow), so no skew.",
+)
+def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    docs = _augment_near(load_table(spark, sf_dir, "documents"))
+    clusters = dedup.dedup_clusters(docs, threshold=0.6)
+    sized = clusters.join(docs, "doc_id").select(
+        "cluster_id", "doc_id", F.length("text").alias("n_chars"))
+    w = Window.partitionBy("cluster_id")
+    ranked = sized.select(
+        "cluster_id", "doc_id", "n_chars",
+        F.row_number().over(w.orderBy(F.desc("n_chars"), "doc_id"))
+        .alias("rn"),
+        F.count("*").over(w).alias("cluster_size"))
+    return (ranked.filter(F.col("rn") == 1)
+            .select("cluster_id", F.col("doc_id").alias("rep_doc_id"),
+                    F.col("n_chars").alias("rep_n_chars"), "cluster_size"))

@@ -1,6 +1,7 @@
-"""Remaining TPC-H query shapes (Q4, Q7-Q10, Q13, Q16, Q17, Q19, Q20, Q22),
-adapted to the driver's narrowed star schema (no partsupp table, no
-l_commitdate/l_receiptdate, no c_phone — each adaptation is noted per query).
+"""Remaining TPC-H query shapes (Q2, Q4, Q7-Q11, Q13, Q15-Q17, Q19-Q22 —
+with relational_queries.py this completes all 22), adapted to the driver's
+narrowed star schema (no partsupp table, no l_commitdate/l_receiptdate, no
+c_phone — each adaptation is noted per query).
 
 The reference has no joins at all (SURVEY §2.10), so like
 relational_queries.py this module is beyond-reference extension coverage:
@@ -509,3 +510,217 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (od.cube("o_orderstatus", "o_orderpriority")
             .agg(F.count("*").alias("n_orders"),
                  exact_sum("o_totalprice", 100).alias("total_price")))
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH supply AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey),
+        eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE')
+        SELECT p_partkey, p_name, s_name, s_acctbal, n_name, unit_cost
+        FROM supply
+          JOIN eu   ON l_suppkey = s_suppkey
+          JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'STANDARD' AND p_size >= 40
+          AND unit_cost = (SELECT MIN(s2.unit_cost)
+                           FROM supply s2 JOIN eu e2
+                             ON s2.l_suppkey = e2.s_suppkey
+                           WHERE s2.l_partkey = p_partkey)
+    """,
+    category="extension: correlated scalar-min subquery (TPC-H Q2 shape)",
+    doc="Minimum-cost supplier per part within a region (adapted: the "
+        "fixture has no partsupp, so supply cost is the observed minimum "
+        "unit price MIN(l_extendedprice/l_quantity) per (part, supplier) "
+        "derived from lineitem; reference TPC-H Q2 reads ps_supplycost). "
+        "The correlated scalar MIN decorrelates into a window MIN over "
+        "partkey followed by an equality filter — one extra shuffle on "
+        "partkey, no per-row subquery. Cross-engine float safety: the "
+        "compared values are MINs of identical double sets (min is "
+        "order-independent), so the equality is exact on both engines. "
+        "Scale: supply is a lineitem rollup (shuffle on part+supp); the "
+        "region-filtered supplier side broadcasts only nation/region "
+        "(constant); the part filter is scan-pushed.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = (li.groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                   .alias("unit_cost")))
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    su = load_table(spark, sf_dir, "supplier")
+    su = joins.broadcast_dim_join(
+        su, na, F.col("s_nationkey") == F.col("n_nationkey"))
+    su = joins.broadcast_dim_join(
+        su, re, F.col("n_regionkey") == F.col("r_regionkey"))
+    pa = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") >= 40))
+    cand = (supply.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(pa, F.col("p_partkey") == F.col("l_partkey")))
+    w = Window.partitionBy("p_partkey")
+    return (cand.withColumn("min_cost", F.min("unit_cost").over(w))
+            .filter(F.col("unit_cost") == F.col("min_cost"))
+            .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name",
+                    "unit_cost"))
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+        WITH natl AS (
+            SELECT l_partkey AS p_partkey,
+                   CAST(SUM({sql_units('l_extendedprice * l_quantity', 100)})
+                        AS BIGINT) AS units
+            FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY l_partkey)
+        SELECT p_partkey, units / 100.0 AS part_value
+        FROM natl
+        WHERE units > 0.001 * (SELECT SUM(units) FROM natl)
+    """,
+    category="extension: HAVING vs scalar-subquery total (TPC-H Q11 shape)",
+    doc="Important stock identification (adapted: part value is "
+        "SUM(l_extendedprice * l_quantity) over one nation's line items — "
+        "the fixture has no partsupp availqty/supplycost). The grand-total "
+        "scalar subquery evaluates once and broadcasts; the per-part "
+        "threshold compare happens in integer unit space scaled by a "
+        "float fraction, so both engines compare the same exact int64 "
+        "against the same double. Scale: one shuffle to roll up partkey; "
+        "the nation filter prunes the supplier join input; the rolled-up "
+        "CTE is computed once and reused for both the total and the "
+        "per-part rows (Spark: cached two-consumer plan is unnecessary — "
+        "the total is a 1-row broadcast).",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    na = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3")
+    su = load_table(spark, sf_dir, "supplier")
+    su = joins.broadcast_dim_join(
+        su, na, F.col("s_nationkey") == F.col("n_nationkey"))
+    units = units_col(F.col("l_extendedprice") * F.col("l_quantity"), 100)
+    natl = (li.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy(F.col("l_partkey").alias("p_partkey"))
+            .agg(F.sum(units).alias("units")))
+    total = natl.agg(F.sum("units").alias("total_units"))
+    return (natl.crossJoin(F.broadcast(total))
+            .filter(F.col("units") > 0.001 * F.col("total_units"))
+            .select("p_partkey", (F.col("units") / 100.0).alias("part_value")))
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(SUM({sql_units('l_extendedprice * (1 - l_discount)',
+                                       10000)}) AS BIGINT) AS units
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, units / 10000.0 AS total_revenue
+        FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        WHERE units = (SELECT MAX(units) FROM rev)
+    """,
+    category="extension: argmax vs scalar-subquery max (TPC-H Q15 shape)",
+    doc="Top supplier by quarterly revenue: the revenue 'view' (CTE) is "
+        "referenced twice — once for the per-supplier rows, once for the "
+        "scalar MAX — and the equality keeps every tied supplier, exactly "
+        "TPC-H Q15's semantics. Revenue is a fixed-point int64 sum, so "
+        "the tie compare is exact integer equality on both engines (a "
+        "double SUM here could split ties differently per engine). "
+        "Scale: one shuffle on suppkey for the rollup; the MAX is a "
+        "1-row broadcast; supplier join is AQE-sized.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00")))
+    units = units_col(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      10000)
+    rev = (li.groupBy("l_suppkey").agg(F.sum(units).alias("units")))
+    mx = rev.agg(F.max("units").alias("max_units"))
+    su = load_table(spark, sf_dir, "supplier")
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("units") == F.col("max_units"))
+            .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
+            .select("s_suppkey", "s_name",
+                    (F.col("units") / 10000.0).alias("total_revenue")))
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+          JOIN orders   ON o_orderkey = l1.l_orderkey
+          JOIN supplier ON s_suppkey = l1.l_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND n_name = 'NATION_2'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate >
+                                o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    category="extension: EXISTS + NOT EXISTS double correlation "
+             "(TPC-H Q21 shape)",
+    doc="Suppliers who kept orders waiting (adapted: 'late' is "
+        "l_shipdate > o_orderdate + 60 days — the fixture has no "
+        "l_commitdate/l_receiptdate). The oracle keeps the literal "
+        "EXISTS / NOT EXISTS double correlation; the Spark plan uses the "
+        "decorrelated one-aggregation rewrite: per order, count distinct "
+        "suppliers and distinct LATE suppliers, then a late line qualifies "
+        "iff its order has >1 supplier and exactly 1 late supplier — "
+        "provably the same set, and it replaces two correlated semi/anti "
+        "joins with one reusable aggregation on the already-shuffled "
+        "orderkey partitioning (no extra exchange: join output and "
+        "groupBy share the key). Top-20 via orderBy+limit → "
+        "TakeOrderedAndProject; (numwait DESC, s_name) is a total order "
+        "so the cut is deterministic on both engines.",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    j = (li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+         .withColumn("late", F.col("l_shipdate")
+                     > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
+        .alias("n_late_supp"))
+    qualifying = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)) \
+        .select(F.col("l_orderkey").alias("q_orderkey"))
+    cand = j.filter(F.col("late")).join(
+        qualifying, F.col("l_orderkey") == F.col("q_orderkey"))
+    na = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_2")
+    su = load_table(spark, sf_dir, "supplier")
+    su = joins.broadcast_dim_join(
+        su, na, F.col("s_nationkey") == F.col("n_nationkey"))
+    return (cand.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name").agg(F.count("*").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name").limit(20))
