@@ -423,3 +423,139 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pos", "amax")
             .agg(F.max("err").alias("max_abs_err"),
                  F.count("*").alias("n_values")))
+
+
+# mixture rebalancing: target corpus share per language (uniform here);
+# sampling decisions are content-hashed, rates derived from exact counts
+MIX_RATE_SCALE = 10000
+
+# scalar poly-31 code of "lang-<doc_id>" (mirrors functions/text.word_code)
+_sql_mix_code = (
+    f"list_reduce([CAST(0 AS BIGINT)] || "
+    f"list_transform(string_split(d.lang || '-' || "
+    f"CAST(d.doc_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT)), "
+    f"(a, b) -> (a * 31 + b) % {HASH_MOD})")
+
+
+@query(
+    "sample_weighted_mixture",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n_orig FROM documents GROUP BY lang),
+        rates AS (
+            SELECT lang, n_orig,
+                   LEAST({MIX_RATE_SCALE}, CAST(floor(
+                       ({MIX_RATE_SCALE}.0 / (SELECT COUNT(*) FROM counts))
+                       * (SELECT SUM(n_orig) FROM counts) / n_orig)
+                       AS BIGINT)) AS rate_units
+            FROM counts),
+        kept AS (
+            SELECT d.lang,
+                   COUNT(*) FILTER (WHERE
+                       {_sql_mix_code} % {MIX_RATE_SCALE} < rate_units)
+                       AS n_kept
+            FROM documents d JOIN rates USING (lang)
+            GROUP BY d.lang)
+        SELECT c.lang, c.n_orig, r.rate_units, k.n_kept
+        FROM counts c JOIN rates r ON c.lang = r.lang
+                      JOIN kept  k ON c.lang = k.lang
+    """,
+    category="extension: curation (mixture rebalancing)",
+    doc="Corpus-mixture rebalancing: derive a per-language sampling rate "
+        "from OBSERVED counts vs a uniform target share (downsample "
+        "over-represented languages toward equal mixture, capped at "
+        "keep-everything), then select rows by deterministic content "
+        "hash — the up/down-sampling step that turns a raw crawl into a "
+        "target training mixture, reproducible across engines and "
+        "reruns (no RNG). Rates are floor'd integer units derived from "
+        "exact counts, so both engines compare the same int64s. Scale: "
+        "pass 1 is one tiny groupBy(lang); rates broadcast back; pass 2 "
+        "is a stateless map-side filter — the pattern works identically "
+        "when 'lang' is a 10k-source mixture column.",
+)
+def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.functions.text import word_code
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_orig"))
+    tot = counts.agg(F.sum("n_orig").alias("n_total"),
+                     F.count("*").alias("n_langs"))
+    rates = (counts.crossJoin(F.broadcast(tot))
+             .select("lang", "n_orig", F.least(
+                 F.lit(MIX_RATE_SCALE).cast("long"),
+                 F.floor((F.lit(float(MIX_RATE_SCALE)) / F.col("n_langs"))
+                         * F.col("n_total") / F.col("n_orig")))
+                 .alias("rate_units")))
+    bucket = word_code(
+        F.concat(F.col("lang"), F.lit("-"),
+                 F.col("doc_id").cast("string"))) % MIX_RATE_SCALE
+    kept = (docs.join(F.broadcast(rates), "lang")
+            .groupBy("lang")
+            .agg(F.count(F.when(bucket < F.col("rate_units"), 1))
+                 .alias("n_kept")))
+    return (counts.join(rates.select("lang", "rate_units"), "lang")
+            .join(kept, "lang")
+            .select("lang", "n_orig", "rate_units", "n_kept"))
+
+
+Z_BITS = 8  # bits per dimension interleaved into the Z-value
+
+
+def _z_interleave_sql(k1: str, k2: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({k1} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({k2} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_layout_audit",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT (o_custkey % 256) AS k1,
+                   (CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                         AS BIGINT) % 256) AS k2
+            FROM orders),
+        z AS (
+            SELECT k1, k2, ({_z_interleave_sql('k1', 'k2')}) AS zval
+            FROM keyed)
+        SELECT CAST(floor(zval / 4096.0) AS BIGINT) AS file_id,
+               COUNT(*) AS n_rows,
+               MIN(k1) AS min_k1, MAX(k1) AS max_k1,
+               MIN(k2) AS min_k2, MAX(k2) AS max_k2
+        FROM z GROUP BY file_id
+    """,
+    category="extension: storage layout (Z-order clustering)",
+    doc="Z-order (Morton) clustering audit: interleave the bits of two "
+        "query dimensions (customer, order day) into one sort key, model "
+        "file assignment as fixed Z-ranges, and report each file's "
+        "min/max on BOTH dimensions — the footer stats a scan would "
+        "prune with. Under a linear sort on either key alone the other "
+        "key's per-file range spans the whole domain (no skipping); "
+        "under the Z-order both ranges stay narrow (each file covers "
+        "64 of 256 values on BOTH dims — visible in the audit output "
+        "itself), so predicates on EITHER dimension prune most files. Pure integer bit arithmetic — identical on "
+        "both engines. Scale: this is the layout pass a 100 TB table "
+        "runs once at write time (repartitionByRange on zval + "
+        "sortWithinPartitions) to make every later scan cheaper; the "
+        "audit itself is one groupBy on the bucketed key.",
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    k1 = (F.col("o_custkey") % 256).alias("k1")
+    k2 = (F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1970-01-01").cast("date")).cast("long")
+          % 256).alias("k2")
+    keyed = od.select(k1, k2)
+    zval = None
+    for i in range(Z_BITS):
+        t1 = F.shiftleft(F.shiftright(F.col("k1"), i).bitwiseAND(1), 2 * i)
+        t2 = F.shiftleft(F.shiftright(F.col("k2"), i).bitwiseAND(1),
+                         2 * i + 1)
+        zval = t1 + t2 if zval is None else zval + t1 + t2
+    z = keyed.withColumn("zval", zval)
+    return (z.groupBy(F.floor(F.col("zval") / 4096).cast("long")
+                      .alias("file_id"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("k1").alias("min_k1"), F.max("k1").alias("max_k1"),
+                 F.min("k2").alias("min_k2"), F.max("k2").alias("max_k2")))
