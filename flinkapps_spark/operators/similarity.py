@@ -149,51 +149,73 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.99,
     w = float(math.sqrt(2.0 - 2.0 * (threshold - 5e-7)) * 1.02)
     PRE = 16  # prefix length for the Cauchy-Schwarz candidate bound
 
+    # encode all GRID_DIMS cell coords into ONE long in balanced base B:
+    # key = Σ cell_i · B^i.  Injective while every digit |cell_i ± 1| < B/2;
+    # cells are floor(unit_component / w) ∈ [−⌈1/w⌉, ⌈1/w⌉], so B sized
+    # from the threshold keeps headroom.  Neighbor probing becomes
+    # ADDITIVE: probing (cell_i + d_i) ∀i is key + Σ d_i·B^i — the 3^d
+    # probe offsets collapse to 3^d precomputed long deltas, and the
+    # candidate join runs on a single long equality instead of d separate
+    # key columns (smaller shuffle rows, one-word hash).
+    import math as _math
+    max_cell = int(_math.ceil(1.0 / w)) + 1
+    base = 2 * (max_cell + 2) + 1
+    if base ** GRID_DIMS >= (1 << 62):  # pathological threshold → too many
+        raise ValueError(  # cells per axis to pack into one long
+            f"threshold {threshold} needs base {base}^{GRID_DIMS}; "
+            "lower GRID_DIMS or use exhaustive=True")
+
     def with_cells(side: DataFrame, vec: str, p: str) -> DataFrame:
-        # per-row precomputations carried through the probe join INSTEAD of
-        # the full vector: prefix slice + prefix/tail/full norms.  The join
-        # payload shrinks 4× and each candidate pays a PRE-element fold,
-        # not a full-dim one.
+        # per-row precomputations used by the bound filter: prefix slice +
+        # prefix/tail/full norms.  Kept OFF the probe fan-out (below) and
+        # joined back by id only for actual candidates.
         out = (side
                .withColumn(f"{p}nrm", l2_norm(F.col(vec)))
                .withColumn(f"{p}pre", F.slice(F.col(vec), 1, PRE))
                .withColumn(f"{p}tail",
                            l2_norm(F.slice(F.col(vec), PRE + 1, 1 << 30))))
+        key = None
         for i in range(GRID_DIMS):
-            out = out.withColumn(
-                f"{p}{i}",
-                F.floor(F.element_at(F.col(vec), i + 1)
-                        / F.col(f"{p}nrm") / w).cast("long"))
-        return out.drop(vec)
+            cell = F.floor(F.element_at(F.col(vec), i + 1)
+                           / F.col(f"{p}nrm") / w).cast("long")
+            term = cell * F.lit(base ** i).cast("long")
+            key = term if key is None else key + term
+        return out.withColumn(f"{p}key", key).drop(vec)
 
     ca = with_cells(a.select("id_a", "va"), "va", "ca")
     cb = with_cells(b.select("id_b", "vb"), "vb", "cb")
     # probe side A into its 3^d neighbor cells; B stays at its home cell,
     # so every candidate pair is generated exactly once (no dedup pass).
-    # The offsets ship as a broadcast 3^d-row table (BroadcastNestedLoop
-    # fan-out + d additions per row) — building a 3^d-element struct array
-    # per input row via explode costs ~20× more expression evaluation.
+    # The deltas ship as a broadcast 3^d-row single-column table
+    # (BroadcastNestedLoop fan-out + one addition per probe row) —
+    # building a 3^d-element array per input row via explode costs ~20×
+    # more expression evaluation.  CRITICALLY the fan-out rows carry ONLY
+    # (id, probe key): hauling the prefix payload through the 3^d
+    # replication costs ~10× the bytes (measured 1.5× wall at sf0.1) —
+    # the payload re-joins by id below, paying |candidates| not
+    # 3^d·|corpus| rows.
     from itertools import product
     spark = df.sparkSession
-    offsets = spark.createDataFrame(
-        list(product((-1, 0, 1), repeat=GRID_DIMS)),
-        ", ".join(f"d{i} int" for i in range(GRID_DIMS)))
-    pa = (ca.crossJoin(F.broadcast(offsets))
-          .select("id_a", "capre", "catail", "canrm",
-                  *[(F.col(f"ca{i}") + F.col(f"d{i}")).alias(f"p{i}")
-                    for i in range(GRID_DIMS)]))
-    cond = (F.col("id_a") < F.col("id_b"))
-    for i in range(GRID_DIMS):
-        cond = cond & (F.col(f"p{i}") == F.col(f"cb{i}"))
+    deltas = spark.createDataFrame(
+        [(sum(d * base ** i for i, d in enumerate(ds)),)
+         for ds in product((-1, 0, 1), repeat=GRID_DIMS)],
+        "delta long")
+    pa = (ca.select("id_a", "cakey").crossJoin(F.broadcast(deltas))
+          .select("id_a", (F.col("cakey") + F.col("delta")).alias("pkey")))
+    cond = (F.col("pkey") == F.col("cbkey")) & (F.col("id_a") < F.col("id_b"))
     from flinkapps_spark.functions.vectors import cosine_similarity, dot
     # exact prefilter: dot(a,b) = dot(pre) + dot(tailₐ,tail_b)
     #                ≤ dot(pre) + ‖tailₐ‖·‖tail_b‖   (Cauchy-Schwarz)
     # so any pair the final filter keeps (cos ≥ t − 5e-7 after 6-dp
     # rounding) satisfies the bound with a 1e-3 slack — no recall loss.
     # Random candidates bound out at ~‖tailₐ‖‖tail_b‖ ≪ t·‖a‖‖b‖.
+    # The a-side payload join is AQE-sized (broadcast when the corpus
+    # digest fits, shuffle-hash keyed by id otherwise).
     bound = (dot(F.col("capre"), F.col("cbpre"))
              + F.col("catail") * F.col("cbtail"))
     survivors = (pa.join(cb, cond)
+                 .join(ca.select("id_a", "capre", "catail", "canrm"),
+                       "id_a")
                  .filter(bound >= (threshold - 1e-3)
                          * F.col("canrm") * F.col("cbnrm"))
                  .select("id_a", "id_b"))
