@@ -693,9 +693,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "suppliers and distinct LATE suppliers, then a late line qualifies "
         "iff its order has >1 supplier and exactly 1 late supplier — "
         "provably the same set, and it replaces two correlated semi/anti "
-        "joins with one reusable aggregation on the already-shuffled "
-        "orderkey partitioning (no extra exchange: join output and "
-        "groupBy share the key). Top-20 via orderBy+limit → "
+        "joins with a two-level aggregation ((orderkey, suppkey) → "
+        "max(late), then orderkey), chosen over a double countDistinct "
+        "whose Expand doubles rows and shuffles on a wide gid key; an "
+        "orderkey partitioning satisfies both levels. Top-20 via "
+        "orderBy+limit → "
         "TakeOrderedAndProject; (numwait DESC, s_name) is a total order "
         "so the cut is deterministic on both engines.",
 )
@@ -707,10 +709,17 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
          .withColumn("late", F.col("l_shipdate")
                      > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
-    per_order = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
-        .alias("n_late_supp"))
+    # two-level agg instead of a double countDistinct: the multi-distinct
+    # form Expands every row with a gid column and shuffles on the wide
+    # (orderkey, suppkey, case, gid) key; (orderkey, suppkey) → max(late)
+    # then orderkey keeps keys narrow, and an orderkey partitioning
+    # satisfies BOTH levels (no extra exchange between them)
+    per_order = (j.groupBy("l_orderkey", "l_suppkey")
+                 .agg(F.max("late").alias("supp_late"))
+                 .groupBy("l_orderkey")
+                 .agg(F.count("*").alias("n_supp"),
+                      F.count(F.when(F.col("supp_late"), 1))
+                      .alias("n_late_supp")))
     qualifying = per_order.filter(
         (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)) \
         .select(F.col("l_orderkey").alias("q_orderkey"))
