@@ -59,6 +59,7 @@ def _load_all() -> None:
         tpch_extra_queries,
         pipeline_queries,
         curation_queries,
+        graph_queries,
         streaming_queries,
     )
 

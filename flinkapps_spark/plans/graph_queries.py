@@ -1,0 +1,147 @@
+"""Iterative graph-analytics queries over an event-derived graph:
+PageRank and triangle counting.
+
+The fixture has no explicit edge table, so both queries derive a
+deterministic directed graph from ``events``:
+``src = user_id``, ``dst = (user_id + 1 + event_id % 97) % 150`` —
+pure integer arithmetic, identical on both engines (the +1 guarantees
+dst != src for user_id < 150, and % 97 spreads fan-out).
+
+Float policy (SCALE.md): PageRank runs ENTIRELY in fixed-point int64
+units — per-edge contributions use exact integer division (``div`` /
+``//``), the damping multiply is the single double op per iteration and
+both engines compute the identical ``0.85 * (exact int as double)``
+product before re-rounding with the shared floor form.  Parity is exact
+after any number of iterations; no tolerance anywhere.
+
+Connected components (the other standard iterative algorithm) lives in
+operators/dedup.py as min-label propagation (dedup_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.sources.batch import load_table
+
+PR_SCALE = 1_000_000     # fixed-point units per 1.0 of rank
+PR_DAMPING = 0.85
+PR_ITERATIONS = 5
+_SQL_EDGES = ("SELECT user_id AS src, "
+              "(user_id + 1 + event_id % 97) % 150 AS dst FROM events")
+
+
+def _sql_pagerank() -> str:
+    """Chained-CTE oracle: one CTE per iteration (k is small and fixed;
+    a recursive CTE would hide the per-iteration structure)."""
+    base = int(round((1 - PR_DAMPING) * PR_SCALE))
+    parts = [f"""
+        WITH edges AS ({_SQL_EDGES}),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        pr0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes)"""]
+    for i in range(PR_ITERATIONS):
+        parts.append(f""",
+        pr{i + 1} AS (
+            SELECT n.node,
+                   CAST({base} + floor({PR_DAMPING}
+                        * COALESCE(s.m, 0) + 0.5) AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, SUM(p.pr // d.d) AS m
+                FROM edges e
+                  JOIN pr{i} p ON e.src = p.node
+                  JOIN deg  d ON e.src = d.src
+                GROUP BY e.dst) s ON n.node = s.node)""")
+    parts.append(f"""
+        SELECT node AS user_id, pr / {PR_SCALE}.0 AS pagerank
+        FROM pr{PR_ITERATIONS}""")
+    return "".join(parts)
+
+
+@query(
+    "graph_pagerank",
+    oracle=_sql_pagerank(),
+    category="extension: graph (iterative PageRank)",
+    doc="PageRank, 5 damped iterations, EXACT cross-engine parity: rank "
+        "is int64 units; per-edge contribution is exact integer division "
+        "rank div out_degree; the one double op per iteration "
+        "(0.85 * inbound_sum) is computed from an exact-in-double int64 "
+        "and re-rounded with the shared floor form — no accumulated "
+        "float drift, no tolerance. Dangling mass follows the simplified "
+        "convention (dropped) identically on both sides. Scale: each "
+        "iteration is one join keyed by src (degree table broadcast-"
+        "sized) and one shuffle keyed by dst; localCheckpoint per round "
+        "truncates the growing lineage exactly like dedup_clusters; "
+        "edges re-partition once and stay cached across iterations.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") + 1 + F.col("event_id") % 97) % 150)
+        .alias("dst")).persist()
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    base = int(round((1 - PR_DAMPING) * PR_SCALE))
+    ranks = nodes.withColumn("pr", F.lit(PR_SCALE).cast("long"))
+    for _ in range(PR_ITERATIONS):
+        contrib = (edges
+                   .join(ranks, edges.src == ranks.node)
+                   .join(F.broadcast(deg), "src")
+                   .select("dst", F.expr("pr div d").alias("c")))
+        inbound = contrib.groupBy("dst").agg(F.sum("c").alias("m"))
+        ranks = (nodes.join(inbound, nodes.node == inbound.dst, "left")
+                 .select("node",
+                         (F.lit(base) + F.floor(
+                             F.lit(PR_DAMPING) * F.coalesce("m", F.lit(0))
+                             + F.lit(0.5))).cast("long").alias("pr"))
+                 ).localCheckpoint()
+    out = ranks.select(F.col("node").alias("user_id"),
+                       (F.col("pr") / float(PR_SCALE)).alias("pagerank"))
+    edges.unpersist()
+    nodes.unpersist()
+    return out
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+        WITH und AS (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ({_SQL_EDGES}) WHERE src <> dst)
+        SELECT COUNT(*) AS n_triangles
+        FROM und e1
+          JOIN und e2 ON e1.b = e2.a
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    category="extension: graph (triangle counting)",
+    doc="Triangle count on the undirected, deduplicated event graph via "
+        "the ordered-wedge join: edges normalized to a < b, wedges "
+        "(a<b<c) built by joining on the middle vertex, then closed "
+        "against the edge set — each triangle counted exactly once, no "
+        "orientation double-count. Scale: the classic MapReduce triangle "
+        "algorithm; both joins shuffle on a single vertex key, and the "
+        "a<b normalization halves the edge set up front. Skewed hub "
+        "vertices dominate wedge counts — AQE skew-split applies; the "
+        "degree-ordering refinement (orient edges low-degree → "
+        "high-degree) is the documented next step if hubs grow.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(F.col("user_id").alias("src"),
+                  ((F.col("user_id") + 1 + F.col("event_id") % 97) % 150)
+                  .alias("dst")).filter(F.col("src") != F.col("dst"))
+    und = (e.select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"))
+           .distinct().persist())
+    e1 = und.select(F.col("a").alias("w_a"), F.col("b").alias("w_m"))
+    e2 = und.select(F.col("a").alias("x_m"), F.col("b").alias("w_c"))
+    wedges = e1.join(e2, F.col("w_m") == F.col("x_m"))
+    closed = wedges.join(
+        und, (F.col("w_a") == F.col("a")) & (F.col("w_c") == F.col("b")))
+    out = closed.agg(F.count("*").alias("n_triangles"))
+    return out

@@ -1647,3 +1647,66 @@ def window_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", raw.alias("raw_value"),
         F.last(raw, ignorenulls=True).over(w).alias("filled_value"))
+
+
+@query(
+    "events_scd2_history",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(event_type) OVER w IS NULL
+                         OR event_type <> LAG(event_type) OVER w
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        seg AS (
+            SELECT user_id, ts, event_type,
+                   SUM(chg) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM ordered
+        ),
+        spans AS (
+            SELECT user_id, sid, event_type,
+                   MIN(ts) AS valid_from, COUNT(*) AS n_events
+            FROM seg GROUP BY user_id, sid, event_type
+        )
+        SELECT user_id, event_type, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY sid) AS valid_to,
+               n_events
+        FROM spans
+    """,
+    category="extension: SCD2 dimension history",
+    doc="Type-2 slowly-changing-dimension build: collapse each user's "
+        "event stream into validity intervals — one row per RUN of equal "
+        "attribute values, [valid_from, valid_to) half-open, NULL "
+        "valid_to on the current row — the warehouse dimension-history "
+        "pattern (Kimball SCD type 2), derived with gaps-and-islands "
+        "(change-flag → running segment id → per-segment span + LEAD). "
+        "Change points trigger on VALUE transitions, complementing "
+        "events_sessionize's time-gap islands. Order is (ts, event_id) — "
+        "a total order, so segments are deterministic under equal "
+        "timestamps. Scale: everything partitions by user_id — two "
+        "window passes and one aggregate over the same partitioning, "
+        "a single shuffle; no cross-user data movement.",
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        1).otherwise(0)
+    seg = ev.withColumn(
+        "sid", F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    spans = (seg.groupBy("user_id", "sid", "event_type")
+             .agg(F.min("ts").alias("valid_from"),
+                  F.count("*").alias("n_events")))
+    w2 = Window.partitionBy("user_id").orderBy("sid")
+    return spans.select(
+        "user_id", "event_type", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"), "n_events")
