@@ -1710,3 +1710,62 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.select(
         "user_id", "event_type", "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"), "n_events")
+
+
+@query(
+    "events_zscore_outliers",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id, event_id, value,
+                   {sql_units('value', 10000)} AS uv
+            FROM events),
+        stats AS (
+            SELECT user_id,
+                   COUNT(*) AS n,
+                   CAST(SUM(uv) AS BIGINT) AS s1,
+                   CAST(SUM(uv * uv) AS BIGINT) AS s2
+            FROM u GROUP BY user_id),
+        scored AS (
+            SELECT u.user_id, u.event_id, u.value,
+                   (s1 / 10000.0) / n AS mean,
+                   sqrt(GREATEST(0.0,
+                       (s2 / 100000000.0) / n
+                       - ((s1 / 10000.0) / n) * ((s1 / 10000.0) / n)))
+                       AS sd
+            FROM u JOIN stats ON u.user_id = stats.user_id
+            WHERE n >= 2)
+        SELECT user_id, event_id, value, mean, sd
+        FROM scored
+        WHERE abs(value - mean) > 2.0 * sd AND sd > 0
+    """,
+    category="extension: exact-variance outlier detection",
+    doc="Per-user z-score outliers (|value − mean| > 2σ): mean and "
+        "variance are derived from EXACT integer sums of fixed-point "
+        "units (Σu, Σu²) — the one-pass variance formula over int64 is "
+        "order-independent, so the σ boundary is the identical double on "
+        "both engines (a naive SUM(double)/STDDEV is partition-order "
+        "dependent and flips boundary rows between engines). Σu² fits "
+        "int64 for |value|·10⁴ < 3×10⁹ per term at this unit scale; at "
+        "wider domains drop the unit scale accordingly. Scale: one "
+        "groupBy(user_id) for moments, stats join back AQE-sized — two "
+        "shuffles on the same key; no window sort needed.",
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        units_col(F.col("value"), 10000).alias("uv"))
+    stats = (ev.groupBy("user_id")
+             .agg(F.count("*").alias("n"),
+                  F.sum("uv").alias("s1"),
+                  F.sum(F.col("uv") * F.col("uv")).alias("s2"))
+             .filter(F.col("n") >= 2))
+    mean = (F.col("s1") / 10000.0) / F.col("n")
+    sd = F.sqrt(F.greatest(
+        F.lit(0.0),
+        (F.col("s2") / 100000000.0) / F.col("n") - mean * mean))
+    scored = (ev.join(stats, "user_id")
+              .select("user_id", "event_id", "value",
+                      mean.alias("mean"), sd.alias("sd")))
+    return scored.filter(
+        (F.abs(F.col("value") - F.col("mean")) > 2.0 * F.col("sd"))
+        & (F.col("sd") > 0))
