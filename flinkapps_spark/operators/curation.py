@@ -19,6 +19,8 @@ CONTAM_MIN_SHARED = 5      # shared shingles before a doc counts as contaminated
 CHUNK_WINDOW = 40          # words per training chunk
 CHUNK_STRIDE = 20          # overlap = WINDOW - STRIDE
 PACK_BUDGET = 256          # tokens per packed sequence
+BOILER_MIN_DOCS = 3        # shingle in ≥ this many docs counts as "common"
+BOILER_FRAC = 0.15         # doc flagged when ≥ this fraction of shingles common
 
 # PII patterns restricted to syntax Java regex and RE2/DuckDB agree on
 # (character classes, +, ?, {m,n} — no lookaround).  Order matters: emails
@@ -55,6 +57,49 @@ def contamination_flags(docs: DataFrame, bench: DataFrame,
                     F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
                     (F.coalesce("n_shared", F.lit(0)) >= min_shared)
                     .alias("contaminated")))
+
+
+def boilerplate_flags(docs: DataFrame, min_docs: int = BOILER_MIN_DOCS,
+                      frac: float = BOILER_FRAC, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Corpus-frequency boilerplate detection (the C4/RefinedWeb-style
+    "repeated across many pages" filter, applied at shingle granularity):
+    a 3-word shingle is *common* when it appears in ≥ ``min_docs``
+    distinct documents; a document is flagged when ≥ ``frac`` of its
+    distinct shingles are common.
+
+    Plan (two shuffles, one join, no doc-to-doc comparison):
+    1. inverted index (doc, code) with per-doc-distinct codes;
+    2. groupBy(code) → document frequency  [shuffle 1, partial agg];
+    3. join index ⋈ freq on code — freq is already hash-partitioned by
+       code from step 2, so Spark reuses that exchange and only the
+       index side shuffles (same key);
+    4. groupBy(doc) computes n_shingles and n_common in one pass
+       [shuffle 2].
+
+    Unlike :func:`contamination_flags` the frequency table derives from
+    the full corpus, so it is NOT broadcast — the join stays a shuffle
+    hash join keyed by shingle code, which is how it must run at 100 TB
+    (the common subset alone can be millions of shingles).
+    """
+    sh = doc_shingle_table(docs, text_col, id_col)      # per-doc DISTINCT
+    freq = sh.groupBy("code").agg(F.count("*").alias("nd"))
+    per_doc = (sh.join(freq, "code")
+               .groupBy("doc")
+               .agg(F.count("*").alias("n_shingles"),
+                    F.count(F.when(F.col("nd") >= min_docs, 1))
+                    .alias("n_common")))
+    ids = docs.select(F.col(id_col).alias("doc"))
+    n_sh = F.coalesce("n_shingles", F.lit(0)).cast("long")
+    n_co = F.coalesce("n_common", F.lit(0)).cast("long")
+    # int/int → exact IEEE division: bit-identical on both engines
+    bfrac = F.when(n_sh == 0, F.lit(0.0)) \
+        .otherwise(n_co.cast("double") / n_sh)
+    return (ids.join(per_doc, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    n_sh.alias("n_shingles"), n_co.alias("n_common"),
+                    bfrac.alias("boiler_frac"),
+                    (bfrac >= frac).alias("is_boilerplate")))
 
 
 def chunk_windows(docs: DataFrame, window: int = CHUNK_WINDOW,

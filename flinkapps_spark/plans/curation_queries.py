@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from flinkapps_spark.functions.text import HASH_MOD
 from flinkapps_spark.operators import curation
 from flinkapps_spark.operators.curation import (
-    CHUNK_STRIDE, CHUNK_WINDOW, CONTAM_MIN_SHARED, PACK_BUDGET, PII_PATTERNS,
+    BOILER_FRAC, BOILER_MIN_DOCS, CHUNK_STRIDE, CHUNK_WINDOW,
+    CONTAM_MIN_SHARED, PACK_BUDGET, PII_PATTERNS,
 )
 from flinkapps_spark.operators.dedup import SHINGLE_BASE
 from flinkapps_spark.operators.textstats import STOPWORDS
@@ -72,6 +73,46 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return curation.contamination_flags(docs, bench)
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+        WITH wc AS (SELECT doc_id, {SQL_WORD_CODES} AS wcl FROM documents),
+        sh AS (SELECT doc_id, unnest({_sql_shingles('wcl')}) AS code
+               FROM wc WHERE len(wcl) >= 3),
+        freq AS (SELECT code, COUNT(*) AS nd FROM sh GROUP BY code),
+        per AS (SELECT sh.doc_id,
+                       COUNT(*) AS n_shingles,
+                       count_if(f.nd >= {BOILER_MIN_DOCS}) AS n_common
+                FROM sh JOIN freq f USING (code) GROUP BY sh.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(p.n_common, 0) AS BIGINT) AS n_common,
+               CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN 0.0
+                    ELSE CAST(p.n_common AS DOUBLE) / p.n_shingles
+               END AS boiler_frac,
+               (CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN 0.0
+                     ELSE CAST(p.n_common AS DOUBLE) / p.n_shingles
+                END) >= {BOILER_FRAC} AS is_boilerplate
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    category="extension: curation (boilerplate detection)",
+    doc="Corpus-frequency boilerplate detection: a 3-word shingle seen in "
+        "≥3 distinct docs is 'common'; a doc is flagged when ≥15% of its "
+        "distinct shingles are common (the C4/RefinedWeb 'repeated across "
+        "many pages' filter at shingle granularity). Scale: inverted "
+        "index + document-frequency self-join keyed by shingle code — "
+        "shuffle hash join (the frequency table grows with the corpus, so "
+        "no broadcast), never doc-to-doc. Fixture note: at sf0.1 the tiny "
+        "synthetic vocabulary saturates (≈99% of shingles are common, all "
+        "docs flag true); at the driver's sf0.01 the flag splits both "
+        "ways — the continuous n_common/boiler_frac are non-degenerate at "
+        "every sf.",
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.boilerplate_flags(docs)
 
 
 @query(
