@@ -60,6 +60,7 @@ def _load_all() -> None:
         pipeline_queries,
         curation_queries,
         graph_queries,
+        timeseries_queries,
         streaming_queries,
     )
 
