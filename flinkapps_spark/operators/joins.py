@@ -52,9 +52,17 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: Sequence[str],
               ts_col: str, right_ts_col: str | None = None,
               value_cols: Sequence[str] = (),
               direction: str = "backward",
+              tolerance=None,
+              tie_cols: Sequence[str] = (),
               num_buckets: int = 64) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right.ts <= left.ts (direction='backward') within the same key group.
+    ``direction='forward'`` matches the earliest right row with
+    right.ts >= left.ts instead; ``tolerance`` (a ``pandas.Timedelta`` or
+    parseable string like ``"1h"``) bounds how far the match may be.
+    ``tie_cols`` (names from ``value_cols``) break right-side timestamp
+    ties deterministically — without them, equal-ts rows match in
+    partition order, which an oracle cannot reproduce.
 
     Implementation: hash keys into ``num_buckets`` co-partitioned buckets
     (one shuffle each side), then one ``pandas.merge_asof`` per BUCKET with
@@ -85,14 +93,17 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: Sequence[str],
     rt = (right.select(*keys, F.col(right_ts).alias(ts_col), *vals)
           .withColumn("__side", F.lit(1)).withColumn("__bucket", bucket))
 
+    tol = pd.Timedelta(tolerance) if tolerance is not None else None
+    r_sort = [ts_col] + list(tie_cols)
+
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         lpart = pdf[pdf["__side"] == 0][l_cols].sort_values(ts_col)
         rpart = (pdf[pdf["__side"] == 1][keys + [ts_col] + vals]
-                 .sort_values(ts_col))
+                 .sort_values(r_sort))
         if lpart.empty:
             return pd.DataFrame(columns=l_cols + vals)
         merged = pd.merge_asof(lpart, rpart, on=ts_col, by=keys,
-                               direction=direction,
+                               direction=direction, tolerance=tol,
                                suffixes=("", "__r"))
         return merged[l_cols + vals]
 

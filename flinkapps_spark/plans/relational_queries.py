@@ -283,6 +283,56 @@ def join_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["signup_ts", "signup_value"])
 
 
+@query(
+    "join_asof_forward_tol",
+    oracle="""
+        WITH errors AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'error'
+        ), purchases AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT e.event_id, e.user_id, e.ts, e.value,
+               p.next_purchase_id, p.next_purchase_ts, p.next_purchase_value
+        FROM errors e
+        LEFT JOIN LATERAL (
+            SELECT event_id AS next_purchase_id, ts AS next_purchase_ts,
+                   value AS next_purchase_value
+            FROM purchases p
+            WHERE p.user_id = e.user_id
+              AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+            ORDER BY p.ts, p.event_id LIMIT 1) p ON true
+    """,
+    category="extension: as-of join (forward + tolerance)",
+    doc="Forward as-of join with tolerance: for each error event, the "
+        "EARLIEST purchase by the same user within the next hour (the "
+        "time-to-next-conversion / recovery-after-error shape). Same "
+        "co-partitioned merge_asof engine as join_asof_signup with "
+        "direction='forward' and tolerance='1h'; right-side ts ties are "
+        "broken by event_id (tie_cols) so the match is the unique row the "
+        "oracle's ORDER BY ts, event_id LIMIT 1 picks. Scale: sorted "
+        "merge O(n+m) per bucket — the lateral-subquery oracle shape "
+        "would be O(n·m) per key if executed naively; the engine never "
+        "does that.",
+)
+def join_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select("event_id", "user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts",
+                F.col("event_id").alias("next_purchase_id"),
+                F.col("ts").alias("next_purchase_ts"),
+                F.col("value").alias("next_purchase_value"))
+    return joins.asof_join(
+        errors, purchases, key_cols=["user_id"], ts_col="ts",
+        value_cols=["next_purchase_id", "next_purchase_ts",
+                    "next_purchase_value"],
+        direction="forward", tolerance="1h",
+        tie_cols=["next_purchase_id"])
+
+
 # ---------------------------------------------------------------------------
 # Set operations / distinct / sort / top-k
 # ---------------------------------------------------------------------------
