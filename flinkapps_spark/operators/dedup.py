@@ -353,20 +353,37 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
     every doc labeled with the MINIMUM doc id reachable through pairs with
     Jaccard ≥ threshold (cluster_id), i.e. transitive closure of near-dup.
 
+    Delegates to :func:`connected_components` over the Jaccard near-dup
+    pair graph.
+    """
+    pairs = jaccard_pairs(df, text_col, id_col, threshold=threshold) \
+        .select("doc_a", "doc_b")
+    nodes = df.select(F.col(id_col).alias("node"))
+    return connected_components(nodes, pairs, max_iter=max_iter) \
+        .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected pair graph: every node
+    labeled with the MINIMUM node id reachable through ``pairs`` (whose
+    two columns are taken as the edge endpoints; symmetrized here).
+
     Iterative min-label propagation — the DataFrame form of the standard
     large-graph connected-components algorithm: per round, every node takes
     min(own label, neighbors' labels); converges in O(diameter) rounds.
     localCheckpoint per round truncates the lineage (an iterative loop
     otherwise re-executes the whole history each round).  Scale: each round
     is one shuffle join keyed by node; diameters of dedup graphs are tiny.
+
+    Returns DataFrame[node, label].
     """
-    pairs = jaccard_pairs(df, text_col, id_col, threshold=threshold) \
-        .select("doc_a", "doc_b")
+    a, b = pairs.columns[0], pairs.columns[1]
+    pairs = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b"))) \
-        .toDF("src", "dst").persist()
-    labels = df.select(F.col(id_col).alias("node")) \
+        pairs.select(F.col("dst").alias("src"),
+                     F.col("src").alias("dst"))).persist()
+    labels = nodes.select(F.col(nodes.columns[0]).alias("node")) \
         .withColumn("label", F.col("node")).localCheckpoint()
 
     for _ in range(max_iter):
@@ -389,5 +406,4 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
         if changed == 0:
             break
 
-    return labels.select(F.col("node").alias("doc_id"),
-                         F.col("label").alias("cluster_id"))
+    return labels

@@ -356,6 +356,21 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                           similarity.knn_lsh(emb, q, k=5), floor=0.10)
 
 
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus a +0.05-perturbed copy of each vector (id+100000):
+    the fixture has no natural near-dups, so near-dup queries share this
+    augmentation to stay non-vacuous (cosine ≈ 0.9987 per orig/copy pair)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    pert = emb_d.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(F.array(F.element_at("v", 1) + 0.05),
+                 F.slice("v", 2, 10_000)).alias("v"))
+    return emb_d.unionByName(pert).withColumnRenamed("v", "embedding")
+
+
 @query(
     "embedding_neardup_pairs",
     oracle=f"""
@@ -384,16 +399,75 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "empirically re-proves the blocking loses nothing.",
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb_d = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    pert = emb_d.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.concat(F.array(F.element_at("v", 1) + 0.05),
-                 F.slice("v", 2, 10_000)).alias("v"))
-    aug = emb_d.unionByName(pert).withColumnRenamed("v", "embedding")
-    return similarity.embedding_neardup_pairs(aug, threshold=0.99)
+    return similarity.embedding_neardup_pairs(
+        _aug_embeddings(spark, sf_dir), threshold=0.99)
+
+
+# non-recursive CTE prefix shared by the semantic-dedup oracle: the same
+# augmented-embedding pair graph embedding_neardup_pairs verifies.
+_SQL_SEM_PAIRS = f"""
+    emb AS (
+        SELECT vec_id, {SQL_EMB_D} AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               [v2[1] + 0.05] || v2[2:]
+        FROM (SELECT vec_id, {SQL_EMB_D} AS v2 FROM embeddings)
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        WHERE ROUND({_sql_cos('a.v', 'b.v')}, 6) >= 0.99
+    )"""
+
+
+@query(
+    "semdedup_keep",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_SEM_PAIRS},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT vec_id AS node, vec_id AS r FROM emb
+            UNION
+            SELECT reach.node, e.dst
+            FROM reach JOIN edges e ON reach.r = e.src
+        ),
+        comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+        sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                  FROM comp GROUP BY cluster_id)
+        SELECT comp.node AS vec_id, comp.cluster_id, s.cluster_size,
+               comp.node = comp.cluster_id AS is_kept
+        FROM comp JOIN sizes s USING (cluster_id)
+    """,
+    category="extension: dedup (semantic / embedding clusters)",
+    doc="Semantic dedup over embeddings (the SemDeDup recipe from the "
+        "public Meta paper, made deterministic): near-dup pairs at cosine "
+        "≥ 0.99 via the recall-lossless grid-blocked join, transitive "
+        "closure via min-label-propagation connected components, keep the "
+        "minimum vec_id per cluster. Deviation from the paper: "
+        "deterministic grid blocking replaces k-means (whose cluster "
+        "assignments are seed/engine-specific and would make an exact "
+        "oracle impossible); at the 0.99 threshold blocking is "
+        "recall-lossless, so the kept set is exact, not approximate. "
+        "Scale: pairs shuffle on grid cells, components shuffle on node "
+        "id per round (O(diameter) rounds, tiny for dedup graphs) — no "
+        "all-pairs stage anywhere.",
+)
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _aug_embeddings(spark, sf_dir)
+    pairs = similarity.embedding_neardup_pairs(aug, threshold=0.99) \
+        .select("id_a", "id_b")
+    nodes = aug.select(F.col("vec_id").alias("node"))
+    comp = dedup.connected_components(nodes, pairs)
+    sizes = comp.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (comp.join(sizes, "label")
+            .select(F.col("node").alias("vec_id"),
+                    F.col("label").alias("cluster_id"),
+                    "cluster_size",
+                    (F.col("node") == F.col("label")).alias("is_kept")))
 
 
 # ---------------------------------------------------------------------------
