@@ -125,6 +125,64 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
         batches, schema=FRAME_SCHEMA)
 
 
+AUDIO_WINDOW = 64  # byte "samples" per analysis window
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("window_idx", T.LongType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.IntegerType()),
+])
+
+
+def audio_window_energy(df: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "payload",
+                        window: int = AUDIO_WINDOW) -> DataFrame:
+    """Windowed audio energy over binary payloads: split each payload into
+    fixed-size windows of byte "samples", emit RMS energy + peak per
+    window — the 1→N mapInPandas shape of an audio feature stage (VAD,
+    loudness normalization, silence trimming).  A true codec would swap
+    the byte view for torchaudio/soundfile PCM decode; the Spark contract
+    (Arrow batches, row expansion, map-side before any shuffle) is this.
+
+    Determinism: the sum of squares is exact int64; rms = sqrt(ss/n) is
+    one IEEE division + one correctly-rounded sqrt of the same values on
+    both engines — the oracle reproduces it bit-identically.
+    """
+    import math
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            ns: list[int] = []
+            rmss: list[float] = []
+            peaks: list[int] = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                for w in range(0, len(arr), window):
+                    seg = arr[w:w + window]
+                    ss = int((seg * seg).sum())
+                    ids.append(int(i))
+                    idxs.append(w // window)
+                    ns.append(len(seg))
+                    rmss.append(math.sqrt(ss / len(seg)))
+                    peaks.append(int(seg.max()))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "window_idx": pd.Series(idxs, dtype="int64"),
+                "n_samples": pd.Series(ns, dtype="int32"),
+                "rms": pd.Series(rmss, dtype="float64"),
+                "peak": pd.Series(peaks, dtype="int32"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=AUDIO_SCHEMA)
+
+
 RESIZE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("n_bytes", T.IntegerType()),

@@ -618,6 +618,41 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_energy",
+    oracle="""
+        WITH codes AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ''),
+                                  c -> CAST(ascii(c) AS BIGINT)) AS cs
+            FROM documents),
+        w AS (SELECT doc_id, cs, unnest(range(0, len(cs), 64)) AS st
+              FROM codes WHERE len(cs) > 0),
+        seg AS (SELECT doc_id, CAST(st / 64 AS BIGINT) AS window_idx,
+                       cs[st + 1 : st + 64] AS s
+                FROM w)
+        SELECT doc_id, window_idx,
+               CAST(len(s) AS INT) AS n_samples,
+               sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE)
+                    / len(s)) AS rms,
+               CAST(list_max(s) AS INT) AS peak
+        FROM seg
+    """,
+    category="extension: multimodal (audio plumbing)",
+    doc="Windowed audio energy (RMS + peak per 64-'sample' window) over "
+        "binary payloads via 1→N mapInPandas — the audio-feature batch "
+        "shape (VAD / loudness / silence-trim); codec stubbed, byte "
+        "samples stand in for PCM (operators/multimodal.py). Exact: sum "
+        "of squares is int64, rms = one IEEE division + sqrt, identical "
+        "on both engines. Map-side only — no shuffle; payloads never "
+        "move.",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_window_energy(
+        multimodal.attach_binary_payload(docs))
+
+
+@query(
     "dedup_keep_set",
     oracle=f"""
         WITH aug AS ({SQL_AUG_NEAR}),
