@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from flinkapps_spark.functions.text import HASH_MOD
+from flinkapps_spark.functions.text import HASH_MOD, tokenize
 from flinkapps_spark.operators import dedup, multimodal, similarity, textstats
 from flinkapps_spark.operators.dedup import (
     MINHASH_COEFFS, N_BANDS, ROWS_PER_BAND, SIMHASH_BITS,
@@ -615,6 +615,54 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_payload = multimodal.attach_binary_payload(docs)
     return multimodal.extract_byte_features(with_payload)
+
+
+@query(
+    "text_domain_stats",
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + 2000000, text, lang, source, n_chars
+            FROM documents WHERE doc_id % 10 = 0)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(text)) AS n_unique_texts,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+                   / COUNT(*) AS dup_rate,
+               CAST(SUM(len({SQL_WORDS})) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               COUNT(DISTINCT lang) AS n_langs
+        FROM aug GROUP BY source
+    """,
+    category="extension: curation (domain mix report)",
+    doc="Per-source (domain) corpus report: doc counts, exact-dup rate "
+        "by content digest, token/char totals, language spread — the "
+        "mix audit run before choosing training sampling weights "
+        "(constructed dups: id%10 docs duplicated verbatim, keeping "
+        "their source). Scale: one partial-agg shuffle keyed by source; "
+        "distinct-counts shuffle the md5 digest (16 bytes), never the "
+        "text.",
+)
+def text_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        "text", "lang", "source", "n_chars")
+    aug = docs.unionByName(dup)
+    digest = F.md5(F.encode("text", "UTF-8"))
+    n_docs = F.count(F.lit(1))
+    n_uniq = F.countDistinct(digest)
+    return (aug.groupBy("source")
+            .agg(n_docs.alias("n_docs"),
+                 n_uniq.alias("n_unique_texts"),
+                 ((n_docs - n_uniq).cast("double") / n_docs)
+                 .alias("dup_rate"),
+                 F.sum(F.size(tokenize(F.col("text")))).cast("long")
+                 .alias("total_tokens"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.countDistinct("lang").alias("n_langs")))
 
 
 @query(

@@ -87,6 +87,53 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_ohlc_bars",
+    oracle=f"""
+        WITH b AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   value, ts, event_id
+            FROM events),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type, bucket
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY event_type, bucket
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM b)
+        SELECT event_type, bucket,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               {sql_sum('value', 100)} AS volume,
+               COUNT(*) AS n_events
+        FROM r
+        GROUP BY event_type, bucket
+    """,
+    category="streaming: OHLC bars (stateful min_by/max_by)",
+    doc="Streaming OHLC: the events_ohlc_resample aggregation run as a "
+        "watermarked 1-hour event-time window stream — min_by/max_by "
+        "keyed state accumulates open/close per (type, bar) across "
+        "micro-batches; complete-mode converged state must equal the "
+        "batch result (batch≡stream, SURVEY T3). The hour window() "
+        "aligns with date_trunc('hour') by construction.",
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = file_stream_source(spark, sf_dir, "events")
+    agged = (ev.withWatermark("ts", "10 minutes")
+             .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+             .agg(F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+                  F.max("value").alias("high"),
+                  F.min("value").alias("low"),
+                  F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+                  exact_sum("value", 100).alias("volume"),
+                  F.count(F.lit(1)).alias("n_events"))
+             .select(F.col("window.start").alias("bucket"), "event_type",
+                     "open", "high", "low", "close", "volume", "n_events"))
+    return run_stream_to_memory(agged, output_mode="complete")
+
+
+@query(
     "stream_sql_grouped_sum",
     oracle=f"""
         SELECT name, {sql_sum('score', 100)} AS total
