@@ -930,9 +930,12 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # microsecond range key: cast-to-seconds would truncate and disagree
-    # with the oracle's µs-precise INTERVAL boundary at sub-second offsets
+    # with the oracle's µs-precise INTERVAL boundary at sub-second offsets.
+    # The parquet fixtures may read as TIMESTAMP_NTZ (no isAdjustedToUTC);
+    # unix_micros requires TIMESTAMP, and with the session tz pinned to UTC
+    # the cast is value-preserving.
     w = Window.partitionBy("user_id") \
-        .orderBy(F.unix_micros("ts")) \
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp"))) \
         .rangeBetween(-3_600_000_000, Window.currentRow)
     return ev.select(
         "event_id", "user_id",
