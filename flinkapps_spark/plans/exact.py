@@ -78,9 +78,19 @@ def exact_sum_over(expr, window, scale: int = 10000):
 
 
 def sql_sum(expr: str, scale: int = 10000) -> str:
-    """DuckDB oracle mirror of :func:`exact_sum`."""
+    """SQL mirror of :func:`exact_sum` — ENGINE-PORTABLE: the same string
+    is valid on DuckDB (oracle) and through ``spark.sql``.
+
+    The divisor is ``CAST({scale} AS DOUBLE)``, never a bare ``{scale}.0``
+    literal: Spark parses ``100.0`` as DECIMAL(4,1) and BIGINT/DECIMAL
+    yields decimal(27,6) output, which the driver's value hash compares
+    red against DuckDB's float64 fetch even when every value is equal
+    (round-2 sql_grouped_sum post-mortem, VERDICT r2 "What's wrong #1").
+    With an explicit DOUBLE divisor both engines perform the identical
+    correctly-rounded int64/double division → bit-identical doubles.
+    """
     return (f"(CAST(SUM({sql_units(expr, scale)}) "
-            f"AS BIGINT) / {scale}.0)")
+            f"AS BIGINT) / CAST({scale} AS DOUBLE))")
 
 
 def sql_avg(expr: str, scale: int = 10000) -> str:
@@ -89,7 +99,8 @@ def sql_avg(expr: str, scale: int = 10000) -> str:
 
 
 def sql_sum_over(expr: str, over: str, scale: int = 10000) -> str:
-    """DuckDB oracle mirror of :func:`exact_sum_over`; ``over`` is the
-    window spec, e.g. ``"w"`` or ``"(PARTITION BY k ORDER BY ts)"``."""
+    """SQL mirror of :func:`exact_sum_over`; ``over`` is the window spec,
+    e.g. ``"w"`` or ``"(PARTITION BY k ORDER BY ts)"``.  Engine-portable
+    DOUBLE divisor — see :func:`sql_sum` for why not ``{scale}.0``."""
     return (f"(CAST(SUM({sql_units(expr, scale)}) "
-            f"OVER {over} AS BIGINT) / {scale}.0)")
+            f"OVER {over} AS BIGINT) / CAST({scale} AS DOUBLE))")

@@ -147,10 +147,10 @@ def time_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(hour_b, day_b) AS bucket,
                event_type,
                COUNT(*) AS n_events,
-               {{SUM_UNITS}} AS sum_value,
+               {sql_sum('value', 100)} AS sum_value,
                MIN(value) AS min_value,
                MAX(value) AS max_value
         FROM events_tmr
         GROUP BY GROUPING SETS ((event_type, day_b, hour_b),
                                 (event_type, day_b))
-    """.format(SUM_UNITS=spark_sql_sum("value", 100)))
+    """)

@@ -23,13 +23,33 @@ import tempfile
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import TimestampNTZType
 
 from flinkapps_spark.schemas import NANOS_TS_COLUMNS, TESTDATA_TABLES
 from flinkapps_spark.session import tune_session
 
 
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP at the source edge.
+
+    pyarrow's default parquet timestamp flavor is ``timestamp[us]`` with no
+    timezone annotation (isAdjustedToUTC=false), which Spark 4 infers as
+    TIMESTAMP_NTZ — and ``withWatermark`` / streaming event-time require
+    TIMESTAMP proper (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).  The
+    session timezone is pinned UTC (session.py), so the cast is a pure
+    re-tag: the same micros-since-epoch value, no wall-clock shift — and
+    it matches how DuckDB reads the identical file for the oracle.
+    """
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver fixture table, normalizing nanosecond timestamps."""
+    """Load one driver fixture table, normalizing nanosecond and
+    timezone-less timestamps."""
     tune_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in NANOS_TS_COLUMNS.get(name, []):
@@ -40,7 +60,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 col, F.expr(f"timestamp_micros(`{col}` div 1000)")
             )
-    return df
+    return normalize_ntz(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str,
@@ -65,12 +85,16 @@ def from_rows(spark: SparkSession, rows, schema) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-def _format_cache_dir(sf_dir: str, name: str, fmt: str) -> str:
-    """Deterministic per-(sf,table,format) cache dir under /tmp for
-    format-conversion fixtures (testdata itself is read-only)."""
+def _format_cache_dir(sf_dir: str, name: str, fmt: str,
+                      schema_key: str = "") -> str:
+    """Deterministic per-(sf,table,format,schema) cache dir under /tmp for
+    format-conversion fixtures (testdata itself is read-only).  The schema
+    fingerprint invalidates the cache when the source-edge normalization
+    changes (e.g. the NTZ→TIMESTAMP cast re-typed columns: a cache written
+    under the old schema would fail or mis-parse under the new reader)."""
     key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
     return os.path.join(tempfile.gettempdir(),
-                        f"flinkapps_fmt_{key}_{name}_{fmt}")
+                        f"flinkapps_fmt_{key}_{name}_{fmt}{schema_key}")
 
 
 def load_table_as(spark: SparkSession, sf_dir: str, name: str,
@@ -83,7 +107,10 @@ def load_table_as(spark: SparkSession, sf_dir: str, name: str,
     vectorization) is what gets exercised; values must match parquet.
     """
     df = load_table(spark, sf_dir, name)
-    path = _format_cache_dir(sf_dir, name, fmt)
+    import hashlib
+    schema_key = "_" + hashlib.sha1(
+        df.schema.simpleString().encode()).hexdigest()[:8]
+    path = _format_cache_dir(sf_dir, name, fmt, schema_key)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         w = df.write.mode("overwrite")

@@ -69,12 +69,15 @@ def file_stream_source(spark: SparkSession, sf_dir: str,
     stream = (spark.readStream.schema(raw_schema)
               .parquet(os.path.join(sf_dir, f"{table}*.parquet")))
     from flinkapps_spark.schemas import NANOS_TS_COLUMNS
+    from flinkapps_spark.sources.batch import normalize_ntz
     from pyspark.sql import functions as F
     for col in NANOS_TS_COLUMNS.get(table, []):
         if dict(stream.dtypes).get(col) == "bigint":
             stream = stream.withColumn(
                 col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
-    return stream
+    # TIMESTAMP_NTZ → TIMESTAMP: withWatermark requires TIMESTAMP proper;
+    # value-preserving under the pinned-UTC session (see normalize_ntz).
+    return normalize_ntz(stream)
 
 
 def run_stream_to_memory(transformed: DataFrame, *, output_mode: str,

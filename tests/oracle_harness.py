@@ -65,6 +65,18 @@ def assert_fetch_dtypes(spark_df, duck_rel, name: str = "") -> None:
        fetched column is null-free (nulls legitimately float-ify pandas
        int columns on BOTH sides, so those are skipped).
     """
+    # Spark-side guard (round-2 sql_grouped_sum post-mortem): no catalog
+    # query may emit DecimalType.  Spark parses a bare `100.0` SQL literal
+    # as DECIMAL and BIGINT/DECIMAL → decimal(27,6); _norm_cell folds
+    # Decimal→float so the LOCAL suite would pass while the DRIVER's
+    # value hash (which sees the Decimal repr) goes red.  Divide by
+    # CAST(n AS DOUBLE) instead (plans/exact.py sql_sum).
+    for f in spark_df.schema:
+        assert "decimal" not in f.dataType.simpleString(), (
+            f"{name}: Spark column {f.name} is {f.dataType.simpleString()}"
+            f" — a bare `N.0` SQL literal division? Use CAST(N AS DOUBLE) "
+            f"(the driver hashes Decimal output red against the oracle's "
+            f"float64 even when values are equal)")
     d_cols = list(duck_rel.columns)
     d_types = [str(t).upper() for t in duck_rel.types]
     for c, t in zip(d_cols, d_types):
