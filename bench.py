@@ -43,6 +43,7 @@ HEADLINE = [
     "topk_per_group",
     "window_battery",
     "join_asof_signup",
+    "join_asof_jvm",
     "events_sessionize",
     "json_extract_props",
     "dedup_exact",
@@ -81,25 +82,43 @@ def main() -> None:
      .mapInPandas(lambda it: it, schema="id long")
      .write.format("noop").mode("overwrite").save())
 
-    # best-of-2 per query, plus a third run when the first two disagree by
-    # >1.5x: absorbs scheduling noise from co-tenants on the box (observed
-    # 10-20x outliers on otherwise sub-second queries; a whole contended
-    # pass once doubled the recorded total)
-    t_all = time.perf_counter()
+    # median-of-N per query (N=3 default, $SPARK_GRAFT_BENCH_RUNS): the
+    # median is robust to the scheduling-noise outliers co-tenants cause
+    # (observed 10-20x spikes on sub-second queries; VERDICT r2 flagged a
+    # whole contended pass that doubled the recorded total) while, unlike
+    # min, still reflecting a *persistent* slowdown.  Spread per query is
+    # recorded so a noisy environment is visible in the artifact itself.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    spread: dict[str, float] = {}
+
+    def cpu_counters() -> tuple[float, float]:
+        """(steal, total) jiffies from /proc/stat — the box is a shared VM
+        and hypervisor steal of 10-30% has been measured mid-bench; the
+        recorded steal%% lets a reader attribute cross-round swings."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            vals = [float(x) for x in parts[1:9]]
+            return vals[7], sum(vals)
+        except (OSError, IndexError, ValueError):
+            return 0.0, 0.0
+
+    steal0, total0 = cpu_counters()
     for name in names:
         runs = []
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             df = reg[name].build(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        if max(runs) > 1.5 * min(runs):
-            t0 = time.perf_counter()
-            df = reg[name].build(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        # max/min over the runs: 1.0 = perfectly stable box
+        spread[name] = round(runs[-1] / max(runs[0], 1e-9), 2)
     total = round(sum(timings.values()), 3)
+    steal1, total1 = cpu_counters()
+    steal_pct = (round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
+                 if total1 > total0 else None)
 
     print(json.dumps({
         "metric": "headline_queries_total_sec",
@@ -107,6 +126,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": n_runs,
+        "stat": "median",
+        "run_spread": spread,
+        "cpu_steal_pct": steal_pct,
     }))
     spark.stop()
 

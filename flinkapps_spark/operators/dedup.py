@@ -147,6 +147,54 @@ def shingled_docs(df: DataFrame, text_col: str = "text",
             .filter(F.size("codes") > 0))
 
 
+SPAN_SIZE = 8
+
+
+def span_codes_of(wc: Column, width: int = SPAN_SIZE) -> Column:
+    """Codes of ALL ``width``-word spans (NOT distinct — occurrence counts
+    matter for repeated-span dedup): rolling poly extension of the word
+    codes, acc = fold (a*B + w) mod M over each span.  Same zip_with-over-
+    shifted-slices construction as :func:`shingle_codes_of` (each slice is
+    evaluated once; a transform-with-element_at form re-evaluates the
+    array per element — O(n²) per doc)."""
+    n = F.size(wc)
+    m = n - (width - 1)
+    acc = F.slice(wc, F.lit(1), m)
+    for k in range(2, width + 1):
+        acc = F.zip_with(acc, F.slice(wc, F.lit(k), m),
+                         lambda a, b: (a * SHINGLE_BASE + b) % HASH_MOD)
+    return F.when(n >= width, acc).otherwise(F.array().cast("array<bigint>"))
+
+
+def repeated_spans(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", width: int = SPAN_SIZE,
+                   min_docs: int = 2) -> DataFrame:
+    """Exact-substring dedup primitive (the Lee et al. 2022 'Deduplicating
+    Training Data' shape): word spans of ``width`` tokens that recur in
+    ≥ ``min_docs`` distinct documents, with document and occurrence counts
+    — the hot-list a span-removal pass would subtract from the corpus.
+
+    Plan: tokenize+hash per row (Arrow-vectorized, no shuffle) → explode
+    span codes → ONE partial-aggregated shuffle keyed by the 8-byte span
+    code (hash-uniform, no skew) → HAVING filter.  Exploded volume is
+    ~n_tokens rows of (long, long) — at 100 TB the code, not the span
+    text, is what travels; a span's text is recoverable by re-scanning
+    matching docs (rare: only hot-list hits).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    wc = (df.repartition(par)
+          .select(F.col(id_col).alias("doc_id"),
+                  _word_codes_arrow()(F.col(text_col)).alias("wc"))
+          .filter(F.size("wc") >= width))
+    spans = wc.select(
+        "doc_id", F.explode(span_codes_of(F.col("wc"), width))
+        .alias("span_code"))
+    return (spans.groupBy("span_code")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_occ"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
 def _affine(a: int, b: int):
     # single-arg lambda factory: PySpark reads the lambda's arity, so
     # captured constants must be closed over, not default-arg parameters

@@ -54,7 +54,8 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: Sequence[str],
               direction: str = "backward",
               tolerance=None,
               tie_cols: Sequence[str] = (),
-              num_buckets: int = 64) -> DataFrame:
+              num_buckets: int = 64,
+              time_slice: str | None = None) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right.ts <= left.ts (direction='backward') within the same key group.
     ``direction='forward'`` matches the earliest right row with
@@ -70,8 +71,21 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: Sequence[str],
     Bucketing (vs grouping per key) amortizes the Arrow/pandas per-group
     overhead over many keys: 1000 users → 64 python calls, not 1000.
     Sorted-merge, O((n+m) log) per bucket; state per task = one bucket.
-    Skew: a single giant key still lands in one bucket — sub-split by time
-    range if that bites.
+
+    Skew (``time_slice``): a single giant key lands in one bucket and that
+    task straggles.  Passing ``time_slice`` (a Timedelta string, e.g.
+    ``"6h"``) additionally splits every bucket along the time axis and
+    partitions on (bucket, slice), so a key holding 50% of all rows spreads
+    over all of its time slices instead of serializing one task.  A slice
+    is self-contained because each (key, left-slice) gets a CARRY-IN row:
+    the as-of-eligible right row from outside the slice (backward: the
+    latest right row in any earlier slice; forward: the earliest in any
+    later slice).  Carry-ins are computed on per-(key, slice) REDUCED data
+    (≤ one row per key per slice — orders of magnitude below row count)
+    with one window pass, so the skew fix adds only small-table work.
+    Matches inside the slice then supersede the carry-in in merge_asof
+    order, which reproduces the unsplit semantics exactly (tolerance still
+    applies to the carried row's original timestamp).
     """
     import pandas as pd
 
@@ -107,9 +121,143 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: Sequence[str],
                                suffixes=("", "__r"))
         return merged[l_cols + vals]
 
+    if time_slice is None:
+        both = lt.unionByName(rt, allowMissingColumns=True)
+        # explicit repartition: AQE would coalesce this byte-small exchange
+        # to 1-2 partitions and serialize the python merge; the cost here is
+        # python CPU, not bytes, so pin one partition per bucket
+        both = both.repartition(num_buckets, "__bucket")
+        return both.groupBy("__bucket").applyInPandas(merge,
+                                                      schema=out_schema)
+
+    # ---- time-sliced path (skewed keys) -----------------------------------
+    from pyspark.sql import Window
+
+    slice_secs = float(pd.Timedelta(time_slice).total_seconds())
+
+    def slice_of(c: str):
+        return F.floor(F.col(c).cast("double") / slice_secs).cast("long")
+
+    forward = direction == "forward"
+    lt = lt.withColumn("__slice", slice_of(ts_col))
+    rt = rt.withColumn("__slice", slice_of(ts_col))
+
+    # one reduced row per (key, slice): the row merge_asof would pick if the
+    # whole slice were eclipsed — backward: max (ts, ties); forward: min.
+    order = [F.col(c).asc() if forward else F.col(c).desc()
+             for c in [ts_col, *tie_cols]]
+    w_red = Window.partitionBy(*keys, "__slice").orderBy(*order)
+    reduced = (rt.withColumn("__rn", F.row_number().over(w_red))
+               .filter(F.col("__rn") == 1).drop("__rn"))
+
+    # slices that actually have left rows — the only ones needing carry-ins
+    targets = lt.select(*keys, "__slice").distinct()
+
+    # as-of over SLICE NUMBERS: candidate effective slice is shifted by one
+    # (a right row in slice s is carry-in for targets s+1.. backward /
+    # s-1.. forward; slice-s rows are already physically in partition s).
+    row_struct = F.struct(ts_col, *vals)
+    cand = reduced.select(
+        *keys, (F.col("__slice") + (-1 if forward else 1)).alias("__eff"),
+        F.lit(0).alias("__m"), row_struct.alias("__row"),
+        F.lit(None).cast("long").alias("__slice_t"))
+    tgt = targets.select(
+        *keys, F.col("__slice").alias("__eff"), F.lit(1).alias("__m"),
+        F.lit(None).cast(cand.schema["__row"].dataType).alias("__row"),
+        F.col("__slice").alias("__slice_t"))
+    eff_order = F.col("__eff").desc() if forward else F.col("__eff").asc()
+    w_carry = (Window.partitionBy(*keys)
+               .orderBy(eff_order, F.col("__m").asc())
+               .rowsBetween(Window.unboundedPreceding, 0))
+    # struct carry keeps the row atomic: last(ignorenulls) over separate
+    # columns could stitch fields from different rows when vals have nulls
+    carry = (cand.unionByName(tgt)
+             .withColumn("__c", F.last("__row", ignorenulls=True)
+                         .over(w_carry))
+             .filter((F.col("__m") == 1) & F.col("__c").isNotNull())
+             .select(*keys, F.col("__slice_t").alias("__slice"),
+                     *[F.col(f"__c.{c}").alias(c) for c in [ts_col, *vals]])
+             .withColumn("__side", F.lit(1))
+             .withColumn("__bucket", bucket))
+
+    both = lt.unionByName(rt.unionByName(carry), allowMissingColumns=True)
+    both = both.repartition(num_buckets, "__bucket", "__slice")
+    return (both.groupBy("__bucket", "__slice")
+            .applyInPandas(merge, schema=out_schema))
+
+
+def asof_join_jvm(left: DataFrame, right: DataFrame,
+                  key_cols: Sequence[str], ts_col: str,
+                  right_ts_col: str | None = None,
+                  value_cols: Sequence[str] = (),
+                  direction: str = "backward",
+                  tolerance: str | None = None,
+                  tie_cols: Sequence[str] = ()) -> DataFrame:
+    """As-of join executed ENTIRELY JVM-side — no Python workers.
+
+    Same semantics as :func:`asof_join` (latest right row at-or-before /
+    earliest at-or-after per key, optional tolerance, deterministic
+    ``tie_cols``), different physical plan: union both sides into one
+    frame, then a single window pass per key ordered by (ts, side, ties)
+    carries the nearest right row onto each left row via
+    ``last(..., ignorenulls=True)`` (backward) / ``first`` over the
+    following frame (forward).  One shuffle + one sort, all inside
+    whole-stage codegen — none of the Arrow transfer / pandas merge CPU
+    of the ``applyInPandas`` variant, which matters when the as-of is a
+    hot headliner. Trade-off: the window partitions by KEY, so one giant
+    key serializes into one task (the pandas variant's ``time_slice``
+    handles that case); at normal key cardinality this form is strictly
+    cheaper and is what a 1000-executor cluster should run.
+    """
+    import pandas as pd
+
+    right_ts = right_ts_col or ts_col
+    keys = list(key_cols)
+    vals = list(value_cols) or [c for c in right.columns
+                                if c not in keys + [right_ts]]
+    l_cols = left.columns
+    forward = direction == "forward"
+
+    # right rows carry their payload in ONE struct column (atomic carry —
+    # per-column last(ignorenulls) could stitch different rows when a
+    # value column is legitimately null); left rows carry null.
+    rt = right.select(
+        *keys, F.col(right_ts).alias(ts_col),
+        F.lit(1 if forward else 0).alias("__ord"),
+        F.struct(F.col(right_ts).alias("__rts"),
+                 *[F.col(c) for c in vals]).alias("__r"),
+        *[F.col(c).alias(f"__tie_{c}") for c in tie_cols])
+    lt = left.select(
+        "*", F.lit(0 if forward else 1).alias("__ord"),
+        F.lit(None).cast(rt.schema["__r"].dataType).alias("__r"),
+        *[F.lit(None).cast(rt.schema[f"__tie_{c}"].dataType)
+          .alias(f"__tie_{c}") for c in tie_cols])
+
+    from pyspark.sql import Window
+    # backward: right sorts BEFORE left at equal ts (inclusive match) and
+    # the carried row is the LAST right row ≤ current → max (ts, ties),
+    # exactly merge_asof's pick.  forward mirrors with first over the
+    # following frame → min (ts, ties).
+    tie_order = [F.col(f"__tie_{c}").asc() for c in tie_cols]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), F.col("__ord").asc(), *tie_order)
+    if forward:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carried = F.first("__r", ignorenulls=True).over(w)
+    else:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carried = F.last("__r", ignorenulls=True).over(w)
+
     both = lt.unionByName(rt, allowMissingColumns=True)
-    # explicit repartition: AQE would coalesce this byte-small exchange to
-    # 1-2 partitions and serialize the python merge; the cost here is
-    # python CPU, not bytes, so pin one partition per bucket
-    both = both.repartition(num_buckets, "__bucket")
-    return both.groupBy("__bucket").applyInPandas(merge, schema=out_schema)
+    out = both.withColumn("__c", carried).filter(F.col("__r").isNull())
+
+    valid = F.col("__c").isNotNull()
+    if tolerance is not None:
+        tol_s = float(pd.Timedelta(tolerance).total_seconds())
+        gap = (F.col("__c.__rts").cast("double")
+               - F.col(ts_col).cast("double"))
+        valid = valid & ((gap >= -tol_s) & (gap <= 0) if not forward
+                         else (gap >= 0) & (gap <= tol_s))
+    return out.select(
+        *l_cols,
+        *[F.when(valid, F.col(f"__c.{c}")).alias(c) for c in vals])

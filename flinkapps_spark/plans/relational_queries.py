@@ -333,6 +333,127 @@ def join_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_cols=["next_purchase_id"])
 
 
+@query(
+    "join_asof_skew_split",
+    oracle="""
+        WITH purchases AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ), signups AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'signup'
+        )
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               s.ts AS signup_ts, s.value AS signup_value
+        FROM purchases p
+        ASOF LEFT JOIN signups s
+          ON p.user_id = s.user_id AND s.ts <= p.ts
+    """,
+    category="extension: as-of join (skew-safe time slicing)",
+    doc="The join_asof_signup semantics through the TIME-SLICED as-of "
+        "path (operators/joins.py asof_join time_slice='6h'): every hash "
+        "bucket is sub-split along the time axis and carry-in rows make "
+        "each (key, slice) self-contained, so one key holding half the "
+        "rows parallelizes over its slices instead of serializing one "
+        "straggler task. Identical oracle as the unsplit query — parity "
+        "re-proves the slicing is lossless; tests/test_engine_units.py::"
+        "test_asof_time_slice_skew asserts the balance property itself.",
+)
+def join_asof_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    signups = ev.filter(F.col("event_type") == "signup") \
+        .select("user_id", "ts",
+                F.col("ts").alias("signup_ts"),
+                F.col("value").alias("signup_value"))
+    return joins.asof_join(
+        purchases, signups, key_cols=["user_id"], ts_col="ts",
+        value_cols=["signup_ts", "signup_value"], time_slice="6h")
+
+
+@query(
+    "join_asof_jvm",
+    oracle="""
+        WITH purchases AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ), signups AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'signup'
+        )
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               s.ts AS signup_ts, s.value AS signup_value
+        FROM purchases p
+        ASOF LEFT JOIN signups s
+          ON p.user_id = s.user_id AND s.ts <= p.ts
+    """,
+    category="extension: as-of join (JVM window form)",
+    doc="join_asof_signup semantics through asof_join_jvm "
+        "(operators/joins.py): union both sides, one window pass per key "
+        "carries the latest right row via last(ignorenulls) — one "
+        "shuffle + one sort, whole-stage codegen end to end, zero Python "
+        "workers. At 100 TB this is the default as-of shape (no Arrow "
+        "transfer or pandas CPU); the applyInPandas variant remains for "
+        "the giant-single-key case via time_slice. Same oracle as the "
+        "merge_asof queries — parity proves the two engines agree.",
+)
+def join_asof_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    signups = ev.filter(F.col("event_type") == "signup") \
+        .select("user_id", "ts",
+                F.col("ts").alias("signup_ts"),
+                F.col("value").alias("signup_value"))
+    return joins.asof_join_jvm(
+        purchases, signups, key_cols=["user_id"], ts_col="ts",
+        value_cols=["signup_ts", "signup_value"])
+
+
+@query(
+    "join_asof_jvm_forward",
+    oracle="""
+        WITH errors AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'error'
+        ), purchases AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT e.event_id, e.user_id, e.ts, e.value,
+               p.next_purchase_id, p.next_purchase_ts, p.next_purchase_value
+        FROM errors e
+        LEFT JOIN LATERAL (
+            SELECT event_id AS next_purchase_id, ts AS next_purchase_ts,
+                   value AS next_purchase_value
+            FROM purchases p
+            WHERE p.user_id = e.user_id
+              AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+            ORDER BY p.ts, p.event_id LIMIT 1) p ON true
+    """,
+    category="extension: as-of join (JVM window form, forward + tolerance)",
+    doc="join_asof_forward_tol semantics through asof_join_jvm: "
+        "first(ignorenulls) over the following window frame picks the "
+        "earliest purchase within the next hour; tolerance is a codegen "
+        "WHEN over the carried struct's timestamp. Ties break by "
+        "event_id in the window order itself.",
+)
+def join_asof_jvm_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select("event_id", "user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts",
+                F.col("event_id").alias("next_purchase_id"),
+                F.col("ts").alias("next_purchase_ts"),
+                F.col("value").alias("next_purchase_value"))
+    return joins.asof_join_jvm(
+        errors, purchases, key_cols=["user_id"], ts_col="ts",
+        value_cols=["next_purchase_id", "next_purchase_ts",
+                    "next_purchase_value"],
+        direction="forward", tolerance="1h",
+        tie_cols=["next_purchase_id"])
+
+
 # ---------------------------------------------------------------------------
 # Set operations / distinct / sort / top-k
 # ---------------------------------------------------------------------------
@@ -1110,6 +1231,50 @@ def source_json_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_orc_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _format_roundtrip_agg(spark, sf_dir, "orc")
+
+
+@query(
+    "source_xml_reader",
+    oracle=_FMT_ORACLE,
+    category="extension: source format (XML)",
+    doc="Built-in XML reader path (Spark 4 absorbed spark-xml into core): "
+        "orders written once as <row> elements and read back with explicit "
+        "schema + rowTag, same aggregate-vs-parquet-oracle check as the "
+        "CSV/JSON/ORC readers.",
+)
+def source_xml_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip_agg(spark, sf_dir, "xml")
+
+
+@query(
+    "source_python_datasource",
+    oracle=f"""
+        WITH g AS (SELECT unnest(range(0, 5000)) AS eid),
+        v AS (SELECT eid,
+                     ((eid * 48271 + 11) % 2147483647 % 1000000)
+                        / 1000000.0 AS value
+              FROM g)
+        SELECT CAST(eid % 10 AS BIGINT) AS bucket, COUNT(*) AS n,
+               {sql_sum('value')} AS total_value
+        FROM v GROUP BY eid % 10
+    """,
+    category="extension: source (Python DataSource API)",
+    doc="Custom source through the Spark 4 Python DataSource API "
+        "(sources/pydatasource.py): a registered format string with "
+        "driver-side partition planning and executor-side row generation "
+        "— the S5 in-memory-collection surface upgraded to a first-class "
+        "pluggable source. Rows are a deterministic MINSTD LCG of the row "
+        "id, so the DuckDB oracle regenerates the identical dataset from "
+        "the closed form and the aggregate must match exactly.",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.sources.pydatasource import register
+    register(spark)
+    df = (spark.read.format("synthetic_events")
+          .option("rows", 5000).option("partitions", 8).load())
+    return (df.groupBy(F.col("bucket").cast("long").alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 exact_sum("value").alias("total_value")))
 
 
 def _register_base_views(spark: SparkSession, sf_dir: str, *names: str) -> None:

@@ -118,9 +118,16 @@ def load_table_as(spark: SparkSession, sf_dir: str, name: str,
             # explicit timestamp format: CSV has no native types
             w = w.option("header", "true") \
                 .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        elif fmt == "xml":
+            # built-in XML source (Spark 4 absorbed spark-xml into core)
+            w = w.option("rowTag", "row") \
+                .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         w.format(fmt).save(path)
     r = spark.read
     if fmt == "csv":
         r = r.option("header", "true") \
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    elif fmt == "xml":
+        r = r.option("rowTag", "row") \
             .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
     return r.schema(df.schema).format(fmt).load(path)

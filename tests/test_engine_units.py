@@ -463,3 +463,82 @@ def test_cli_query_surface(spark, monkeypatch, capsys):
     assert "q1_pricing_summary" in listed and "[oracle]" in listed
     assert main(["--query", "agg_sum_group", "--sf-dir", SF_SMOKE]) == 0
     assert main(["--query", "nope_not_real"]) == 2
+
+
+def test_asof_time_slice_skew(spark):
+    """asof_join(time_slice=...) under heavy key skew (one key = 50% of
+    rows): (a) output is identical to the unsplit operator in both
+    directions, incl. tolerance; (b) the (bucket, slice) partitioning the
+    sliced path shuffles on actually divides the giant key's rows, where
+    the bucket-only scheme serializes them into one task (asserted via
+    per-partition-key row counts, not wall time)."""
+    import datetime as dt
+
+    from flinkapps_spark.operators.joins import asof_join
+
+    n = 4000
+    base = dt.datetime(2024, 1, 1)
+    skew_key = lambda i: 0 if i % 2 == 0 else 1 + i % 7  # noqa: E731
+    left = spark.createDataFrame(
+        [(i, skew_key(i), base + dt.timedelta(minutes=i % 1440), float(i))
+         for i in range(n)],
+        "id long, k long, ts timestamp, v double")
+    right = spark.createDataFrame(
+        [(skew_key(i), base + dt.timedelta(minutes=(i * 3) % 1440),
+          float(i) * 10.0)
+         for i in range(n // 2)],
+        "k long, ts timestamp, rv double")
+
+    for kwargs in ({"direction": "backward"},
+                   {"direction": "forward", "tolerance": "45min"}):
+        plain = asof_join(left, right, ["k"], "ts", value_cols=["rv"],
+                          tie_cols=["rv"], num_buckets=8, **kwargs)
+        sliced = asof_join(left, right, ["k"], "ts", value_cols=["rv"],
+                           tie_cols=["rv"], num_buckets=8,
+                           time_slice="2h", **kwargs)
+        p = sorted(map(tuple, plain.collect()))
+        s = sorted(map(tuple, sliced.collect()))
+        assert p == s, (kwargs, p[:3], s[:3])
+
+    # partition-balance: same formulas the operator shuffles on
+    b = F.pmod(F.hash("k"), F.lit(8))
+    sl = F.floor(F.col("ts").cast("double") / (2 * 3600)).cast("long")
+    unsplit_max = (left.groupBy(b.alias("b")).count()
+                   .agg(F.max("count")).first()[0])
+    split_max = (left.groupBy(b.alias("b"), sl.alias("s")).count()
+                 .agg(F.max("count")).first()[0])
+    assert unsplit_max >= n / 2            # giant key serialized
+    assert split_max <= unsplit_max / 4    # time axis divides it
+
+
+def test_asof_jvm_matches_pandas_engine(spark):
+    """asof_join_jvm (union + window carry, pure codegen) returns exactly
+    the merge_asof engine's rows — backward, and forward with tolerance,
+    including tie-breaks on equal right timestamps."""
+    import datetime as dt
+
+    from flinkapps_spark.operators.joins import asof_join, asof_join_jvm
+
+    n = 3000
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, i % 11, base + dt.timedelta(minutes=(i * 7) % 2000), float(i))
+         for i in range(n)],
+        "id long, k long, ts timestamp, v double")
+    # duplicate right timestamps on purpose: (i // 2) makes pairs share ts
+    right = spark.createDataFrame(
+        [(i % 11, base + dt.timedelta(minutes=((i // 2) * 13) % 2000),
+          float(i))
+         for i in range(n // 2)],
+        "k long, ts timestamp, rv double")
+
+    for kwargs in ({"direction": "backward"},
+                   {"direction": "backward", "tolerance": "30min"},
+                   {"direction": "forward", "tolerance": "1h"}):
+        a = asof_join(left, right, ["k"], "ts", value_cols=["rv"],
+                      tie_cols=["rv"], num_buckets=8, **kwargs)
+        b = asof_join_jvm(left, right, ["k"], "ts", value_cols=["rv"],
+                          tie_cols=["rv"], **kwargs)
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb, (kwargs, ra[:3], rb[:3])
