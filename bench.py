@@ -61,6 +61,8 @@ HEADLINE = [
     "vocab_build",
     "quality_filter_sweep",
     "embedding_quantize_int8",
+    "dedup_repeated_spans",
+    "sketch_hll_rollup",
 ]
 
 

@@ -7,6 +7,8 @@ Scale notes repeated per query where the plan choice matters at 100 TB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flinkapps_spark.operators import joins
@@ -529,6 +531,46 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.alias("n_users_exact"),
         ((F.abs(approx.cast("double") - exact.cast("double"))
           / exact.cast("double")) < 0.15).alias("within_tol"))
+
+
+@query(
+    "sketch_hll_rollup",
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+               true AS hll_ok
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'ALL', COUNT(DISTINCT user_id), true FROM events
+    """,
+    category="extension: mergeable sketches (HLL union rollup)",
+    doc="MERGEABLE distinct-count sketches (Apache DataSketches HLL via "
+        "hll_sketch_agg/hll_union_agg): per-type sketches are built once, "
+        "then UNIONED into the global cardinality without touching raw "
+        "data again — the re-aggregation property that lets a 100 TB "
+        "pipeline keep per-segment summaries and roll them up to any "
+        "coarser grain for free (exact COUNT DISTINCT cannot merge). "
+        "Sketch bytes are engine-specific, so the query emits the exact "
+        "count plus a 5%-tolerance self-check boolean per row, 'ALL' row "
+        "checked against the union estimate; oracle asserts literal true.",
+)
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.hll_sketch_agg("user_id").alias("sk"))
+    ok = lambda est, exact: (  # noqa: E731
+        F.abs(est.cast("double") - exact.cast("double"))
+        <= 0.05 * exact.cast("double"))
+    per_rows = per.select(
+        "event_type", "n_exact",
+        ok(F.hll_sketch_estimate("sk"), F.col("n_exact")).alias("hll_ok"))
+    glob_exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    glob = (per.agg(F.hll_union_agg("sk").alias("sk"))
+            .crossJoin(F.broadcast(glob_exact))
+            .select(F.lit("ALL").alias("event_type"), "n_exact",
+                    ok(F.hll_sketch_estimate("sk"),
+                       F.col("n_exact")).alias("hll_ok")))
+    return per_rows.unionByName(glob)
 
 
 @query(
@@ -1275,6 +1317,53 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (df.groupBy(F.col("bucket").cast("long").alias("bucket"))
             .agg(F.count("*").alias("n"),
                  exact_sum("value").alias("total_value")))
+
+
+@query(
+    "source_schema_evolution",
+    oracle=f"""
+        WITH both_batches AS (
+            SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT COALESCE(o_orderstatus, '?') AS status,
+               COUNT(*) AS n,
+               {sql_sum('o_totalprice', 100)} AS total
+        FROM both_batches GROUP BY COALESCE(o_orderstatus, '?')
+    """,
+    category="extension: source (parquet schema evolution)",
+    doc="Schema-on-read evolution: two parquet batches written with "
+        "DIFFERENT schemas (an early batch lacking o_orderstatus, a later "
+        "batch carrying it) read as one dataset via mergeSchema — the "
+        "added column is null for old files, exactly how a long-lived "
+        "ingest directory behaves as its producer evolves. The oracle "
+        "reconstructs the same union from the base table. Scale: schema "
+        "merging unions footer schemas at planning time; data files are "
+        "not rewritten or re-read.",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    od = load_table(spark, sf_dir, "orders")
+    key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"flinkapps_evo_{key}")
+    if not os.path.exists(os.path.join(path, "batch2", "_SUCCESS")):
+        od.filter(F.col("o_orderkey") % 2 == 0) \
+            .select("o_orderkey", "o_totalprice") \
+            .write.mode("overwrite").parquet(os.path.join(path, "batch1"))
+        od.filter(F.col("o_orderkey") % 2 == 1) \
+            .select("o_orderkey", "o_totalprice", "o_orderstatus") \
+            .write.mode("overwrite").parquet(os.path.join(path, "batch2"))
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(os.path.join(path, "batch1"),
+                       os.path.join(path, "batch2")))
+    return (merged.groupBy(F.coalesce("o_orderstatus", F.lit("?"))
+                           .alias("status"))
+            .agg(F.count("*").alias("n"),
+                 exact_sum("o_totalprice", 100).alias("total")))
 
 
 def _register_base_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
