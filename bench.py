@@ -92,6 +92,9 @@ def main() -> None:
     # recorded so a noisy environment is visible in the artifact itself.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spread: dict[str, float] = {}
+    # best-of-N alongside the median: rounds 1-2 recorded best-of-2, so
+    # cross-round ratios must compare min-to-min, not median-to-min
+    mins: dict[str, float] = {}
 
     def cpu_counters() -> tuple[float, float]:
         """(steal, total) jiffies from /proc/stat — the box is a shared VM
@@ -117,6 +120,7 @@ def main() -> None:
         timings[name] = round(runs[len(runs) // 2], 3)
         # max/min over the runs: 1.0 = perfectly stable box
         spread[name] = round(runs[-1] / max(runs[0], 1e-9), 2)
+        mins[name] = round(runs[0], 3)
     total = round(sum(timings.values()), 3)
     steal1, total1 = cpu_counters()
     steal_pct = (round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
@@ -131,6 +135,7 @@ def main() -> None:
         "runs_per_query": n_runs,
         "stat": "median",
         "run_spread": spread,
+        "queries_min": mins,
         "cpu_steal_pct": steal_pct,
     }))
     spark.stop()

@@ -31,7 +31,7 @@ from flinkapps_spark.operators.textstats import (
     FINGERPRINT_BASE, LANG_MARKERS, LANG_PRIORITY, STOPWORDS,
 )
 from flinkapps_spark.plans.catalog import query
-from flinkapps_spark.plans.exact import sql_units
+from flinkapps_spark.plans.exact import sql_avg, sql_units
 from flinkapps_spark.sources.batch import load_table
 
 # ---------------------------------------------------------------------------
@@ -1207,6 +1207,46 @@ def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.resize_profile(multimodal.attach_binary_payload(docs))
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({SQL_WORDS}) AS term FROM documents
+        ),
+        freq AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+        tot AS (SELECT COUNT(*) AS n FROM toks)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               {{AVG_NLL}} AS avg_nll
+        FROM toks JOIN freq USING (term) CROSS JOIN tot
+        GROUP BY doc_id
+    """.format(AVG_NLL=sql_avg("-ln(CAST(tf AS DOUBLE) / n)", 10 ** 7)),
+    category="extension: text analysis (unigram LM score)",
+    doc="Unigram language-model quality score (the CCNet/Gopher-style "
+        "perplexity filter, with the corpus itself as the LM): corpus "
+        "unigram probabilities in one aggregation, then each document's "
+        "mean negative log-probability — high avg_nll = rare-token-heavy "
+        "(gibberish/OCR noise), low = repetitive boilerplate. Scale: the "
+        "frequency table is vocabulary-sized and NOT force-broadcast "
+        "(AQE decides, same policy as TF-IDF); the two shuffles are the "
+        "token agg and the per-doc agg. Determinism: ln of the same "
+        "int-ratio double is libm-identical on both engines, and the "
+        "per-doc MEAN is a fixed-point exact_avg — token addition order "
+        "cannot flip the result.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.plans.exact import exact_avg
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(textstats.tokenize(F.col("text"))).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    tot = toks.agg(F.count("*").alias("n"))
+    nll = -F.log(F.col("tf").cast("double") / F.col("n"))
+    return (toks.join(freq, "term").crossJoin(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 exact_avg(nll, 10 ** 7).alias("avg_nll")))
 
 
 @query(

@@ -37,15 +37,19 @@ def main() -> None:
     per_round = [d.get("queries", {}) for _, d in rounds]
     names = sorted({n for q in per_round for n in q})
     base_lab, base = labels[0], per_round[0]
-    last = per_round[-1]
+    # min-to-min comparison: r1/r2 recorded best-of-2; newer files carry
+    # queries_min next to the median so the ratio compares like with like
+    last = rounds[-1][1].get("queries_min") or per_round[-1]
 
     lines = [
         "# BENCH_COMPARE — per-query seconds by round",
         "",
         f"Stat: later rounds report the per-query MEDIAN of "
         f"{rounds[-1][1].get('runs_per_query', '?')} runs "
-        "(bench.py); r1/r2 were best-of-2.  `ratio` compares the newest "
-        f"column against {base_lab}.  Ratios within ±{NOISE_BAND}x are "
+        "(bench.py); r1/r2 were best-of-2 MINIMUMS.  `ratio` therefore "
+        f"compares the newest round's per-query MINIMUM against "
+        f"{base_lab} (min-to-min; a median-to-min ratio would read "
+        f"~1.5x high on a noisy box).  Ratios within ±{NOISE_BAND}x are "
         "treated as environmental noise (the box is shared; VERDICT r2 "
         "measured 2x swings on byte-identical plans).  A ratio outside "
         "the band on a query whose plan changed is a real signal.",
