@@ -87,6 +87,36 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_window",
+    oracle="""
+        SELECT ws AS window_start, event_type, COUNT(*) AS cnt
+        FROM (SELECT event_type,
+                     unnest([time_bucket(INTERVAL '5 minutes', ts),
+                             time_bucket(INTERVAL '5 minutes', ts)
+                                 - INTERVAL 5 MINUTE]) AS ws
+              FROM events)
+        GROUP BY ws, event_type
+    """,
+    category="streaming: sliding event-time window",
+    doc="Sliding 10-minute window advancing every 5 minutes: each event "
+        "contributes to exactly two overlapping windows — Spark expands "
+        "the row into its window memberships before the keyed state agg "
+        "(state ∝ open windows × keys, bounded by the watermark). The "
+        "oracle unrolls the same two 5-min-aligned window starts per "
+        "event. Complete-mode converged state equals the batch answer.",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = file_stream_source(spark, sf_dir, "events")
+    agged = (ev.withWatermark("ts", "10 minutes")
+             .groupBy(F.window("ts", "10 minutes", "5 minutes"),
+                      F.col("event_type"))
+             .agg(F.count("*").alias("cnt"))
+             .select(F.col("window.start").alias("window_start"),
+                     "event_type", "cnt"))
+    return run_stream_to_memory(agged, output_mode="complete")
+
+
+@query(
     "stream_ohlc_bars",
     oracle=f"""
         WITH b AS (
