@@ -266,6 +266,51 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def jaccard_pairs_incremental(df: DataFrame, is_new,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              threshold: float = 0.6) -> DataFrame:
+    """Near-dup pairs INVOLVING a new batch only — the incremental-ingest
+    shape: a corpus that was already deduplicated receives a new
+    partition, and only (new × all) candidates are generated, never
+    history × history.
+
+    ``is_new``: a Column-predicate function over the id column.  Cost is
+    bounded by the NEW side's shingle co-occurrence: both candidate joins
+    carry the new batch on one side, so a day's increment against a year's
+    corpus scans the inverted index once instead of re-verifying the
+    whole corpus pairwise.  Output equals :func:`jaccard_pairs` filtered
+    to pairs touching the new batch (the oracle proves that equality).
+    """
+    ex = doc_shingle_table(df, text_col, id_col)
+    new_ex = ex.filter(is_new(F.col("doc")))
+    hist_ex = ex.filter(~is_new(F.col("doc")))
+    sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
+
+    def halfpairs(left, right):
+        return (left.alias("a")
+                .join(right.alias("b"), (F.col("a.code") == F.col("b.code"))
+                      & (F.col("a.doc") < F.col("b.doc")))
+                .select(F.col("a.doc").alias("doc_a"),
+                        F.col("b.doc").alias("doc_b")))
+
+    # (all × new) catches every pair whose larger id is new (incl. new×new);
+    # (new × history) catches new docs with ids below an old doc's — the
+    # two are disjoint by construction, so a plain union has no dup pairs.
+    common = (halfpairs(ex, new_ex).unionAll(halfpairs(new_ex, hist_ex))
+              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       threshold: float = 0.5) -> DataFrame:

@@ -161,6 +161,28 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_newbatch",
+    oracle=_sql_shingle_cte(SQL_AUG_NEAR) + """
+        SELECT doc_a, doc_b, jaccard FROM jac
+        WHERE jaccard >= 0.6
+          AND (doc_a >= 1000000 OR doc_b >= 1000000)
+    """,
+    category="extension: dedup (incremental new-batch)",
+    doc="Incremental dedup: the constructed near-dup copies (id+1000000) "
+        "play a NEW ingest batch arriving into an already-deduplicated "
+        "corpus — candidates are generated only through (new × all) "
+        "inverted-index joins, never history × history, so a daily "
+        "increment costs the increment, not the corpus². The oracle is "
+        "the FULL pairwise computation filtered to pairs touching the "
+        "new batch: parity proves incremental ≡ recompute-restricted.",
+)
+def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augment_near(load_table(spark, sf_dir, "documents"))
+    return dedup.jaccard_pairs_incremental(
+        docs, lambda d: d >= 1000000, threshold=0.6)
+
+
+@query(
     "dedup_repeated_spans",
     oracle=f"""
         WITH aug AS ({SQL_AUG_EXACT}),

@@ -542,3 +542,40 @@ def test_asof_jvm_matches_pandas_engine(spark):
         ra = sorted(map(tuple, a.collect()))
         rb = sorted(map(tuple, b.collect()))
         assert ra == rb, (kwargs, ra[:3], rb[:3])
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """T1 checkpointing end-to-end: a file-source stream processes batch 1,
+    terminates (availableNow), new files arrive, and a SECOND query
+    resuming from the same checkpoint processes ONLY the new files while
+    the state store carries the old aggregate forward — converged counts
+    equal the batch answer over all data, with no double counting."""
+    import uuid
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    b1 = spark.range(0, 300).select((F.col("id") % 5).alias("k"))
+    b1.write.mode("append").parquet(str(src))
+
+    schema = "k bigint"
+
+    def run_pass(qname):
+        stream = (spark.readStream.schema(schema).parquet(str(src))
+                  .groupBy("k").agg(F.count("*").alias("cnt")))
+        q = (stream.writeStream.format("memory").queryName(qname)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {(r.k, r.cnt) for r in spark.table(qname).collect()}
+
+    first = run_pass(f"ck_{uuid.uuid4().hex[:8]}")
+    assert first == {(k, 60) for k in range(5)}
+
+    b2 = spark.range(300, 400).select((F.col("id") % 5).alias("k"))
+    b2.write.mode("append").parquet(str(src))
+    resumed = run_pass(f"ck_{uuid.uuid4().hex[:8]}")
+    # 400 total rows: 80 per key — NOT 60+80 (double-processing batch 1
+    # would give 140) and NOT 20 (losing checkpointed state would give
+    # only batch 2's counts)
+    assert resumed == {(k, 80) for k in range(5)}

@@ -83,3 +83,53 @@ def test_fixed_point_sum_order_independent(spark):
             got = (df.repartition(n_part)
                    .agg((F.sum(units)).alias("u")).collect()[0].u)
             assert Decimal(got) / 100 == want, (trial, n_part)
+
+
+# --- as-of join: three physical engines, one semantics ----------------------
+
+_asof_ts = st.integers(min_value=0, max_value=500)  # seconds, forced dups
+_asof_key = st.integers(min_value=0, max_value=3)
+
+
+@st.composite
+def asof_inputs(draw):
+    left = draw(st.lists(st.tuples(_asof_key, _asof_ts),
+                         min_size=1, max_size=40))
+    right = draw(st.lists(st.tuples(_asof_key, _asof_ts),
+                          min_size=0, max_size=40))
+    return left, right
+
+
+@settings(max_examples=8, deadline=None)
+@given(asof_inputs(),
+       st.sampled_from(["backward", "forward"]),
+       st.sampled_from([None, "30 seconds"]))
+def test_asof_engines_agree_property(spark, inputs, direction, tolerance):
+    """asof_join (merge_asof), asof_join(time_slice=...) and asof_join_jvm
+    return identical rows on arbitrary key/timestamp multisets — including
+    duplicate right timestamps (tie-broken by the value column), empty
+    right sides, and tolerance windows that reject every match."""
+    import datetime as dt
+
+    from flinkapps_spark.operators.joins import asof_join, asof_join_jvm
+
+    (lrows, rrows) = inputs
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s), float(i))
+         for i, (k, s) in enumerate(lrows)],
+        "id long, k long, ts timestamp, v double")
+    right = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), float(i))
+         for i, (k, s) in enumerate(rrows)],
+        "k long, ts timestamp, rv double") if rrows else \
+        spark.createDataFrame([], "k long, ts timestamp, rv double")
+    kw = dict(key_cols=["k"], ts_col="ts", value_cols=["rv"],
+              tie_cols=["rv"], direction=direction, tolerance=tolerance)
+    a = sorted(map(tuple, asof_join(left, right, num_buckets=4,
+                                    **kw).collect()))
+    b = sorted(map(tuple, asof_join(left, right, num_buckets=4,
+                                    time_slice="2 minutes", **kw).collect()))
+    c = sorted(map(tuple, asof_join_jvm(left, right, **kw).collect()))
+    assert a == b, (direction, tolerance, a[:3], b[:3])
+    assert a == c, (direction, tolerance, a[:3], c[:3])
