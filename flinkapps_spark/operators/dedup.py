@@ -266,6 +266,35 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      threshold: float = 0.95) -> DataFrame:
+    """Shingle CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold — the
+    asymmetric near-dup metric that catches a document embedded inside a
+    larger one (quotes, boilerplate wrappers, excerpt pages), which
+    symmetric Jaccard misses once the size ratio grows (J = |A∩B|/|A∪B|
+    → small even when A ⊂ B).  Same inverted-index candidate join as
+    :func:`jaccard_pairs`; only the verification ratio differs."""
+    ex = doc_shingle_table(df, text_col, id_col)
+    sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.code") == F.col("b.code"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("containment", F.round(
+            F.col("n_common") / F.least("n_a", "n_b"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def jaccard_pairs_incremental(df: DataFrame, is_new,
                               text_col: str = "text",
                               id_col: str = "doc_id",

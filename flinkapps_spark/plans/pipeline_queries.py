@@ -161,6 +161,31 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment_pairs",
+    oracle=_sql_shingle_cte(SQL_AUG_NEAR) + """
+        SELECT doc_a, doc_b,
+               ROUND(CAST(n_common AS DOUBLE)
+                     / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+        FROM common
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.95
+    """,
+    category="extension: dedup (containment / subset detection)",
+    doc="Asymmetric containment pairs |A∩B|/min(|A|,|B|) ≥ 0.95: catches "
+        "a document EMBEDDED in a larger one (quotes, excerpt pages, "
+        "boilerplate wrappers) which symmetric Jaccard under-scores as "
+        "sizes diverge. The constructed first-word-dropped copies have "
+        "containment 1.0 in their originals (every copy shingle appears "
+        "in the original). Same inverted-index candidate join as the "
+        "Jaccard query — only the verification ratio differs.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augment_near(load_table(spark, sf_dir, "documents"))
+    return dedup.containment_pairs(docs, threshold=0.95)
+
+
+@query(
     "dedup_incremental_newbatch",
     oracle=_sql_shingle_cte(SQL_AUG_NEAR) + """
         SELECT doc_a, doc_b, jaccard FROM jac
@@ -1229,6 +1254,48 @@ def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.resize_profile(multimodal.attach_binary_payload(docs))
+
+
+@query(
+    "udtf_first_words",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents
+        )
+        SELECT doc_id,
+               unnest(ws[1:3]) AS word,
+               unnest(range(1, least(len(ws), 3) + 1)) AS pos
+        FROM t
+    """,
+    category="extension: Python UDTF (lateral table function)",
+    doc="User-defined TABLE function (Spark 4 @udtf): one input row → N "
+        "output rows, registered in the session catalog and invoked "
+        "through a SQL LATERAL join — the §2.8 scalar-UDF hook extended "
+        "to table functions (the reference has no equivalent). The UDTF "
+        "emits each document's first three whitespace tokens with "
+        "positions; the oracle zips the same slice. Python-worker row "
+        "path — a capability surface, not a hot-path choice (hot paths "
+        "use explode/posexplode, which stay JVM-side).",
+)
+def udtf_first_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: bigint")
+    class FirstWords:
+        def eval(self, text: str):
+            words = [w for w in (text or "").split() if w]
+            for i, w in enumerate(words[:3], start=1):
+                yield (w, i)
+
+    spark.udtf.register("first_words_t", FirstWords)
+    load_table(spark, sf_dir, "documents") \
+        .createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, t.word, t.pos "
+        "FROM docs_for_udtf d, LATERAL first_words_t(d.text) t")
 
 
 @query(
