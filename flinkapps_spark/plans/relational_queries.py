@@ -1839,6 +1839,46 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_markov_transitions",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        )
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n,
+               COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type)
+                               AS DOUBLE) AS p
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+    category="extension: sequence analytics (transition matrix)",
+    doc="First-order Markov transition matrix over each user's event "
+        "sequence: lead() pairs every event with its successor (total "
+        "order ts, event_id), one aggregation counts (from, to) edges, "
+        "and a window normalizes rows into transition probabilities — "
+        "the behavioral-model summary product analytics builds session "
+        "flows from. Scale: one sort-within-user shuffle + one "
+        "~|types|² aggregation; p is an int/int → double division, "
+        "bit-identical across engines.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn("next_type", F.lead("event_type").over(w)) \
+        .filter(F.col("next_type").isNotNull())
+    counts = (s.groupBy(F.col("event_type").alias("from_type"),
+                        F.col("next_type").alias("to_type"))
+              .agg(F.count("*").alias("n")))
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        (F.col("n") / F.sum("n").over(wt).cast("double")).alias("p"))
+
+
+@query(
     "events_funnel",
     oracle="""
         WITH s AS (
