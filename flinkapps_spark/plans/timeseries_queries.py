@@ -106,6 +106,70 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_mad_outliers",
+    oracle="""
+        WITH r AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events),
+        med AS (SELECT event_type, value AS med FROM r
+                WHERE rn = (n + 1) // 2),
+        d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+              FROM events e JOIN med m USING (event_type)),
+        r2 AS (
+            SELECT event_type, med, dev,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY dev) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM d),
+        mad AS (SELECT event_type, med, dev AS mad FROM r2
+                WHERE rn = (n + 1) // 2)
+        SELECT d.event_type, mad.med, mad.mad,
+               COUNT(*) AS n,
+               COUNT(CASE WHEN d.dev > mad.mad * 4.4478 THEN 1 END)
+                   AS n_outliers
+        FROM d JOIN mad USING (event_type)
+        GROUP BY d.event_type, mad.med, mad.mad
+    """,
+    category="extension: robust outliers (median/MAD)",
+    doc="Robust outlier detection per event type: lower-median and "
+        "median-absolute-deviation picked as EXACT ELEMENTS (row_number "
+        "to the (n+1)/2-th smallest — no interpolation arithmetic, so "
+        "the statistic is a value that exists in the data and is "
+        "bit-identical on any engine; quantile interpolation op order "
+        "can differ in the last ulp). Outliers are dev > 4.4478·MAD "
+        "(= 3σ under normality). Unlike the z-score variant, one wild "
+        "value cannot drag the threshold. Two window passes + one "
+        "broadcast-size join per statistic.",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = ev.select("event_type", "value",
+                  F.row_number().over(wv).alias("rn"),
+                  F.count("*").over(wc).alias("n"))
+    med = r.filter(F.col("rn") == F.expr("(n + 1) div 2")) \
+        .select("event_type", F.col("value").alias("med"))
+    d = ev.join(F.broadcast(med), "event_type") \
+        .select("event_type", "med",
+                F.abs(F.col("value") - F.col("med")).alias("dev"))
+    wd = Window.partitionBy("event_type").orderBy("dev")
+    r2 = d.select("event_type", "med", "dev",
+                  F.row_number().over(wd).alias("rn"),
+                  F.count("*").over(wc).alias("n"))
+    mad = r2.filter(F.col("rn") == F.expr("(n + 1) div 2")) \
+        .select("event_type", "med", F.col("dev").alias("mad"))
+    return (d.drop("med").join(F.broadcast(mad), "event_type")
+            .groupBy("event_type", "med", "mad")
+            .agg(F.count("*").alias("n"),
+                 F.count(F.when(F.col("dev") > F.col("mad") * 4.4478, 1))
+                 .alias("n_outliers")))
+
+
+@query(
     "time_multi_rollup",
     oracle=f"""
         SELECT CASE WHEN grouping(hour_b) = 0 THEN 'hour' ELSE 'day' END
