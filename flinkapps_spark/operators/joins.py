@@ -201,7 +201,9 @@ def asof_join_jvm(left: DataFrame, right: DataFrame,
     frame, then a single window pass per key ordered by (ts, side, ties)
     carries the nearest right row onto each left row via
     ``last(..., ignorenulls=True)`` (backward) / ``first`` over the
-    following frame (forward).  One shuffle + one sort, all inside
+    following frame (forward).  ``direction="nearest"`` (this engine
+    only) computes BOTH carries and keeps the smaller absolute gap,
+    preferring backward on exact ties; tolerance bounds the chosen gap.  One shuffle + one sort, all inside
     whole-stage codegen — none of the Arrow transfer / pandas merge CPU
     of the ``applyInPandas`` variant, which matters when the as-of is a
     hot headliner. Trade-off: the window partitions by KEY, so one giant
@@ -217,6 +219,7 @@ def asof_join_jvm(left: DataFrame, right: DataFrame,
                                 if c not in keys + [right_ts]]
     l_cols = left.columns
     forward = direction == "forward"
+    nearest = direction == "nearest"
 
     # right rows carry their payload in ONE struct column (atomic carry —
     # per-column last(ignorenulls) could stitch different rows when a
@@ -234,26 +237,62 @@ def asof_join_jvm(left: DataFrame, right: DataFrame,
           .alias(f"__tie_{c}") for c in tie_cols])
 
     from pyspark.sql import Window
+    both = lt.unionByName(rt, allowMissingColumns=True)
+    tol_s = (float(pd.Timedelta(tolerance).total_seconds())
+             if tolerance is not None else None)
+
+    def back_window(tie_desc: bool):
+        ties = [F.col(f"__tie_{c}").desc() if tie_desc
+                else F.col(f"__tie_{c}").asc() for c in tie_cols]
+        return (Window.partitionBy(*keys)
+                .orderBy(F.col(ts_col).asc(), F.col("__ord").asc(), *ties)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    def fwd_window():
+        ties = [F.col(f"__tie_{c}").asc() for c in tie_cols]
+        return (Window.partitionBy(*keys)
+                .orderBy(F.col(ts_col).asc(), F.col("__ord").asc(), *ties)
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+
+    if nearest:
+        # nearest = min |gap|, backward preferred on equal gaps; ALL ties
+        # (same ts, same gap) break toward the SMALLEST tie_cols value on
+        # both sides, matching an oracle's ORDER BY abs_gap, ts, tie ASC
+        # LIMIT 1 (note backward-only mode keeps merge_asof's max-tie
+        # pick instead — the two conventions are each internally
+        # consistent and documented).  Costs two window sorts.
+        cb = F.last("__r", ignorenulls=True).over(back_window(tie_desc=True))
+        cf = F.first("__r", ignorenulls=True).over(fwd_window())
+        out = (both.withColumn("__cb", cb).withColumn("__cf", cf)
+               .filter(F.col("__r").isNull()))
+        t = F.col(ts_col).cast("double")
+        gap_b = t - F.col("__cb.__rts").cast("double")
+        gap_f = F.col("__cf.__rts").cast("double") - t
+        in_b = F.col("__cb").isNotNull() & (
+            (gap_b <= tol_s) if tol_s is not None else F.lit(True))
+        in_f = F.col("__cf").isNotNull() & (
+            (gap_f <= tol_s) if tol_s is not None else F.lit(True))
+        chosen = (F.when(in_b & (~in_f | (gap_b <= gap_f)), F.col("__cb"))
+                  .when(in_f, F.col("__cf")))
+        out = out.withColumn("__c", chosen)
+        return out.select(
+            *l_cols,
+            *[F.col(f"__c.{c}").alias(c) for c in vals])
+
     # backward: right sorts BEFORE left at equal ts (inclusive match) and
     # the carried row is the LAST right row ≤ current → max (ts, ties),
     # exactly merge_asof's pick.  forward mirrors with first over the
     # following frame → min (ts, ties).
-    tie_order = [F.col(f"__tie_{c}").asc() for c in tie_cols]
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(ts_col).asc(), F.col("__ord").asc(), *tie_order)
     if forward:
-        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        carried = F.first("__r", ignorenulls=True).over(w)
+        carried = F.first("__r", ignorenulls=True).over(fwd_window())
     else:
-        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        carried = F.last("__r", ignorenulls=True).over(w)
+        carried = F.last("__r", ignorenulls=True).over(
+            back_window(tie_desc=False))
 
-    both = lt.unionByName(rt, allowMissingColumns=True)
     out = both.withColumn("__c", carried).filter(F.col("__r").isNull())
 
     valid = F.col("__c").isNotNull()
-    if tolerance is not None:
-        tol_s = float(pd.Timedelta(tolerance).total_seconds())
+    if tol_s is not None:
         gap = (F.col("__c.__rts").cast("double")
                - F.col(ts_col).cast("double"))
         valid = valid & ((gap >= -tol_s) & (gap <= 0) if not forward

@@ -456,6 +456,54 @@ def join_asof_jvm_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_cols=["next_purchase_id"])
 
 
+@query(
+    "join_asof_nearest",
+    oracle="""
+        WITH errors AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'error'
+        ), purchases AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT e.event_id, e.user_id, e.ts, e.value,
+               p.near_purchase_id, p.near_ts, p.near_value
+        FROM errors e
+        LEFT JOIN LATERAL (
+            SELECT event_id AS near_purchase_id, ts AS near_ts,
+                   value AS near_value
+            FROM purchases p
+            WHERE p.user_id = e.user_id
+              AND abs(epoch(p.ts) - epoch(e.ts)) <= 3600
+            ORDER BY abs(epoch(p.ts) - epoch(e.ts)), p.ts, p.event_id
+            LIMIT 1) p ON true
+    """,
+    category="extension: as-of join (nearest, bidirectional)",
+    doc="Nearest-neighbor as-of: for each error, the purchase by the same "
+        "user with the smallest absolute time gap within ±1 hour — "
+        "backward preferred on exact gap ties (the oracle's ORDER BY "
+        "abs_gap, ts ASC picks the earlier row). Runs on the JVM window "
+        "engine with direction='nearest': both a backward and a forward "
+        "carry in one shuffle (two in-partition sorts), then a codegen "
+        "CASE keeps the smaller gap. Gap arithmetic is the identical "
+        "epoch-seconds double on both engines.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select("event_id", "user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts",
+                F.col("event_id").alias("near_purchase_id"),
+                F.col("ts").alias("near_ts"),
+                F.col("value").alias("near_value"))
+    return joins.asof_join_jvm(
+        errors, purchases, key_cols=["user_id"], ts_col="ts",
+        value_cols=["near_purchase_id", "near_ts", "near_value"],
+        direction="nearest", tolerance="1h",
+        tie_cols=["near_purchase_id"])
+
+
 # ---------------------------------------------------------------------------
 # Set operations / distinct / sort / top-k
 # ---------------------------------------------------------------------------
