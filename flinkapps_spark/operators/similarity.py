@@ -284,6 +284,63 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "vec_id", "cosine", "rank"))
 
 
+def pq_encode_audit(df: DataFrame, m: int = 8, k: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42,
+                    mean_floor: float = 0.5,
+                    min_floor: float = 0.3) -> DataFrame:
+    """Product quantization audit — the billion-vector compression path
+    (IVF-PQ): split each vector into ``m`` subvectors, learn a ``k``-word
+    codebook per subspace (seeded KMeans), encode every vector as ``m``
+    small codes (here 8 bytes replacing 64 doubles = 64× compression),
+    reconstruct from codebook words and score reconstruction cosine
+    against the original.
+
+    Returns ONE audit row: (n_vectors, mean_ok, min_ok) — deterministic
+    booleans against conservative floors, the cross-engine-checkable
+    shape (codebooks are KMeans-seed-specific, so the codes themselves
+    cannot be oracled; the floors are set at ~half the observed values,
+    same pattern as the LSH/IVF recall gates).
+
+    Scale: codebook training samples/fits driver-side per subspace
+    (standard practice — codebooks train on a corpus sample); encoding
+    and reconstruction are pure Column expressions (element_at into a
+    literal codebook array), so the 100 TB encode pass is map-only with
+    whole-stage codegen, no shuffle, no Python.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = df.select(F.col(id_col).alias("vec_id"),
+                  _as_double(F.col(vec_col)).alias("v"))
+    c = c.withColumn("__dim", F.size("v"))
+    dim = c.select(F.max("__dim")).first()[0]
+    sub = dim // m
+
+    enc = c
+    recon_parts = []
+    for i in range(m):
+        sv = F.slice("v", i * sub + 1, sub)
+        ml_in = enc.withColumn("__feat", array_to_vector(sv))
+        model = (KMeans(k=k, seed=seed + i, featuresCol="__feat",
+                        predictionCol=f"__code_{i}")
+                 .fit(ml_in))
+        enc = model.transform(ml_in).drop("__feat")
+        centers = F.array(*[
+            F.array(*[F.lit(float(x)) for x in ctr])
+            for ctr in model.clusterCenters()])
+        recon_parts.append(
+            F.element_at(centers, F.col(f"__code_{i}") + 1))
+    recon = F.concat(*recon_parts)
+    scored = enc.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("v"), recon), 6).alias("recon_cos"))
+    return scored.agg(
+        F.count("*").alias("n_vectors"),
+        (F.avg("recon_cos") >= mean_floor).alias("mean_ok"),
+        (F.min("recon_cos") >= min_floor).alias("min_ok"))
+
+
 def embedding_centroids(df: DataFrame, label_col: str = "label",
                         vec_col: str = "embedding",
                         scale: int = 10 ** 7) -> DataFrame:
