@@ -1362,6 +1362,72 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_dsir_weights",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({SQL_WORDS}) AS term FROM documents
+        ),
+        tgt AS (SELECT term, COUNT(*) AS tc FROM toks
+                WHERE doc_id % 7 = 0 GROUP BY term),
+        src AS (SELECT term, COUNT(*) AS sc FROM toks GROUP BY term),
+        scal AS (SELECT COUNT(DISTINCT term) AS v,
+                        COUNT(*) AS tot_s,
+                        COUNT(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS tot_t
+                 FROM toks),
+        lr AS (
+            SELECT t.doc_id,
+                   ln(CAST((COALESCE(g.tc, 0) + 1) * (tot_s + v) AS DOUBLE)
+                      / CAST((tot_t + v) * (s.sc + 1) AS DOUBLE)) AS lg
+            FROM toks t
+            JOIN src s USING (term)
+            LEFT JOIN tgt g USING (term)
+            CROSS JOIN scal
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               {{AVG_LR}} AS avg_log_ratio,
+               ({{AVG_LR}} > 0.0) AS target_like
+        FROM lr GROUP BY doc_id
+    """.format(AVG_LR=sql_avg("lg", 10 ** 7)),
+    category="extension: curation (DSIR importance weights)",
+    doc="DSIR-style importance weighting (Xie et al. 2023, 'Data "
+        "Selection for Language Models via Importance Resampling'): "
+        "documents scored by mean log ratio of target-domain vs source "
+        "unigram probabilities (Laplace-smoothed; the doc_id%7 subset "
+        "plays the target domain) — the data-selection signal used to "
+        "upweight wiki-like text in a 100 TB crawl. Both language models "
+        "are one aggregation each; the ratio is a single double "
+        "division in identical op order on both engines, and the per-doc "
+        "mean is fixed-point exact so token order cannot flip a weight. "
+        "target_like flags docs whose distribution leans toward the "
+        "target (avg log ratio > 0).",
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.plans.exact import exact_avg
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(textstats.tokenize(F.col("text"))).alias("term"))
+    tgt = (toks.filter(F.col("doc_id") % 7 == 0)
+           .groupBy("term").agg(F.count("*").alias("tc")))
+    src = toks.groupBy("term").agg(F.count("*").alias("sc"))
+    scal = toks.agg(
+        F.countDistinct("term").alias("v"),
+        F.count("*").alias("tot_s"),
+        F.count(F.when(F.col("doc_id") % 7 == 0, 1)).alias("tot_t"))
+    lg = F.log(((F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                * (F.col("tot_s") + F.col("v"))).cast("double")
+               / ((F.col("tot_t") + F.col("v"))
+                  * (F.col("sc") + 1)).cast("double"))
+    lr = (toks.join(src, "term").join(tgt, "term", "left")
+          .crossJoin(F.broadcast(scal))
+          .select("doc_id", lg.alias("lg")))
+    avg_lr = exact_avg(F.col("lg"), 10 ** 7)
+    return (lr.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 avg_lr.alias("avg_log_ratio"),
+                 (avg_lr > 0.0).alias("target_like")))
+
+
+@query(
     "text_tfidf_topterms",
     oracle=f"""
         WITH toks AS (
