@@ -257,3 +257,33 @@ def test_catalog_layout_queries_plan_shapes(spark):
     p2 = join_bucketed_colocated(spark, SF_SMOKE) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount: 8 out of 8" in p2, p2
+
+
+def test_q2_semi_joins_below_aggregation(spark):
+    """q2's selective dims reach lineitem BEFORE the (partkey, suppkey)
+    aggregation: two broadcast LEFT-SEMI joins must appear under the
+    partial aggregate, so the big shuffle reads only matching rows."""
+    from flinkapps_spark.plans import catalog
+    from tests.conftest import SF_SMOKE
+
+    plan = catalog.registry()["q2_min_cost_supplier"] \
+        .build(spark, SF_SMOKE) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_jvm_single_shuffle(spark):
+    """The JVM as-of join's whole physical plan contains exactly one
+    Exchange and no Python evaluation — the property that makes it the
+    100 TB default (SCALE.md Joins)."""
+    import re
+
+    from flinkapps_spark.plans import catalog
+    from tests.conftest import SF_SMOKE
+
+    plan = catalog.registry()["join_asof_jvm"] \
+        .build(spark, SF_SMOKE) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Python" not in plan and "Arrow" not in plan, plan
