@@ -1887,6 +1887,62 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_rule_violations",
+    oracle="""
+        SELECT 'totalprice_positive' AS rule,
+               COUNT(CASE WHEN NOT (o_totalprice > 0) THEN 1 END)
+                   AS n_violations,
+               COUNT(*) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'orderdate_not_null',
+               COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END), COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'status_in_domain',
+               COUNT(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                          THEN 1 END), COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'custkey_referential',
+               COUNT(CASE WHEN c_custkey IS NULL THEN 1 END), COUNT(*)
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+    category="extension: data quality (expectation rules)",
+    doc="Declarative data-quality expectations (the Deequ/Great-"
+        "Expectations shape): positivity, non-null, domain membership, "
+        "and referential integrity, each as a conditional count over ONE "
+        "scan per rule family — the first three rules share a single "
+        "aggregation pass (no per-rule scans), and the referential rule "
+        "is a broadcast-left-join null count. At 100 TB this is the "
+        "audit a pipeline runs before promoting a partition; conditional "
+        "counts are partial-aggregated map-side.",
+)
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    viol = lambda cond: F.count(F.when(cond, 1)).alias("n_violations")  # noqa: E731
+    base = od.agg(
+        viol(~(F.col("o_totalprice") > 0)),
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("v_date"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1))
+        .alias("v_status"))
+    r1 = base.select(F.lit("totalprice_positive").alias("rule"),
+                     "n_violations", "n_rows")
+    r2 = base.select(F.lit("orderdate_not_null").alias("rule"),
+                     F.col("v_date").alias("n_violations"), "n_rows")
+    r3 = base.select(F.lit("status_in_domain").alias("rule"),
+                     F.col("v_status").alias("n_violations"), "n_rows")
+    r4 = (od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey, "left")
+          .agg(F.count(F.when(F.col("c_custkey").isNull(), 1))
+               .alias("n_violations"), F.count("*").alias("n_rows"))
+          .select(F.lit("custkey_referential").alias("rule"),
+                  "n_violations", "n_rows"))
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4)
+
+
+@query(
     "events_markov_transitions",
     oracle="""
         WITH s AS (
