@@ -1887,6 +1887,61 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_pareto_share",
+    oracle=f"""
+        WITH cu AS (
+            SELECT o_custkey,
+                   CAST(SUM({sql_units('o_totalprice', 100)}) AS BIGINT)
+                       AS units
+            FROM orders GROUP BY o_custkey),
+        r AS (
+            SELECT o_custkey, units,
+                   ROW_NUMBER() OVER (ORDER BY units DESC, o_custkey)
+                       AS rk,
+                   SUM(units) OVER (ORDER BY units DESC, o_custkey
+                                    ROWS UNBOUNDED PRECEDING) AS cum_units,
+                   SUM(units) OVER () AS total_units
+            FROM cu)
+        SELECT rk, o_custkey,
+               units / CAST(100 AS DOUBLE) AS revenue,
+               CAST(cum_units AS DOUBLE) / total_units AS cum_share
+        FROM r WHERE rk <= 100
+    """,
+    category="extension: concentration curve (Pareto)",
+    doc="Revenue concentration (Pareto/80-20 curve): customers ranked by "
+        "exact fixed-point revenue with a running cumulative share — the "
+        "top-100 rows of the curve. Ranks and cumulative sums run on "
+        "int64 units so partition order cannot perturb the shares "
+        "(cum/total is one exact int→double division per row). The "
+        "global ordered window is one task over CUSTOMER-cardinality "
+        "pre-aggregated rows — fine at any fact-table scale; if the KEY "
+        "cardinality itself outgrew a task, bucket by revenue range and "
+        "prefix-sum bucket totals (the classic distributed scan).",
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = od.groupBy("o_custkey").agg(
+        F.sum(units_col("o_totalprice", 100)).alias("units"))
+    w = Window.orderBy(F.desc("units"), F.asc("o_custkey"))
+    r = cu.select(
+        "o_custkey", "units",
+        F.row_number().over(w).alias("rk"),
+        F.sum("units").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_units"),
+        F.sum("units").over(
+            Window.partitionBy().orderBy()
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)).alias("total_units"))
+    return (r.filter(F.col("rk") <= 100)
+            .select("rk", "o_custkey",
+                    (F.col("units") / F.lit(100).cast("double"))
+                    .alias("revenue"),
+                    (F.col("cum_units").cast("double")
+                     / F.col("total_units")).alias("cum_share")))
+
+
+@query(
     "dq_rule_violations",
     oracle="""
         SELECT 'totalprice_positive' AS rule,

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flinkapps_spark.plans.catalog import query
-from flinkapps_spark.plans.exact import exact_sum, sql_sum
+from flinkapps_spark.plans.exact import exact_sum, sql_sum, sql_units
 from flinkapps_spark.sources.batch import load_table
 
 BAR = "hour"          # OHLC bar width (date_trunc unit, same both engines)
@@ -103,6 +103,66 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.groupBy("event_type", bin_col.alias("bin"))
             .agg(F.count(F.lit(1)).alias("n"),
                  exact_sum("value", 100).alias("sum_value")))
+
+
+MAINT_WINDOWS = [
+    ("w_jan05", "2024-01-05 02:00:00", "2024-01-05 06:00:00"),
+    ("w_jan12", "2024-01-12 00:00:00", "2024-01-12 12:00:00"),
+    ("w_jan20", "2024-01-20 08:00:00", "2024-01-20 09:00:00"),
+    ("w_jan28", "2024-01-28 22:00:00", "2024-01-29 04:00:00"),
+]
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+        WITH iv AS (
+            SELECT user_id, MIN(ts) AS s, MAX(ts) AS e
+            FROM events GROUP BY user_id, date_trunc('day', ts)),
+        w(win_id, ws, we) AS (VALUES {', '.join(
+            f"('{i}', TIMESTAMP '{s}', TIMESTAMP '{e}')"
+            for i, s, e in MAINT_WINDOWS)}),
+        ov AS (
+            SELECT w.win_id, iv.user_id,
+                   {{OSEC_UNITS}} AS osec_units
+            FROM iv JOIN w ON iv.s < w.we AND w.ws < iv.e)
+        SELECT win_id, COUNT(*) AS n_intervals,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(osec_units) AS BIGINT) AS overlap_usec
+        FROM ov GROUP BY win_id
+    """.format(OSEC_UNITS=sql_units(
+        "epoch(least(iv.e, w.we)) - epoch(greatest(iv.s, w.ws))",
+        1000000)),
+    category="extension: interval overlap join",
+    doc="Interval-overlap join: per-user daily activity intervals "
+        "[min ts, max ts] joined against maintenance windows on the "
+        "canonical overlap predicate (s1 < e2 AND s2 < e1), reporting "
+        "affected interval/user counts and total overlap microseconds "
+        "per window. The window table is tiny → broadcast nested-loop "
+        "with the predicate in codegen (same strategy as the band range "
+        "join; a large-large interval join would bucket both sides by "
+        "time slice first, the asof time_slice pattern). Overlap "
+        "durations are fixed-pointed to exact integer microseconds "
+        "before summing.",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.plans.exact import units_col
+    ev = load_table(spark, sf_dir, "events")
+    iv = (ev.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+          .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    w = spark.createDataFrame(MAINT_WINDOWS, "win_id string, ws string, we string") \
+        .select("win_id", F.col("ws").cast("timestamp").alias("ws"),
+                F.col("we").cast("timestamp").alias("we"))
+    ov = iv.join(F.broadcast(w),
+                 (F.col("s") < F.col("we")) & (F.col("ws") < F.col("e")))
+    osec = (F.least("e", "we").cast("double")
+            - F.greatest("s", "ws").cast("double"))
+    return (ov.select("win_id", "user_id",
+                      units_col(osec, 1000000).alias("osec_units"))
+            .groupBy("win_id")
+            .agg(F.count("*").alias("n_intervals"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum("osec_units").alias("overlap_usec")))
 
 
 @query(
