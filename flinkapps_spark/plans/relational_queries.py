@@ -1887,6 +1887,42 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_topk_heavyhitters",
+    oracle="""
+        SELECT CAST(10 AS BIGINT) AS n_items,
+               true AS counts_exact_ok, true AS boundary_ok
+    """,
+    category="extension: heavy hitters (approx_top_k sketch)",
+    doc="Heavy-hitter detection via the approx_top_k sketch (fixed-size "
+        "tracked-item state, map-side mergeable — the 100 TB answer to "
+        "'top URLs/users right now' that an exact groupBy+sort answers "
+        "with a full shuffle). The self-check is TIE-PROOF: every "
+        "reported (item, count) must equal the exact count, and the "
+        "smallest reported count must be ≥ the exact 10th-largest count "
+        "— together these certify a valid top-10 under ties without "
+        "depending on which tied item the sketch surfaced. Oracle "
+        "asserts the literals.",
+)
+def sketch_topk_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    appr = (ev.agg(F.expr("approx_top_k(user_id, 10)").alias("tk"))
+            .select(F.explode("tk").alias("e"))
+            .select(F.col("e.item").alias("user_id"),
+                    F.col("e.count").alias("ac")))
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("xc"))
+    wk = Window.orderBy(F.desc("xc"), F.asc("user_id"))
+    kth = (exact.withColumn("rk", F.row_number().over(wk))
+           .filter(F.col("rk") <= 10)
+           .agg(F.min("xc").alias("kth_count")))
+    j = appr.join(exact, "user_id").crossJoin(F.broadcast(kth))
+    return j.agg(
+        F.count("*").alias("n_items"),
+        (F.count(F.when(F.col("ac") == F.col("xc"), 1))
+         == F.count("*")).alias("counts_exact_ok"),
+        (F.min("ac") >= F.min("kth_count")).alias("boundary_ok"))
+
+
+@query(
     "orders_pareto_share",
     oracle=f"""
         WITH cu AS (
