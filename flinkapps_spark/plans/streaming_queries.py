@@ -87,6 +87,38 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_append_closed_windows",
+    oracle="""
+        WITH mx AS (SELECT max(ts) AS m FROM events)
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+               COUNT(*) AS cnt
+        FROM events, mx
+        GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type, mx.m
+        HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+               <= m - INTERVAL 10 MINUTE
+    """,
+    category="streaming: append-mode watermark finalization",
+    doc="APPEND output mode: a window row is emitted exactly once, only "
+        "after the watermark (max event time − 10 min) passes its end — "
+        "the at-most-once-per-window contract downstream sinks without "
+        "upsert support need (complete/update modes re-emit). The final "
+        "in-flight windows are NOT emitted, and the oracle reproduces "
+        "precisely that: hourly counts HAVING window_end ≤ max(ts) − "
+        "delay. Also pins the availableNow flush-on-termination "
+        "behavior (a final no-data batch advances the watermark).",
+)
+def stream_append_closed_windows(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    ev = file_stream_source(spark, sf_dir, "events")
+    agged = (ev.withWatermark("ts", "10 minutes")
+             .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+             .agg(F.count("*").alias("cnt"))
+             .select(F.col("window.start").alias("ws"),
+                     "event_type", "cnt"))
+    return run_stream_to_memory(agged, output_mode="append")
+
+
+@query(
     "stream_sliding_window",
     oracle="""
         SELECT ws AS window_start, event_type, COUNT(*) AS cnt
