@@ -1887,6 +1887,44 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_url_parse",
+    oracle="""
+        WITH u AS (
+            SELECT event_id,
+                   'https://' || event_type || '.example.com/u/'
+                       || CAST(user_id AS VARCHAR) || '/page?k='
+                       || CAST(event_id % 7 AS VARCHAR) AS url
+            FROM events WHERE event_id % 50 = 0)
+        SELECT event_id,
+               regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, 'k=([0-9]+)', 1) AS k_param
+        FROM u
+    """,
+    category="extension: URL parsing functions",
+    doc="URL decomposition with parse_url (HOST / PATH / QUERY-param "
+        "extraction — the per-domain grouping primitive web-crawl "
+        "curation keys on; the domain-mix report builds on this). URLs "
+        "are constructed deterministically from event fields since the "
+        "fixtures carry none; DuckDB lacks parse_url so the oracle "
+        "mirrors with anchored regexes. All codegen, no UDF.",
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 50 == 0)
+    url = F.concat(F.lit("https://"), F.col("event_type"),
+                   F.lit(".example.com/u/"),
+                   F.col("user_id").cast("string"), F.lit("/page?k="),
+                   (F.col("event_id") % 7).cast("string"))
+    u = ev.select("event_id", url.alias("url"))
+    return u.select(
+        "event_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("k")).alias("k_param"))
+
+
+@query(
     "sketch_topk_heavyhitters",
     oracle="""
         SELECT CAST(10 AS BIGINT) AS n_items,
