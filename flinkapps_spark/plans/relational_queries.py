@@ -1887,6 +1887,77 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_bitwise_battery",
+    oracle="""
+        SELECT event_id,
+               event_id & 255 AS lo_byte,
+               xor(event_id, user_id) AS x,
+               (event_id & 1023) << 2 AS shl,
+               event_id >> 3 AS shr,
+               CAST(bit_count(event_id) AS INT) AS pop
+        FROM events WHERE event_id % 40 = 0
+    """,
+    category="extension: bitwise functions",
+    doc="Bitwise operator battery (AND/XOR/shifts/popcount) — the "
+        "primitives bitmap indexes, bloom filters, feature hashing and "
+        "the SimHash/LSH operators build on, verified value-for-value "
+        "against DuckDB (whose ^ is exponentiation — the oracle uses "
+        "xor()). All codegen, no UDF.",
+)
+def scalar_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 40 == 0)
+    return ev.select(
+        "event_id",
+        (F.col("event_id").bitwiseAND(F.lit(255))).alias("lo_byte"),
+        (F.col("event_id").bitwiseXOR(F.col("user_id"))).alias("x"),
+        F.shiftleft(F.col("event_id").bitwiseAND(F.lit(1023)), 2)
+        .alias("shl"),
+        F.shiftright("event_id", 3).alias("shr"),
+        F.bit_count("event_id").alias("pop"))
+
+
+@query(
+    "orders_monthly_growth",
+    oracle=f"""
+        WITH m AS (
+            SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+                   CAST(SUM({sql_units('o_totalprice', 100)}) AS BIGINT)
+                       AS units,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY date_trunc('month', CAST(o_orderdate AS DATE)))
+        SELECT CAST(month AS DATE) AS month,
+               units / CAST(100 AS DOUBLE) AS revenue,
+               n_orders,
+               CAST(units - lag(units) OVER (ORDER BY month) AS DOUBLE)
+                   / lag(units) OVER (ORDER BY month) AS mom_growth
+        FROM m
+    """,
+    category="extension: time-series trend (MoM growth)",
+    doc="Month-over-month revenue growth: monthly fixed-point totals, "
+        "then lag() and one exact int→double ratio per row — the KPI "
+        "trend line every revenue dashboard draws. The global ordered "
+        "window runs over MONTH-cardinality pre-aggregated rows (tiny "
+        "forever); all order-sensitive arithmetic happens on int64 "
+        "units, so engines cannot diverge. First month's growth is "
+        "NULL by lag semantics on both engines.",
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    m = (od.groupBy(F.date_trunc("month", F.col("o_orderdate").cast("date"))
+                    .alias("month"))
+         .agg(F.sum(units_col("o_totalprice", 100)).alias("units"),
+              F.count("*").alias("n_orders")))
+    w = Window.orderBy("month")
+    prev = F.lag("units").over(w)
+    return m.select(
+        F.col("month").cast("date").alias("month"),
+        (F.col("units") / F.lit(100).cast("double")).alias("revenue"),
+        "n_orders",
+        ((F.col("units") - prev).cast("double") / prev).alias("mom_growth"))
+
+
+@query(
     "scalar_url_parse",
     oracle="""
         WITH u AS (
