@@ -105,6 +105,56 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  exact_sum("value", 100).alias("sum_value")))
 
 
+@query(
+    "events_rate_spike",
+    oracle="""
+        WITH h AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour_b,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        w AS (
+            SELECT event_type, hour_b, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type
+                                       ORDER BY hour_b
+                                       ROWS BETWEEN 24 PRECEDING
+                                            AND 1 PRECEDING) AS BIGINT)
+                       AS base_sum,
+                   COUNT(cnt) OVER (PARTITION BY event_type ORDER BY hour_b
+                                    ROWS BETWEEN 24 PRECEDING
+                                         AND 1 PRECEDING) AS base_n
+            FROM h)
+        SELECT event_type, hour_b, cnt, base_sum, base_n,
+               (base_n >= 6 AND
+                CAST(cnt * base_n AS DOUBLE) > 3.0 * base_sum) AS is_spike
+        FROM w
+    """,
+    category="extension: anomaly detection (rate spike)",
+    doc="Rate-spike detection: each (type, hour) bucket compared against "
+        "its own trailing 24-hour baseline — flagged when the count "
+        "exceeds 3x the baseline MEAN, with a 6-bucket warm-up guard. "
+        "The compare is cross-multiplied (cnt·base_n > 3·base_sum) so "
+        "everything but one literal product stays in exact int64 — no "
+        "division, no float accumulation, engine-proof. One hourly "
+        "aggregation plus one bounded window frame (25 rows of state "
+        "per key): the always-on monitoring query over a metrics "
+        "stream, runnable identically under Structured Streaming.",
+)
+def events_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = (ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_b"))
+         .agg(F.count("*").alias("cnt")))
+    w = (Window.partitionBy("event_type").orderBy("hour_b")
+         .rowsBetween(-24, -1))
+    base_sum = F.sum("cnt").over(w)
+    base_n = F.count("cnt").over(w)
+    return h.select(
+        "event_type", "hour_b", "cnt",
+        base_sum.alias("base_sum"), base_n.alias("base_n"),
+        ((base_n >= 6)
+         & ((F.col("cnt") * base_n).cast("double")
+            > 3.0 * base_sum)).alias("is_spike"))
+
+
 MAINT_WINDOWS = [
     ("w_jan05", "2024-01-05 02:00:00", "2024-01-05 06:00:00"),
     ("w_jan12", "2024-01-12 00:00:00", "2024-01-12 12:00:00"),
