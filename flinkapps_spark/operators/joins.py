@@ -133,6 +133,15 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: Sequence[str],
     # ---- time-sliced path (skewed keys) -----------------------------------
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        # the carry-in construction below is single-sided; 'nearest' would
+        # need a dual (backward+forward) carry per slice.  Refuse loudly
+        # rather than silently returning backward-only matches.
+        raise ValueError(
+            f"time_slice supports direction 'backward'/'forward', got "
+            f"{direction!r}; use asof_join_jvm(direction='nearest') or the "
+            f"unsliced path for nearest-match semantics")
+
     slice_secs = float(pd.Timedelta(time_slice).total_seconds())
 
     def slice_of(c: str):

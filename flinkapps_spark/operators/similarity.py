@@ -288,7 +288,8 @@ def pq_encode_audit(df: DataFrame, m: int = 8, k: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     seed: int = 42,
                     mean_floor: float = 0.5,
-                    min_floor: float = 0.3) -> DataFrame:
+                    min_floor: float = 0.3,
+                    train_fraction: float = 1.0) -> DataFrame:
     """Product quantization audit — the billion-vector compression path
     (IVF-PQ): split each vector into ``m`` subvectors, learn a ``k``-word
     codebook per subspace (seeded KMeans), encode every vector as ``m``
@@ -302,11 +303,17 @@ def pq_encode_audit(df: DataFrame, m: int = 8, k: int = 16,
     cannot be oracled; the floors are set at ~half the observed values,
     same pattern as the LSH/IVF recall gates).
 
-    Scale: codebook training samples/fits driver-side per subspace
-    (standard practice — codebooks train on a corpus sample); encoding
-    and reconstruction are pure Column expressions (element_at into a
-    literal codebook array), so the 100 TB encode pass is map-only with
-    whole-stage codegen, no shuffle, no Python.
+    Scale: codebook training (KMeans.fit per subspace) runs over
+    ``train_fraction`` of the corpus — codebooks only need a sample, so
+    at 100 TB pass ``train_fraction≈1e-5`` and the fit cost is bounded
+    while encode stays exact; encoding and reconstruction are pure
+    Column expressions (element_at into a literal codebook array), so
+    the 100 TB encode pass is map-only with whole-stage codegen, no
+    shuffle, no Python.
+
+    Requires ``dim % m == 0`` (asserted): otherwise the reconstruction
+    concat would cover only ``m*(dim//m)`` elements and the cosine
+    zip_with would null-pad, silently turning the audit booleans NULL.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -315,6 +322,11 @@ def pq_encode_audit(df: DataFrame, m: int = 8, k: int = 16,
                   _as_double(F.col(vec_col)).alias("v"))
     c = c.withColumn("__dim", F.size("v"))
     dim = c.select(F.max("__dim")).first()[0]
+    if dim is None or dim % m != 0:
+        raise ValueError(
+            f"pq_encode_audit requires dim % m == 0, got dim={dim}, m={m}; "
+            f"pad or trim the vectors (or pick m dividing dim) — a partial "
+            f"last subvector would make recon_cos NULL instead of failing")
     sub = dim // m
 
     enc = c
@@ -322,9 +334,11 @@ def pq_encode_audit(df: DataFrame, m: int = 8, k: int = 16,
     for i in range(m):
         sv = F.slice("v", i * sub + 1, sub)
         ml_in = enc.withColumn("__feat", array_to_vector(sv))
+        train = (ml_in if train_fraction >= 1.0
+                 else ml_in.sample(fraction=train_fraction, seed=seed + i))
         model = (KMeans(k=k, seed=seed + i, featuresCol="__feat",
                         predictionCol=f"__code_{i}")
-                 .fit(ml_in))
+                 .fit(train))
         enc = model.transform(ml_in).drop("__feat")
         centers = F.array(*[
             F.array(*[F.lit(float(x)) for x in ctr])

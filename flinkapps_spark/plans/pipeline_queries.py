@@ -169,7 +169,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM common
         JOIN sizes sa ON sa.doc = doc_a
         JOIN sizes sb ON sb.doc = doc_b
-        WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.95
+        WHERE ROUND(CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6)
+              >= 0.95
     """,
     category="extension: dedup (containment / subset detection)",
     doc="Asymmetric containment pairs |A∩B|/min(|A|,|B|) ≥ 0.95: catches "
@@ -1376,8 +1377,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM toks),
         lr AS (
             SELECT t.doc_id,
-                   ln(CAST((COALESCE(g.tc, 0) + 1) * (tot_s + v) AS DOUBLE)
-                      / CAST((tot_t + v) * (s.sc + 1) AS DOUBLE)) AS lg
+                   ln(CAST(COALESCE(g.tc, 0) + 1 AS DOUBLE))
+                   + ln(CAST(tot_s + v AS DOUBLE))
+                   - ln(CAST(tot_t + v AS DOUBLE))
+                   - ln(CAST(s.sc + 1 AS DOUBLE)) AS lg
             FROM toks t
             JOIN src s USING (term)
             LEFT JOIN tgt g USING (term)
@@ -1413,10 +1416,14 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("term").alias("v"),
         F.count("*").alias("tot_s"),
         F.count(F.when(F.col("doc_id") % 7 == 0, 1)).alias("tot_t"))
-    lg = F.log(((F.coalesce(F.col("tc"), F.lit(0)) + 1)
-                * (F.col("tot_s") + F.col("v"))).cast("double")
-               / ((F.col("tot_t") + F.col("v"))
-                  * (F.col("sc") + 1)).cast("double"))
+    # log-SUM form, not ln(product/product): at 100 TB corpus scale the
+    # int64 products (tc+1)*(tot_s+v) overflow (~1e13 tokens squared);
+    # four ln's of exact-int doubles, summed in fixed left-to-right order,
+    # are engine-identical libm ops with no overflow (ADVICE r3).
+    lg = (F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double"))
+          + F.log((F.col("tot_s") + F.col("v")).cast("double"))
+          - F.log((F.col("tot_t") + F.col("v")).cast("double"))
+          - F.log((F.col("sc") + 1).cast("double")))
     lr = (toks.join(src, "term").join(tgt, "term", "left")
           .crossJoin(F.broadcast(scal))
           .select("doc_id", lg.alias("lg")))

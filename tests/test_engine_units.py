@@ -510,6 +510,27 @@ def test_asof_time_slice_skew(spark):
     assert unsplit_max >= n / 2            # giant key serialized
     assert split_max <= unsplit_max / 4    # time axis divides it
 
+    # direction='nearest' has no sliced carry-in construction: must refuse
+    # loudly, not silently run backward-only (ADVICE r3)
+    import pytest
+    with pytest.raises(ValueError, match="nearest"):
+        asof_join(left, right, ["k"], "ts", value_cols=["rv"],
+                  direction="nearest", time_slice="2h")
+
+
+def test_pq_audit_rejects_indivisible_dim(spark):
+    """pq_encode_audit(dim % m != 0) must raise, not return NULL audit
+    booleans from a null-padded reconstruction cosine (ADVICE r3)."""
+    import pytest
+
+    from flinkapps_spark.operators.similarity import pq_encode_audit
+
+    df = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(10)]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim % m"):
+        pq_encode_audit(df, m=4, k=2).collect()
+
 
 def test_asof_jvm_matches_pandas_engine(spark):
     """asof_join_jvm (union + window carry, pure codegen) returns exactly
