@@ -1577,26 +1577,56 @@ def subquery_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sequence()+explode, cross it with the observed key set, left-join "
         "the sparse aggregate, coalesce 0. Scale: the spine is "
         "(range/step)×|keys| rows — independent of event volume; events "
-        "aggregate to bucket cardinality BEFORE the join, and the tiny "
-        "grid side is broadcast, so raw data is never re-shuffled for the "
-        "fill.",
+        "aggregate to bucket cardinality BEFORE the join, and the grid "
+        "side is broadcast only while its estimated size fits under "
+        "spark.sql.autoBroadcastJoinThreshold (VERDICT r3 #3) — a "
+        "decade-hourly × high-cardinality key grid falls back to a "
+        "shuffle join instead of OOMing executors; either way raw "
+        "events are never re-shuffled for the fill.",
 )
 def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bucket = F.date_trunc("hour", F.col("ts"))
     counts = (ev.groupBy(bucket.alias("bucket"), F.col("event_type"))
               .agg(F.count("*").alias("cnt")))
-    bounds = ev.agg(
+    # one tiny driver action sizes the grid: hours × |types| cells
+    b = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"))
-    spine = bounds.select(F.explode(F.sequence(
-        F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))).alias("bucket"))
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+        F.countDistinct("event_type").alias("ntypes")).first()
+    spine = spark.range(1).select(F.explode(F.sequence(
+        F.lit(b["lo"]), F.lit(b["hi"]),
+        F.expr("INTERVAL 1 HOUR"))).alias("bucket"))
     types = ev.select("event_type").distinct()
     grid = spine.crossJoin(types)
-    return (F.broadcast(grid)
+    n_hours = int((b["hi"] - b["lo"]).total_seconds() // 3600) + 1
+    est_bytes = n_hours * b["ntypes"] * _GAPFILL_CELL_BYTES
+    if est_bytes <= _broadcast_threshold_bytes(spark):
+        grid = F.broadcast(grid)
+    return (grid
             .join(counts, ["bucket", "event_type"], "left_outer")
             .select("bucket", "event_type",
                     F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")))
+
+
+_GAPFILL_CELL_BYTES = 64  # timestamp + short string + row overhead
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """spark.sql.autoBroadcastJoinThreshold as bytes (-1 → 0: broadcast
+    disabled). Accepts plain ints and the b/k/m/g suffixed forms Spark
+    itself accepts."""
+    raw = str(spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760")).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if raw.endswith(suf):
+            raw, mult = raw[:-len(suf)], m
+            break
+    val = int(raw) * mult
+    return max(val, 0)
 
 
 @query(

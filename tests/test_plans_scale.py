@@ -287,3 +287,27 @@ def test_asof_jvm_single_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "Python" not in plan and "Arrow" not in plan, plan
+
+
+def test_gapfill_broadcast_size_guard(spark):
+    """events_gap_fill broadcasts the bucket×type grid only under the
+    session broadcast threshold (VERDICT r3 #3): default regime shows a
+    BroadcastHashJoin; with autobroadcast disabled (grid 'too big') the
+    SAME builder falls back to a non-broadcast join, both correct."""
+    from flinkapps_spark.plans import catalog
+    from tests.conftest import SF_SMOKE
+
+    build = catalog.registry()["events_gap_fill"].build
+    p_bc = build(spark, SF_SMOKE) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p_bc, p_bc
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = build(spark, SF_SMOKE)
+        p_sh = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in p_sh, p_sh
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
