@@ -35,17 +35,40 @@ def to_kafka_records(df: DataFrame, value_expr: str,
     return df.select(*cols)
 
 
+def kafka_sink_options(brokers: str, topic: str,
+                       include_headers: bool = False) -> dict[str, str]:
+    """The exact option dict handed to ``format('kafka')`` writers —
+    names are the documented Spark Kafka sink options (pinned by the
+    contract test so a cluster user can't hit an option-name typo)."""
+    opts = {"kafka.bootstrap.servers": brokers, "topic": topic}
+    if include_headers:
+        opts["includeHeaders"] = "true"
+    return opts
+
+
 def write_stream_kafka(df: DataFrame, brokers: str, topic: str,
                        checkpoint: str, value_expr: str = "value"):
     """At-least-once Kafka sink with idempotent-producer options."""
     out = to_kafka_records(df, value_expr)
     ws = (out.writeStream.format("kafka")
-          .option("kafka.bootstrap.servers", brokers)
-          .option("topic", topic)
+          .options(**kafka_sink_options(brokers, topic))
           .option("checkpointLocation", checkpoint))
     for k, v in PRODUCER_EXACTLY_ONCE_OPTS.items():
         ws = ws.option(k, v)
     return ws.start()
+
+
+def batch_kafka_dedup_records(batch_df: DataFrame, batch_id: int,
+                              value_expr: str = "value") -> DataFrame:
+    """The per-micro-batch record frame write_stream_kafka_dedup emits:
+    (value, headers) where headers carries the checkpointed batch id as a
+    Kafka header struct — the documented sink shape
+    ``array<struct<key:string, value:binary>>``."""
+    headers = F.array(F.struct(
+        F.lit("spark_batch_id").alias("key"),
+        F.lit(str(batch_id)).cast("binary").alias("value")))
+    return to_kafka_records(batch_df, value_expr).withColumn(
+        "headers", headers)
 
 
 def write_stream_kafka_dedup(df: DataFrame, brokers: str, topic: str,
@@ -56,15 +79,9 @@ def write_stream_kafka_dedup(df: DataFrame, brokers: str, topic: str,
     keeps its original wire format — prefixing the id into the value
     would silently break consumers of structured values (e.g. JSON)."""
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        headers = F.array(F.struct(
-            F.lit("spark_batch_id").alias("key"),
-            F.lit(str(batch_id)).cast("binary").alias("value")))
-        (to_kafka_records(batch_df, value_expr)
-         .withColumn("headers", headers)
+        (batch_kafka_dedup_records(batch_df, batch_id, value_expr)
          .write.format("kafka")
-         .option("kafka.bootstrap.servers", brokers)
-         .option("topic", topic)
-         .option("includeHeaders", "true")
+         .options(**kafka_sink_options(brokers, topic, include_headers=True))
          .save())
 
     return (df.writeStream.foreachBatch(handle)

@@ -37,18 +37,38 @@ def socket_source(spark: SparkSession, host: str = "localhost",
             .option("host", host).option("port", port).load())
 
 
+# The record schema Spark's Kafka source emits (Structured Streaming +
+# Kafka Integration Guide) — the fixed wire contract the projection in
+# kafka_source must accept; the contract test feeds an empty frame of
+# exactly this shape through the builder.
+KAFKA_SOURCE_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int")
+
+
+def kafka_source_options(brokers: str, topic: str,
+                         starting_offsets: str = "latest") -> dict[str, str]:
+    """The exact option dict handed to ``readStream.format('kafka')`` —
+    names are the documented Spark Kafka source options (a typo here
+    surfaces only at cluster runtime, hence the pinned contract test)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def kafka_source(spark: SparkSession, brokers: str, topic: str,
                  starting_offsets: str = "latest") -> DataFrame:
     """S2/S3: Kafka topic as value-only strings
     (reference source/flinkStreamProcessing.scala:93-103).
 
     Requires the spark-sql-kafka connector jar on the cluster; not
-    available in this container — covered by config surface tests only.
+    available in this container — the option dict and the projection over
+    the documented source schema are pinned by the contract test.
     """
     raw = (spark.readStream.format("kafka")
-           .option("kafka.bootstrap.servers", brokers)
-           .option("subscribe", topic)
-           .option("startingOffsets", starting_offsets)
+           .options(**kafka_source_options(brokers, topic, starting_offsets))
            .load())
     return raw.selectExpr("CAST(value AS STRING) AS value")
 

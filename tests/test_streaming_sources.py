@@ -196,3 +196,78 @@ def test_foreachbatch_multi_sink_fanout(spark, tmp_path):
     assert set(agg_state) == set(want)
     for k in want:
         assert abs(agg_state[k] - want[k]) < 1e-6
+
+
+# --- Kafka wire contract (S2/K2/T7 — jar/broker absent in container) -------
+
+
+def test_kafka_source_contract(spark, monkeypatch):
+    """Pin the S2 wire contract without a jar/broker (VERDICT r3 #5):
+    (a) the option dict uses EXACTLY the documented Spark Kafka source
+    option names; (b) the builder's value projection works on the
+    documented source record schema (key/value binary, topic, partition,
+    offset, timestamp, timestampType) and yields value:string."""
+    from pyspark.sql.streaming.readwriter import DataStreamReader
+
+    from flinkapps_spark.streaming.jobs import (
+        KAFKA_SOURCE_WIRE_SCHEMA, kafka_source, kafka_source_options,
+    )
+
+    opts = kafka_source_options("b1:9092,b2:9092", "prices", "earliest")
+    # exact documented names — not bootstrap.servers, not topics, etc.
+    assert opts == {"kafka.bootstrap.servers": "b1:9092,b2:9092",
+                    "subscribe": "prices",
+                    "startingOffsets": "earliest"}
+
+    captured = {}
+
+    def fake_format(self, fmt):
+        captured["format"] = fmt
+        return self
+
+    def fake_options(self, **kw):
+        captured.setdefault("options", {}).update(
+            {k: str(v) for k, v in kw.items()})
+        return self
+
+    def fake_load(self, path=None):
+        # what the real connector would hand back: the documented schema
+        return spark.createDataFrame([], KAFKA_SOURCE_WIRE_SCHEMA)
+
+    monkeypatch.setattr(DataStreamReader, "format", fake_format)
+    monkeypatch.setattr(DataStreamReader, "options", fake_options)
+    monkeypatch.setattr(DataStreamReader, "load", fake_load)
+    df = kafka_source(spark, "b1:9092", "prices", "latest")
+    assert captured["format"] == "kafka"
+    assert captured["options"] == {"kafka.bootstrap.servers": "b1:9092",
+                                   "subscribe": "prices",
+                                   "startingOffsets": "latest"}
+    assert df.schema.simpleString() == "struct<value:string>"
+
+
+def test_kafka_sink_contract(spark):
+    """Pin the K2/T7 sink contract: option names match the documented
+    Kafka sink options, and the dedup micro-batch records carry the
+    batch id as a Kafka header with the sink's REQUIRED headers type
+    array<struct<key:string,value:binary>> and a castable value column."""
+    from flinkapps_spark.sinks.kafka import (
+        PRODUCER_EXACTLY_ONCE_OPTS, batch_kafka_dedup_records,
+        kafka_sink_options,
+    )
+
+    assert kafka_sink_options("b:9092", "alerts") == {
+        "kafka.bootstrap.servers": "b:9092", "topic": "alerts"}
+    assert kafka_sink_options("b:9092", "alerts", include_headers=True) == {
+        "kafka.bootstrap.servers": "b:9092", "topic": "alerts",
+        "includeHeaders": "true"}
+    # producer passthrough options must keep the kafka. prefix
+    assert all(k.startswith("kafka.") for k in PRODUCER_EXACTLY_ONCE_OPTS)
+
+    batch = spark.createDataFrame([("a,1",), ("b,2",)], "value string")
+    rec = batch_kafka_dedup_records(batch, batch_id=7)
+    assert rec.schema["value"].dataType.simpleString() == "string"
+    assert rec.schema["headers"].dataType.simpleString() == \
+        "array<struct<key:string,value:binary>>"
+    rows = rec.collect()
+    assert all(r["headers"][0]["key"] == "spark_batch_id" and
+               bytes(r["headers"][0]["value"]) == b"7" for r in rows)
