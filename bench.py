@@ -91,7 +91,14 @@ def main() -> None:
     # min, still reflecting a *persistent* slowdown.  Spread per query is
     # recorded so a noisy environment is visible in the artifact itself.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # sub-second queries are overhead-dominated and the noisiest rows in
+    # BENCH_COMPARE (VERDICT r3 #6): once a query's first run comes in
+    # under 1 s, extend its loop to n_runs_fast so the median settles and
+    # the MAD quantifies what spread remains.
+    n_runs_fast = max(n_runs, int(
+        os.environ.get("SPARK_GRAFT_BENCH_RUNS_FAST", "7")))
     spread: dict[str, float] = {}
+    mad: dict[str, float] = {}
     # best-of-N alongside the median: rounds 1-2 recorded best-of-2, so
     # cross-round ratios must compare min-to-min, not median-to-min
     mins: dict[str, float] = {}
@@ -111,15 +118,21 @@ def main() -> None:
     steal0, total0 = cpu_counters()
     for name in names:
         runs = []
-        for _ in range(n_runs):
+        while True:
             t0 = time.perf_counter()
             df = reg[name].build(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            budget = n_runs_fast if runs[0] < 1.0 else n_runs
+            if len(runs) >= budget:
+                break
         runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 3)
+        med = runs[len(runs) // 2]
+        timings[name] = round(med, 3)
         # max/min over the runs: 1.0 = perfectly stable box
         spread[name] = round(runs[-1] / max(runs[0], 1e-9), 2)
+        mad[name] = round(sorted(abs(r - med) for r in runs)
+                          [len(runs) // 2], 3)
         mins[name] = round(runs[0], 3)
     total = round(sum(timings.values()), 3)
     steal1, total1 = cpu_counters()
@@ -133,8 +146,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": n_runs,
+        "runs_per_query_fast": n_runs_fast,
         "stat": "median",
         "run_spread": spread,
+        "queries_mad": mad,
         "queries_min": mins,
         "cpu_steal_pct": steal_pct,
     }))

@@ -4,7 +4,8 @@ operators/similarity.py.
 
 Scale design:
 - exact dedup = hash-groupBy on content digest (md5) — one shuffle keyed by
-  digest; at 100 TB group by md5 prefix buckets first if skew appears.
+  digest; at 100 TB pass skew_guard=True for the two-phase salted form
+  (phase 1 groups on (digest, salt(id)), phase 2 merges partials).
 - MinHash+LSH = shingle→minhash signature (per-row array math, no shuffle)
   → band keys → self-join per band (shuffle on band key, which is tiny)
   → verify candidates with exact Jaccard. Never the O(n²) cross join.
@@ -220,11 +221,42 @@ def band_keys(sig: Column) -> list[Column]:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup: group by content md5, keep the minimum id."""
-    return (
-        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+                id_col: str = "doc_id",
+                skew_guard: bool = False,
+                salt_buckets: int = 32) -> DataFrame:
+    """Exact dedup: group by content md5, keep the minimum id.
+
+    Default path: one hash-groupBy on the digest.  Spark's map-side
+    partial aggregation already collapses a hot digest to one row per
+    map task before the exchange, so the reducer receives at most
+    n_map_tasks rows per digest — fine for these algebraic aggregates.
+
+    ``skew_guard=True`` (VERDICT r3 #7) adds the explicit two-phase form
+    for the pathological case (map-side hash table evicting under huge
+    per-task digest cardinality, or a conf with partial agg disabled):
+    phase 1 groups on (digest, salt(id)) so a digest holding 50% of all
+    rows spreads over ``salt_buckets`` reduce keys; phase 2 merges the
+    ≤ distinct_digests × salt_buckets partials on digest alone.  The
+    salt must come from a NON-digest column (here the id): any function
+    of the digest — e.g. an md5 prefix — maps all copies of one hot
+    digest to the same bucket and splits nothing.
+    """
+    digest = F.md5(F.col(text_col))
+    if not skew_guard:
+        return (
+            df.groupBy(digest.alias("text_md5"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_copies"))
+        )
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(salt_buckets))
+    partial = (
+        df.groupBy(digest.alias("text_md5"), salt.alias("__salt"))
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+    return (
+        partial.groupBy("text_md5")
+        .agg(F.min("keep_id").alias("keep_id"),
+             F.sum("n_copies").alias("n_copies"))
     )
 
 

@@ -15,6 +15,12 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NOISE_BAND = 1.3  # ratios inside [1/band, band] are within environmental noise
+# a flag additionally requires the absolute regression to clear BOTH the
+# query's own measured run-to-run MAD (x3) and a floor absorbing constant
+# scheduling overhead — sub-second queries jitter tens of ms per run, so a
+# pure ratio test flags unchanged plans (VERDICT r3 #6)
+MAD_MULT = 3.0
+ABS_FLOOR_SEC = 0.2
 
 
 def main() -> None:
@@ -22,8 +28,13 @@ def main() -> None:
     for p in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
         with open(p) as f:
             data = json.load(f)
-        # driver files wrap the bench line under "parsed"
-        data = data.get("parsed", data)
+        # driver files wrap the bench line under "parsed"; a failed driver
+        # parse leaves parsed=null with only a truncated "tail" — skip it
+        data = data.get("parsed") or data
+        if not data.get("queries"):
+            print(f"skipping {p}: no parsed per-query timings",
+                  file=sys.stderr)
+            continue
         rounds.append((os.path.basename(p).replace("BENCH_", "")
                        .replace(".json", ""), data))
     if len(sys.argv) > 1:
@@ -40,6 +51,7 @@ def main() -> None:
     # min-to-min comparison: r1/r2 recorded best-of-2; newer files carry
     # queries_min next to the median so the ratio compares like with like
     last = rounds[-1][1].get("queries_min") or per_round[-1]
+    last_mad = rounds[-1][1].get("queries_mad") or {}
 
     lines = [
         "# BENCH_COMPARE — per-query seconds by round",
@@ -51,8 +63,13 @@ def main() -> None:
         f"{base_lab} (min-to-min; a median-to-min ratio would read "
         f"~1.5x high on a noisy box).  Ratios within ±{NOISE_BAND}x are "
         "treated as environmental noise (the box is shared; VERDICT r2 "
-        "measured 2x swings on byte-identical plans).  A ratio outside "
-        "the band on a query whose plan changed is a real signal.",
+        "measured 2x swings on byte-identical plans).  A ⚠ flag now also "
+        f"requires the absolute delta to exceed {MAD_MULT:.0f}x the "
+        "query's own run-to-run MAD and a "
+        f"{ABS_FLOOR_SEC:.1f} s floor (sub-second queries jitter tens of "
+        "ms of constant overhead per run — a pure ratio test flags "
+        "unchanged plans).  A flagged query whose plan changed is a real "
+        "signal.",
         "",
         "| query | " + " | ".join(labels) + " | ratio |",
         "|---|" + "---|" * (len(labels) + 1),
@@ -69,7 +86,10 @@ def main() -> None:
             common_base += base[n]
             common_last += last[n]
             ratio = f"{r:.2f}x"
-            if r > NOISE_BAND:
+            delta = last[n] - base[n]
+            noise_floor = max(MAD_MULT * last_mad.get(n, 0.0),
+                              ABS_FLOOR_SEC)
+            if r > NOISE_BAND and delta > noise_floor:
                 ratio += " ⚠"
                 flagged.append(n)
         lines.append(f"| {n} | " + " | ".join(cells) + f" | {ratio} |")

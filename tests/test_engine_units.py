@@ -641,3 +641,34 @@ def test_jobs_no_shared_view_collision(spark):
     assert [tuple(r) for r in b.collect()] == [("Zed", 1)]
     assert c.first()["symbol"] == "ABB" and d.first()["symbol"] == "CAT"
     assert {v.name for v in spark.catalog.listTables()} == views_before
+
+
+def test_exact_dedup_skew_guard(spark):
+    """exact_dedup(skew_guard=True) under heavy digest skew (one text =
+    50% of rows): (a) output identical to the single-phase form; (b) the
+    (digest, salt) keying phase 1 shuffles on actually divides the hot
+    digest's rows across reduce keys, where digest-only keying (or any
+    md5-prefix scheme — a pure function of the digest) serializes them."""
+    from flinkapps_spark.operators.dedup import exact_dedup
+
+    n = 4000
+    rows = [(i, "HOT DOCUMENT" if i % 2 == 0 else f"text {i}")
+            for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plain = sorted(map(tuple, exact_dedup(docs).collect()))
+    guarded = sorted(map(tuple, exact_dedup(docs, skew_guard=True,
+                                            salt_buckets=16).collect()))
+    assert plain == guarded
+    n_copies = dict((t[0], t[2]) for t in guarded)
+    assert max(n_copies.values()) == n / 2      # the skew is real
+
+    # reduce-key balance: same formulas the operator groups on
+    digest = F.md5("text")
+    salt = F.pmod(F.hash("doc_id"), F.lit(16))
+    unsplit_max = (docs.groupBy(digest.alias("d")).count()
+                   .agg(F.max("count")).first()[0])
+    split_max = (docs.groupBy(digest.alias("d"), salt.alias("s")).count()
+                 .agg(F.max("count")).first()[0])
+    assert unsplit_max == n / 2
+    assert split_max <= unsplit_max / 4
