@@ -1,0 +1,200 @@
+"""Full-catalog Spark-vs-DuckDB parity sweep at an arbitrary scale factor
+(VERDICT r3 #1: the sf1 evidence run).
+
+The pytest parity suite (tests/test_oracle_parity.py) compares via Python
+tuples — exact and fine at sf0.01, but collect()-bound at sf1 where some
+queries return millions of rows.  This sweep keeps the comparison ENGINE-
+side: the Spark result is written to parquet, DuckDB reads it next to the
+oracle result, both are normalized in SQL (the same rules as
+tests/oracle_harness.py: 12-significant-digit floats, -0.0→0.0, NaN/NULL
+unified to a sentinel, timestamps→epoch µs) and diffed with two
+EXCEPT ALLs.  6M-row results compare in seconds with zero Python loops.
+
+Usage:
+    python scripts/oracle_sweep.py --sf-dir /root/repo/testdata_sf1 \
+        --md CORRECTNESS_SF1.md --json CORRECTNESS_SF1.json
+    python scripts/oracle_sweep.py --sf-dir /root/testdata/sf0.01 \
+        --names q1_pricing_summary,dedup_exact      # harness self-check
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flinkapps_spark.plans import catalog
+from flinkapps_spark.schemas import TESTDATA_TABLES
+from flinkapps_spark.session import get_spark
+
+
+def norm_expr(col: str, dtype: str) -> str:
+    """Normalization projection for one column, mirroring
+    tests/oracle_harness._norm_cell in SQL (engine-side, vectorized)."""
+    t = dtype.upper()
+    q = f'"{col}"'
+    if "HUGEINT" in t:
+        raise AssertionError(
+            f"column {col} is {t} — CAST the oracle sum to BIGINT "
+            f"(same guard as tests/oracle_harness.assert_fetch_dtypes)")
+    if t in ("DOUBLE", "FLOAT", "REAL") or t.startswith("DECIMAL"):
+        # DECIMAL: oracle VALUES literals — harness folds Decimal→float
+        d = f"CAST({q} AS DOUBLE)"
+        return (f"CASE WHEN {q} IS NULL OR isnan({d}) THEN '∅' "
+                f"ELSE printf('%.12g', CASE WHEN {d} = 0 THEN 0.0 "
+                f"ELSE {d} END) END AS {q}")
+    if "TIMESTAMP" in t:
+        return f"CAST(epoch_us({q}) AS VARCHAR) AS {q}"
+    if t == "DATE":
+        return f"CAST({q} AS VARCHAR) AS {q}"
+    if t.startswith(("DOUBLE[", "FLOAT[", "REAL[")) or (
+            "[]" in t and any(f in t for f in ("DOUBLE", "FLOAT", "REAL"))):
+        return (f"CAST(list_transform({q}, x -> CASE WHEN x IS NULL OR "
+                f"isnan(x) THEN '∅' ELSE printf('%.12g', CASE WHEN x = 0 "
+                f"THEN 0.0 ELSE CAST(x AS DOUBLE) END) END) AS VARCHAR) "
+                f"AS {q}")
+    if t == "BLOB":
+        return f"hex({q}) AS {q}"
+    return f"CAST({q} AS VARCHAR) AS {q}"
+
+
+def compare_engine_side(con: duckdb.DuckDBPyConnection, spark_parquet: str,
+                        oracle_sql: str) -> dict:
+    con.execute("CREATE OR REPLACE VIEW __s_raw AS "
+                f"SELECT * FROM read_parquet('{spark_parquet}/*.parquet')")
+    con.execute(f"CREATE OR REPLACE VIEW __o_raw AS {oracle_sql}")
+    s_desc = con.execute("DESCRIBE SELECT * FROM __s_raw").fetchall()
+    o_desc = con.execute("DESCRIBE SELECT * FROM __o_raw").fetchall()
+    s_types = {r[0]: r[1] for r in s_desc}
+    o_types = {r[0]: r[1] for r in o_desc}
+    out = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "spark_rows": None, "oracle_rows": None, "err": None}
+    out["spark_rows"] = con.execute(
+        "SELECT count(*) FROM __s_raw").fetchone()[0]
+    out["oracle_rows"] = con.execute(
+        "SELECT count(*) FROM __o_raw").fetchone()[0]
+    out["rows_match"] = out["spark_rows"] == out["oracle_rows"]
+    out["schema_match"] = sorted(s_types) == sorted(o_types)
+    if not out["schema_match"]:
+        out["err"] = (f"columns spark={sorted(s_types)} "
+                      f"oracle={sorted(o_types)}")
+        return out
+    cols = sorted(s_types)
+    s_sel = ", ".join(norm_expr(c, s_types[c]) for c in cols)
+    o_sel = ", ".join(norm_expr(c, o_types[c]) for c in cols)
+    n_diff = con.execute(f"""
+        WITH s AS (SELECT {s_sel} FROM __s_raw),
+             o AS (SELECT {o_sel} FROM __o_raw)
+        SELECT (SELECT count(*) FROM (SELECT * FROM s EXCEPT ALL
+                                      SELECT * FROM o))
+             + (SELECT count(*) FROM (SELECT * FROM o EXCEPT ALL
+                                      SELECT * FROM s))
+    """).fetchone()[0]
+    out["hash_match"] = out["rows_match"] and n_diff == 0
+    if n_diff:
+        out["err"] = f"{n_diff} rows differ after normalization"
+    return out
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--md", default=None, help="markdown report path")
+    p.add_argument("--json", dest="json_out", default=None)
+    p.add_argument("--names", default=None,
+                   help="comma-separated subset (default: full catalog)")
+    p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ns = p.parse_args()
+
+    reg = catalog.registry()
+    names = (ns.names.split(",") if ns.names else sorted(reg))
+    spark = get_spark("oracle-sweep", master=f"local[{ns.cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TESTDATA_TABLES:
+        path = os.path.join(ns.sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{path}')")
+
+    tmp = tempfile.mkdtemp(prefix="oracle_sweep_")
+    results: dict[str, dict] = {}
+    n_pass = n_fail = n_rows_only = 0
+    for i, name in enumerate(names):
+        q = reg[name]
+        r: dict = {"oracled": q.oracle is not None}
+        t0 = time.perf_counter()
+        try:
+            df = q.build(spark, ns.sf_dir)
+            if q.oracle is None:
+                r["spark_rows"] = df.count()
+                r["spark_sec"] = round(time.perf_counter() - t0, 2)
+                r["status"] = "rows-only"
+                n_rows_only += 1
+            else:
+                dest = os.path.join(tmp, name)
+                df.write.mode("overwrite").parquet(dest)
+                r["spark_sec"] = round(time.perf_counter() - t0, 2)
+                t1 = time.perf_counter()
+                r.update(compare_engine_side(con, dest, q.oracle))
+                r["oracle_sec"] = round(time.perf_counter() - t1, 2)
+                ok = r["rows_match"] and r["schema_match"] and \
+                    r["hash_match"]
+                r["status"] = "pass" if ok else "FAIL"
+                n_pass += ok
+                n_fail += not ok
+                shutil.rmtree(dest, ignore_errors=True)
+        except Exception as e:  # noqa: BLE001 — sweep must finish the list
+            r["status"] = "ERROR"
+            r["err"] = f"{type(e).__name__}: {e}"[:400]
+            r["spark_sec"] = round(time.perf_counter() - t0, 2)
+            n_fail += 1
+        results[name] = r
+        flag = "" if r["status"] in ("pass", "rows-only") else "   <<<<"
+        print(f"[{i + 1}/{len(names)}] {name}: {r['status']} "
+              f"({r.get('spark_sec')}s spark"
+              f"{', ' + str(r.get('oracle_sec')) + 's oracle' if 'oracle_sec' in r else ''})"
+              f"{flag}", flush=True)
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    summary = {"sf_dir": ns.sf_dir, "n_queries": len(names),
+               "pass": n_pass, "fail": n_fail, "rows_only": n_rows_only}
+    print(json.dumps(summary))
+    if ns.json_out:
+        with open(ns.json_out, "w") as f:
+            json.dump({"summary": summary, "results": results}, f, indent=1)
+    if ns.md:
+        lines = [
+            f"# Oracle-parity sweep — `{ns.sf_dir}`", "",
+            f"{n_pass} pass / {n_fail} fail / {n_rows_only} rows-only "
+            f"of {len(names)} queries.  Comparison is engine-side "
+            "(Spark result parquet vs DuckDB oracle, normalized EXCEPT "
+            "ALL both directions — see scripts/oracle_sweep.py).", "",
+            "| query | status | spark rows | spark s | oracle s | err |",
+            "|---|---|---|---|---|---|",
+        ]
+        for name, r in results.items():
+            lines.append(
+                f"| {name} | {r['status']} | {r.get('spark_rows', '')} | "
+                f"{r.get('spark_sec', '')} | {r.get('oracle_sec', '')} | "
+                f"{(r.get('err') or '')[:80]} |")
+        with open(ns.md, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
