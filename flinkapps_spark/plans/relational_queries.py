@@ -695,6 +695,84 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared op-order for the exact correlation battery: every moment is an
+# exact int64 sum cast to double once, and the final expressions apply
+# IEEE ops in one fixed order — bit-identical on any IEEE-754 engine, so
+# no in-query rounding is needed (same policy as exact_avg).
+_CORR_SQL = """
+    WITH m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(xu) AS DOUBLE) / 100.0 AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(xu * xu) AS DOUBLE) / 100.0 / 100.0 AS sxx,
+               CAST(SUM(xu * y) AS DOUBLE) / 100.0 AS sxy,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM (
+            SELECT event_type,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS xu,
+                   CAST({K_EXPR} AS BIGINT) AS y
+            FROM events
+        )
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)
+                                      * (n * syy - sy * sy)) AS corr_vk,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS regr_slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS regr_intercept
+    FROM m
+"""
+
+
+@query(
+    "stats_corr_regression",
+    oracle=_CORR_SQL.format(K_EXPR="json_extract_string(props, '$.k')"),
+    category="extension: correlation / regression aggregates",
+    doc="Pearson correlation and least-squares regression of value "
+        "against the props.k attribute per event type — the builtin "
+        "corr()/regr_slope() family recomputed from EXACT fixed-point "
+        "moment sums (Σx, Σx², Σxy as int64 units): the builtins "
+        "accumulate doubles in partition order, so their last ulps "
+        "differ run-to-run and engine-to-engine, while integer moments "
+        "are associative and the closed-form final arithmetic is a "
+        "fixed sequence of IEEE ops. Scale: one partial-agg shuffle of "
+        "6 numbers per group — the moments are mergeable, so this is "
+        "also the incremental/streaming form (update moments, re-derive "
+        "corr). int64 headroom: xu ≤ 5.7e4, xu² ≤ 3.3e9/row → overflow "
+        "needs >2.8e9 rows PER GROUP; past that raise the units scale "
+        "or pre-aggregate per (group, salt).",
+)
+def stats_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("xu"),
+        F.get_json_object("props", "$.k").cast("long").alias("y"))
+    m = t.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("xu").cast("double") / 100.0).alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        (F.sum(F.col("xu") * F.col("xu")).cast("double") / 100.0 / 100.0)
+        .alias("sxx"),
+        (F.sum(F.col("xu") * F.col("y")).cast("double") / 100.0)
+        .alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"))
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        (cov_n / F.sqrt(var_x * var_y)).alias("corr_vk"),
+        slope.alias("regr_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n"))
+        .alias("regr_intercept"))
+
+
 @query(
     "percentiles_by_type",
     oracle="""

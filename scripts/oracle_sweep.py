@@ -68,9 +68,13 @@ def norm_expr(col: str, dtype: str) -> str:
 
 def compare_engine_side(con: duckdb.DuckDBPyConnection, spark_parquet: str,
                         oracle_sql: str) -> dict:
-    con.execute("CREATE OR REPLACE VIEW __s_raw AS "
+    # the oracle runs ONCE into a temp table (a VIEW would re-execute the
+    # oracle SQL for the count and again per EXCEPT — 3x a csv-parse-heavy
+    # oracle at sf1); normalized projections are materialized too so each
+    # EXCEPT is a plain scan.
+    con.execute("CREATE OR REPLACE TEMP TABLE __s_raw AS "
                 f"SELECT * FROM read_parquet('{spark_parquet}/*.parquet')")
-    con.execute(f"CREATE OR REPLACE VIEW __o_raw AS {oracle_sql}")
+    con.execute(f"CREATE OR REPLACE TEMP TABLE __o_raw AS {oracle_sql}")
     s_desc = con.execute("DESCRIBE SELECT * FROM __s_raw").fetchall()
     o_desc = con.execute("DESCRIBE SELECT * FROM __o_raw").fetchall()
     s_types = {r[0]: r[1] for r in s_desc}
@@ -90,14 +94,18 @@ def compare_engine_side(con: duckdb.DuckDBPyConnection, spark_parquet: str,
     cols = sorted(s_types)
     s_sel = ", ".join(norm_expr(c, s_types[c]) for c in cols)
     o_sel = ", ".join(norm_expr(c, o_types[c]) for c in cols)
-    n_diff = con.execute(f"""
-        WITH s AS (SELECT {s_sel} FROM __s_raw),
-             o AS (SELECT {o_sel} FROM __o_raw)
-        SELECT (SELECT count(*) FROM (SELECT * FROM s EXCEPT ALL
-                                      SELECT * FROM o))
-             + (SELECT count(*) FROM (SELECT * FROM o EXCEPT ALL
-                                      SELECT * FROM s))
+    con.execute(f"CREATE OR REPLACE TEMP TABLE __sn AS "
+                f"SELECT {s_sel} FROM __s_raw")
+    con.execute(f"CREATE OR REPLACE TEMP TABLE __on AS "
+                f"SELECT {o_sel} FROM __o_raw")
+    n_diff = con.execute("""
+        SELECT (SELECT count(*) FROM (SELECT * FROM __sn EXCEPT ALL
+                                      SELECT * FROM __on))
+             + (SELECT count(*) FROM (SELECT * FROM __on EXCEPT ALL
+                                      SELECT * FROM __sn))
     """).fetchone()[0]
+    for t in ("__s_raw", "__o_raw", "__sn", "__on"):
+        con.execute(f"DROP TABLE IF EXISTS {t}")
     out["hash_match"] = out["rows_match"] and n_diff == 0
     if n_diff:
         out["err"] = f"{n_diff} rows differ after normalization"

@@ -1,0 +1,55 @@
+"""Emit the sf0.1 → sf1 scaling table (VERDICT r3 #1 evidence): per
+headline query, median seconds at both scales and the runtime ratio
+against the 10x data ratio.
+
+Usage: python scripts/scale_table.py bench_sf01.json bench_sf1.json > tbl.md
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+DATA_RATIO = 10.0
+
+
+def main() -> None:
+    with open(sys.argv[1]) as f:
+        small = json.load(f)
+    with open(sys.argv[2]) as f:
+        big = json.load(f)
+    qs, qb = small["queries"], big["queries"]
+    names = [n for n in qs if n in qb]
+    lines = [
+        "| query | sf0.1 s | sf1 s | runtime ratio | scaling |",
+        "|---|---|---|---|---|",
+    ]
+    sublinear = linear = superlinear = 0
+    for n in names:
+        r = qb[n] / max(qs[n], 1e-9)
+        if r <= DATA_RATIO * 0.8:
+            verdict, mark = "sublinear", ""
+            sublinear += 1
+        elif r <= DATA_RATIO * 1.3:
+            verdict, mark = "~linear", ""
+            linear += 1
+        else:
+            verdict, mark = "SUPERLINEAR", " ⚠"
+            superlinear += 1
+        lines.append(f"| {n} | {qs[n]:.3f} | {qb[n]:.3f} | "
+                     f"{r:.1f}x{mark} | {verdict} |")
+    tot_s = sum(qs[n] for n in names)
+    tot_b = sum(qb[n] for n in names)
+    lines += [
+        "",
+        f"Common subset ({len(names)} queries): {tot_s:.1f} s at sf0.1 → "
+        f"{tot_b:.1f} s at sf1 = {tot_b / tot_s:.1f}x runtime for "
+        f"{DATA_RATIO:.0f}x data.  "
+        f"{sublinear} sublinear / {linear} ~linear / "
+        f"{superlinear} superlinear.",
+    ]
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
