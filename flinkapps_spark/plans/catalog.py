@@ -59,6 +59,8 @@ def _load_all() -> None:
         tpch_extra_queries,
         pipeline_queries,
         curation_queries,
+        governance_queries,
+        retrieval_queries,
         graph_queries,
         timeseries_queries,
         streaming_queries,

@@ -1,0 +1,252 @@
+"""Data-governance & training-data-management queries: CDC changelog
+application, privacy (k-anonymity / l-diversity) auditing, corpus
+diversity metrics, and deterministic epoch shuffling with batch
+assignment — the bookkeeping layer of a production 100 TB data platform.
+
+Beyond-reference extensions (the reference has no governance surface);
+each follows the catalog conventions: identical column aliases on both
+sides, fixed-point exact sums for any float aggregate, and float
+constants injected into the oracle SQL via ``repr()`` so both engines
+parse the *same* IEEE-754 double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from flinkapps_spark.operators.cdc import apply_changelog
+from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.plans.exact import exact_sum, sql_sum, sql_units, units_col
+from flinkapps_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# cdc_apply_changelog
+# ---------------------------------------------------------------------------
+
+UPLIFT = 1.1          # deterministic synthetic UPDATE: price * 1.1 @ 2 dp
+
+
+@query(
+    "cdc_apply_changelog",
+    oracle=f"""
+        WITH chg AS (
+            SELECT o_orderkey AS okey, 1 AS seq, 'I' AS op,
+                   o_totalprice AS price FROM orders
+            UNION ALL
+            SELECT o_orderkey, 2, 'U',
+                   ({sql_units(f'o_totalprice * {UPLIFT!r}', 100)}
+                    / CAST(100 AS DOUBLE))
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT o_orderkey, 3, 'D', CAST(NULL AS DOUBLE)
+            FROM orders WHERE o_orderkey % 5 = 0
+        ),
+        ranked AS (
+            SELECT okey, op, price,
+                   ROW_NUMBER() OVER (PARTITION BY okey
+                                      ORDER BY seq DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY okey) AS n_changes
+            FROM chg
+        )
+        SELECT okey, op, price, n_changes
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    category="extension: CDC changelog apply",
+    doc="Debezium-style changelog merge: a deterministic synthetic "
+        "changelog over orders (every key INSERTs at seq 1; keys %3==0 "
+        "UPDATE price*1.1 at seq 2; keys %5==0 DELETE at seq 3) collapsed "
+        "to final state by operators/cdc.apply_changelog — last write "
+        "wins per key, deletes tombstone. Scale: one shuffle on the key; "
+        "row_number and the audit count share one Window "
+        "partitioning/sort so Catalyst emits a single Exchange. The "
+        "uplifted price is fixed-point-rounded (units formula, 2 dp) so "
+        "both engines produce the identical double.",
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").alias("okey")
+    ins = orders.select(okey, F.lit(1).alias("seq"), F.lit("I").alias("op"),
+                        F.col("o_totalprice").alias("price"))
+    upd = (orders.filter(F.col("o_orderkey") % 3 == 0)
+           .select(okey, F.lit(2).alias("seq"), F.lit("U").alias("op"),
+                   (units_col(F.col("o_totalprice") * UPLIFT, 100)
+                    / 100.0).alias("price")))
+    dele = (orders.filter(F.col("o_orderkey") % 5 == 0)
+            .select(okey, F.lit(3).alias("seq"), F.lit("D").alias("op"),
+                    F.lit(None).cast("double").alias("price")))
+    chg = ins.unionByName(upd).unionByName(dele)
+    return (apply_changelog(chg, ["okey"], seq_col="seq", op_col="op")
+            .select("okey", "op", "price", "n_changes"))
+
+
+# ---------------------------------------------------------------------------
+# privacy_k_anonymity
+# ---------------------------------------------------------------------------
+
+K_ANON = 10           # minimum equivalence-class size
+L_DIVERSE = 3         # minimum distinct sensitive values per class
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*) AS class_size,
+               COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+                   AS n_sensitive,
+               COUNT(*) >= {K_ANON} AS k_anonymous,
+               COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+                   >= {L_DIVERSE} AS l_diverse
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    """,
+    category="extension: privacy audit",
+    doc="k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala "
+        "et al. 2007): customers grouped by the quasi-identifier "
+        "(nation, market segment); each equivalence class reports its "
+        "size (re-identification risk when < k=10) and the diversity of "
+        "the sensitive attribute (account-balance bucket, floor(bal/"
+        "1000) — homogeneity attack risk when < l=3). Scale: one "
+        "partial-aggregated shuffle on the QI columns; the distinct "
+        "count is exact (buckets are small-cardinality ints). The "
+        "bucket is floor of the identical double division on both "
+        "engines.",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000.0)
+    return (cust.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count("*").alias("class_size"),
+                 F.countDistinct(bucket).alias("n_sensitive"))
+            .select("c_nationkey", "c_mktsegment", "class_size",
+                    "n_sensitive",
+                    (F.col("class_size") >= K_ANON).alias("k_anonymous"),
+                    (F.col("n_sensitive") >= L_DIVERSE).alias("l_diverse")))
+
+
+# ---------------------------------------------------------------------------
+# source_entropy_diversity
+# ---------------------------------------------------------------------------
+
+ENT_SCALE = 10 ** 9   # fixed-point scale for entropy/HHI term sums
+
+
+@query(
+    "source_entropy_diversity",
+    oracle=f"""
+        WITH cnt AS (
+            SELECT source, lang, COUNT(*) AS c
+            FROM documents GROUP BY source, lang
+        ),
+        tot AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS t
+            FROM cnt GROUP BY source
+        )
+        SELECT source, t AS n_docs, COUNT(*) AS n_langs,
+               {sql_sum('-((CAST(c AS DOUBLE) / t) * '
+                        'ln(CAST(c AS DOUBLE) / t))', ENT_SCALE)}
+                   AS entropy_nats,
+               {sql_sum('(CAST(c AS DOUBLE) / t) * '
+                        '(CAST(c AS DOUBLE) / t)', ENT_SCALE)} AS hhi
+        FROM cnt JOIN tot USING (source)
+        GROUP BY source, t
+    """,
+    category="extension: corpus diversity metrics",
+    doc="Training-mix diversity audit: per source, the Shannon entropy "
+        "(nats) and Herfindahl concentration (sum p^2) of its language "
+        "distribution — the dashboard numbers behind 'is this crawl "
+        "slice monolingual?'. Scale: two small aggregations (source x "
+        "lang cardinality, then source); the fact table is scanned "
+        "once. Determinism: p = exact-int division, p*ln(p) is the "
+        "identical libm op on both engines, and the per-source sums are "
+        "fixed-point (scale 1e9) so lang addition order cannot flip a "
+        "bit.",
+)
+def source_entropy_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    j = cnt.join(tot, "source")
+    p = F.col("c").cast("double") / F.col("t")
+    return (j.groupBy("source", "t")
+            .agg(F.count("*").alias("n_langs"),
+                 exact_sum(-(p * F.log(p)), ENT_SCALE).alias("entropy_nats"),
+                 exact_sum(p * p, ENT_SCALE).alias("hhi"))
+            .select("source", F.col("t").alias("n_docs"), "n_langs",
+                    "entropy_nats", "hhi"))
+
+
+# ---------------------------------------------------------------------------
+# shuffle_epoch_batches
+# ---------------------------------------------------------------------------
+
+N_EPOCHS = 2
+BATCH_SIZE = 256
+
+
+@query(
+    "shuffle_epoch_batches",
+    oracle=f"""
+        WITH e AS (
+            SELECT doc_id, epoch FROM documents
+            CROSS JOIN (SELECT unnest([0, 1]) AS epoch) ep
+        ),
+        b AS (
+            SELECT doc_id, epoch,
+                   md5(CAST(epoch AS VARCHAR) || ':' ||
+                       CAST(doc_id AS VARCHAR)) AS skey
+            FROM e
+        ),
+        r AS (
+            SELECT doc_id, epoch, substr(skey, 1, 2) AS bucket, skey,
+                   ROW_NUMBER() OVER (PARTITION BY epoch, substr(skey, 1, 2)
+                                      ORDER BY skey, doc_id) AS rn
+            FROM b
+        ),
+        oset AS (
+            SELECT epoch, substr(skey, 1, 2) AS bucket,
+                   CAST(SUM(COUNT(*)) OVER (PARTITION BY epoch
+                                            ORDER BY substr(skey, 1, 2))
+                        AS BIGINT) - COUNT(*) AS off
+            FROM b GROUP BY epoch, substr(skey, 1, 2)
+        )
+        SELECT r.epoch, r.doc_id,
+               (off + rn - 1) AS epoch_pos,
+               CAST(floor((off + rn - 1) / {BATCH_SIZE}.0) AS BIGINT)
+                   AS batch_id,
+               ((off + rn - 1) % {BATCH_SIZE}) AS pos_in_batch
+        FROM r JOIN oset USING (epoch, bucket)
+    """,
+    category="extension: deterministic epoch shuffle",
+    doc="Deterministic training-epoch shuffle + fixed-size batch "
+        "assignment: each (epoch, doc) gets a pseudo-random but "
+        "reproducible global position by ranking on md5(epoch:doc_id), "
+        "then batch_id = pos // 256. The global rank is computed "
+        "DISTRIBUTED: rank within (epoch, first-byte-of-md5 bucket) via "
+        "one window, plus per-bucket offsets from a 2x256-row cumulative "
+        "count that is broadcast — no epoch-wide single-partition sort, "
+        "so the pattern holds at 100 TB (the bucket prefix of the sort "
+        "key makes bucket-order + within-bucket-order = global order). "
+        "Every op is integer/string-exact; no floats beyond the final "
+        "floor division.",
+)
+def shuffle_epoch_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = F.explode(F.array(*[F.lit(i) for i in range(N_EPOCHS)]))
+    e = docs.select("doc_id", epochs.alias("epoch"))
+    d = (e.withColumn("skey", F.md5(F.concat_ws(
+            ":", F.col("epoch").cast("string"),
+            F.col("doc_id").cast("string"))))
+         .withColumn("bucket", F.substring("skey", 1, 2)))
+    wr = Window.partitionBy("epoch", "bucket").orderBy("skey", "doc_id")
+    ranked = d.withColumn("rn", F.row_number().over(wr))
+    wo = Window.partitionBy("epoch").orderBy("bucket")
+    off = (d.groupBy("epoch", "bucket").agg(F.count("*").alias("c"))
+           .withColumn("off", F.sum("c").over(wo) - F.col("c"))
+           .select("epoch", "bucket", "off"))
+    pos = F.col("off") + F.col("rn") - 1
+    return (ranked.join(F.broadcast(off), ["epoch", "bucket"])
+            .select("epoch", "doc_id",
+                    pos.alias("epoch_pos"),
+                    F.floor(pos / float(BATCH_SIZE)).alias("batch_id"),
+                    (pos % BATCH_SIZE).alias("pos_in_batch")))

@@ -1,0 +1,117 @@
+"""Text-retrieval queries: BM25 ranking over the documents corpus.
+
+Beyond-reference extension (the reference has no retrieval surface; this
+is the scoring half of a RAG / hard-negative-mining pipeline over a
+100 TB corpus). Catalog conventions: float constants are injected into
+the oracle via ``repr()`` so both engines parse the identical double;
+per-document scores are fixed-point term sums so term addition order is
+immaterial; the top-k order key is the INTEGER units score + doc_id, so
+ties cannot destabilize the cut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from flinkapps_spark.functions.text import tokenize
+from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.plans.exact import sql_units, units_col
+from flinkapps_spark.sources.batch import load_table
+
+# Okapi BM25 (Robertson & Walker 1994; the Lucene `ln(1 + ...)` idf form)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_SCALE = 10 ** 7
+BM25_TOPK = 20
+Q_TERMS = ("data", "query", "spark")
+
+SQL_WORDS = ("list_filter(string_split_regex(lower(text), '\\W+'), "
+             "w -> w <> '')")
+_TERMS_SQL = ", ".join(f"'{t}'" for t in Q_TERMS)
+
+# identical op order on both engines; tf/df/dl/n_docs are exact ints,
+# avgdl is one double division, idf/dlnorm/contrib are the same libm ops
+_SQL_AVGDL = "(CAST(tot AS DOUBLE) / n_docs)"
+_SQL_IDF = "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+_SQL_DLNORM = (f"(1.0 - {BM25_B!r} + {BM25_B!r} * "
+               f"(dl / {_SQL_AVGDL}))")
+_SQL_CONTRIB = (f"({_SQL_IDF} * (tf * {BM25_K1 + 1.0!r}) "
+                f"/ (tf + {BM25_K1!r} * {_SQL_DLNORM}))")
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({SQL_WORDS}) AS term FROM documents
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        scal AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot
+                 FROM dl),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks
+            WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        per AS (
+            SELECT t.doc_id,
+                   CAST(SUM({sql_units(_SQL_CONTRIB, BM25_SCALE)})
+                        AS BIGINT) AS score_units,
+                   COUNT(*) AS n_terms_matched
+            FROM tf t
+            JOIN dfreq USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN scal
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id,
+               (score_units / CAST({BM25_SCALE} AS DOUBLE)) AS bm25,
+               n_terms_matched,
+               ROW_NUMBER() OVER (ORDER BY score_units DESC, doc_id) AS rnk
+        FROM per
+        ORDER BY score_units DESC, doc_id
+        LIMIT {BM25_TOPK}
+    """,
+    category="extension: BM25 retrieval",
+    doc="Okapi BM25 top-k document retrieval for a fixed query term set "
+        "('data', 'query', 'spark'): corpus df/avgdl statistics + "
+        "per-doc tf, scored with the Lucene ln(1+...) idf and k1=1.2 "
+        "b=0.75 length normalization. Scale: tokens are filtered to the "
+        "query terms BEFORE the tf aggregation (the corpus-wide explode "
+        "feeds two partial-aggregated shuffles: per-doc dl and per-(doc,"
+        "term) tf); the df table (|Q| rows) and the 1-row corpus scalars "
+        "are broadcast; the final top-k is TakeOrderedAndProject (per-"
+        "partition heap top-k merged on the driver), never a global "
+        "sort. Determinism: per-doc score = integer sum of fixed-point "
+        "term units, ranked on (int units DESC, doc_id) — a total order, "
+        "so the k-cut is stable on both engines.",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    scal = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("tot"))
+    tf = (toks.filter(F.col("term").isin(*Q_TERMS))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    j = (tf.join(F.broadcast(dfreq), "term")
+         .join(dl, "doc_id")
+         .crossJoin(F.broadcast(scal)))
+    avgdl = F.col("tot").cast("double") / F.col("n_docs")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    dlnorm = F.lit(1.0) - BM25_B + BM25_B * (F.col("dl") / avgdl)
+    contrib = (idf * (F.col("tf") * (BM25_K1 + 1.0))
+               / (F.col("tf") + BM25_K1 * dlnorm))
+    per = (j.groupBy("doc_id")
+           .agg(F.sum(units_col(contrib, BM25_SCALE)).alias("score_units"),
+                F.count("*").alias("n_terms_matched")))
+    top = per.orderBy(F.col("score_units").desc(), "doc_id").limit(BM25_TOPK)
+    return top.select(
+        "doc_id",
+        (F.col("score_units") / float(BM25_SCALE)).alias("bm25"),
+        "n_terms_matched",
+        F.row_number().over(
+            Window.orderBy(F.col("score_units").desc(), "doc_id"))
+        .alias("rnk"))
