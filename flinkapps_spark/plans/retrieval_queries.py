@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flinkapps_spark.functions.text import tokenize
 from flinkapps_spark.plans.catalog import query
-from flinkapps_spark.plans.exact import sql_units, units_col
+from flinkapps_spark.plans.exact import exact_avg, sql_avg, sql_units, units_col
 from flinkapps_spark.sources.batch import load_table
 
 # Okapi BM25 (Robertson & Walker 1994; the Lucene `ln(1 + ...)` idf form)
@@ -115,3 +115,72 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             Window.orderBy(F.col("score_units").desc(), "doc_id"))
         .alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_logprob
+# ---------------------------------------------------------------------------
+
+NLL2_SCALE = 10 ** 7
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+        WITH wl AS (SELECT doc_id, {SQL_WORDS} AS w FROM documents),
+        idx AS (
+            SELECT doc_id, w, unnest(range(2, len(w) + 1)) AS i
+            FROM wl WHERE len(w) >= 2
+        ),
+        bg AS (SELECT doc_id, w[i - 1] AS w1, w[i] AS w2 FROM idx),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+        voc AS (
+            SELECT COUNT(DISTINCT term) AS v
+            FROM (SELECT unnest(w) AS term FROM wl)
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               {{AVG_NLL2}} AS avg_nll2
+        FROM bg
+        JOIN c2 USING (w1, w2)
+        JOIN c1 USING (w1)
+        CROSS JOIN voc
+        GROUP BY doc_id
+    """.format(AVG_NLL2=sql_avg(
+        "-ln((c2 + 1) / CAST(c1 + v AS DOUBLE))", NLL2_SCALE)),
+    category="extension: text analysis (bigram LM score)",
+    doc="Bigram language-model quality score — the conditional-"
+        "probability sibling of text_unigram_logprob (CCNet-style "
+        "perplexity filtering, Wenzek et al. 2020): corpus bigram/"
+        "unigram-context counts give add-one-smoothed p(w2|w1) = "
+        "(c(w1,w2)+1)/(c(w1.)+V), and each document reports its mean "
+        "negative log-probability. Low avg_nll2 = formulaic/repetitive "
+        "text; high = incoherent word salad — the bigram signal "
+        "separates those even when unigram frequencies look normal. "
+        "Scale: bigram extraction is map-side (slice+zip_with, no "
+        "shuffle); the count tables shuffle once each and are joined "
+        "back WITHOUT forced broadcast (vocabulary-squared grows with "
+        "the corpus — AQE decides, same policy as TF-IDF/unigram). "
+        "Determinism: p is one exact-int division, ln is the identical "
+        "libm op, and the per-doc mean is fixed-point exact so bigram "
+        "order cannot flip a bit.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wl = docs.select("doc_id", tokenize(F.col("text")).alias("w"))
+    bg = (wl.select("doc_id", F.explode(F.expr(
+              "zip_with(slice(w, 1, greatest(size(w) - 1, 0)), "
+              "slice(w, 2, greatest(size(w) - 1, 0)), "
+              "(a, b) -> struct(a AS w1, b AS w2))")).alias("p"))
+          .select("doc_id", "p.w1", "p.w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    voc = (wl.select(F.explode("w").alias("term"))
+           .agg(F.countDistinct("term").alias("v")))
+    nll = -F.log((F.col("c2") + 1)
+                 / (F.col("c1") + F.col("v")).cast("double"))
+    return (bg.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+            .crossJoin(F.broadcast(voc))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 exact_avg(nll, NLL2_SCALE).alias("avg_nll2")))
