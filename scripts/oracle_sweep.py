@@ -120,10 +120,27 @@ def main() -> None:
     p.add_argument("--names", default=None,
                    help="comma-separated subset (default: full catalog)")
     p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    p.add_argument("--resume", action="store_true",
+                   help="skip queries already recorded pass/rows-only in "
+                        "--json (which is now written incrementally, so a "
+                        "killed sweep resumes where it stopped)")
+    p.add_argument("--duck-mem", default="40GB",
+                   help="DuckDB memory_limit — heavy oracles (recursive-CTE "
+                        "reachability at sf1) spill to disk instead of "
+                        "OOM-killing the whole sweep")
     ns = p.parse_args()
 
     reg = catalog.registry()
     names = (ns.names.split(",") if ns.names else sorted(reg))
+    done: dict[str, dict] = {}
+    if ns.resume and ns.json_out and os.path.exists(ns.json_out):
+        with open(ns.json_out) as f:
+            prior = json.load(f).get("results", {})
+        done = {n: r for n, r in prior.items()
+                if r.get("status") in ("pass", "rows-only")}
+        names = [n for n in names if n not in done]
+        print(f"resume: {len(done)} prior results kept, "
+              f"{len(names)} to run")
     spark = get_spark("oracle-sweep", master=f"local[{ns.cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.parquet.outputTimestampType",
@@ -131,6 +148,8 @@ def main() -> None:
 
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    con.execute(f"SET memory_limit='{ns.duck_mem}'")
+    con.execute("SET temp_directory='/tmp/duck_sweep_spill'")
     for t in TESTDATA_TABLES:
         path = os.path.join(ns.sf_dir, f"{t}.parquet")
         if os.path.exists(path):
@@ -138,8 +157,20 @@ def main() -> None:
                         f"SELECT * FROM read_parquet('{path}')")
 
     tmp = tempfile.mkdtemp(prefix="oracle_sweep_")
-    results: dict[str, dict] = {}
-    n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = dict(done)
+    n_pass = sum(r.get("status") == "pass" for r in done.values())
+    n_rows_only = sum(r.get("status") == "rows-only" for r in done.values())
+    n_fail = 0
+
+    def _flush() -> None:
+        if ns.json_out:
+            with open(ns.json_out, "w") as f:
+                json.dump({"summary": {
+                    "sf_dir": ns.sf_dir, "n_queries": len(results),
+                    "pass": n_pass, "fail": n_fail,
+                    "rows_only": n_rows_only},
+                    "results": results}, f, indent=1)
+
     for i, name in enumerate(names):
         q = reg[name]
         r: dict = {"oracled": q.oracle is not None}
@@ -170,6 +201,7 @@ def main() -> None:
             r["spark_sec"] = round(time.perf_counter() - t0, 2)
             n_fail += 1
         results[name] = r
+        _flush()
         flag = "" if r["status"] in ("pass", "rows-only") else "   <<<<"
         print(f"[{i + 1}/{len(names)}] {name}: {r['status']} "
               f"({r.get('spark_sec')}s spark"
@@ -177,17 +209,16 @@ def main() -> None:
               f"{flag}", flush=True)
 
     shutil.rmtree(tmp, ignore_errors=True)
-    summary = {"sf_dir": ns.sf_dir, "n_queries": len(names),
+    summary = {"sf_dir": ns.sf_dir, "n_queries": len(results),
                "pass": n_pass, "fail": n_fail, "rows_only": n_rows_only}
     print(json.dumps(summary))
-    if ns.json_out:
-        with open(ns.json_out, "w") as f:
-            json.dump({"summary": summary, "results": results}, f, indent=1)
+    _flush()
     if ns.md:
+        results = dict(sorted(results.items()))
         lines = [
             f"# Oracle-parity sweep — `{ns.sf_dir}`", "",
             f"{n_pass} pass / {n_fail} fail / {n_rows_only} rows-only "
-            f"of {len(names)} queries.  Comparison is engine-side "
+            f"of {len(results)} queries.  Comparison is engine-side "
             "(Spark result parquet vs DuckDB oracle, normalized EXCEPT "
             "ALL both directions — see scripts/oracle_sweep.py).", "",
             "| query | status | spark rows | spark s | oracle s | err |",
