@@ -269,62 +269,158 @@ def doc_shingle_table(df: DataFrame, text_col: str = "text",
         .select("doc", F.explode("codes").alias("code"))
 
 
+_PREFIX_EPS = 1e-9
+
+
+def _ordered_shingles(ex: DataFrame) -> DataFrame:
+    """(doc, code, n_sh, pos): each doc's shingles positioned by a GLOBAL
+    total order (corpus frequency ascending, code ascending).  Rare-first
+    ordering is what makes prefix filtering effective: the most frequent
+    shingles — the quadratic blowup in an inverted-index self-join — land
+    at the END of every doc's ordering and drop out of every prefix."""
+    from pyspark.sql import Window
+    cf = ex.groupBy("code").agg(F.count("*").alias("cf"))
+    w = Window.partitionBy("doc").orderBy(F.col("cf").asc(),
+                                          F.col("code").asc())
+    sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    return (ex.join(cf, "code").join(sizes, "doc")
+            .withColumn("pos", F.row_number().over(w))
+            .select("doc", "code", "n_sh", "pos"))
+
+
+def _prefix_len(n_sh: Column, threshold: float) -> Column:
+    """Prefix length n - ceil(t*n) + 1, via floor(t*n - eps): exact when
+    t*n computes cleanly, one LONGER on an fp boundary — an over-long
+    prefix only adds candidates, so losslessness is never at risk."""
+    return n_sh - F.floor(threshold * n_sh - _PREFIX_EPS)
+
+
+def _verify_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Attach both docs' full shingle sets to canonical candidate pairs
+    and compute the exact intersection (arrays are doc-sized, ~1e2)."""
+    ca = sh.select(F.col("doc").alias("doc_a"), F.col("codes").alias("ca"))
+    cb = sh.select(F.col("doc").alias("doc_b"), F.col("codes").alias("cb"))
+    return (cand.join(ca, "doc_a").join(cb, "doc_b")
+            .withColumn("n_common", F.size(F.array_intersect("ca", "cb")))
+            .withColumn("n_a", F.size("ca"))
+            .withColumn("n_b", F.size("cb")))
+
+
 def jaccard_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
-                  threshold: float = 0.6) -> DataFrame:
+                  threshold: float = 0.6, *,
+                  prefix_filter: bool = True) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ≥ threshold.
 
-    Pairs are generated only through shared shingles (inverted-index join),
-    never a cross join: candidate count is bounded by co-occurrence.
+    Default path: LOSSLESS prefix filtering (Bayardo/Ma/Srikant 2007
+    "Scaling Up All Pairs Similarity Search"; the SSJoin/PPJoin prefix
+    principle).  J(A,B) ≥ t implies |A∩B| ≥ ceil(t·|A|) and t·|A| ≤ |B| ≤
+    |A|/t; the first overlap shingle (in a global rare-first order) then
+    sits within each doc's (n − ceil(t·n) + 1)-prefix, so joining PREFIX ×
+    PREFIX plus the length filter finds every qualifying pair.  Candidates
+    are verified with the exact intersection of the full shingle sets.
+
+    Why it matters at scale: the naive inverted-index self-join is
+    Σ_code f(code)² — quadratic in per-shingle frequency, which saturates
+    once the shingle space stops growing with the corpus (measured at sf1:
+    the raw join explodes while prefixes stay ~40% of tokens AND exclude
+    precisely the frequent shingles that dominate the Σf² sum).
+    ``prefix_filter=False`` keeps the naive form (the property test proves
+    the two agree).
     """
-    ex = doc_shingle_table(df, text_col, id_col)
-    sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    a, b = ex.alias("a"), ex.alias("b")
-    common = (
-        a.join(b, (F.col("a.code") == F.col("b.code"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jaccard", F.round(
-            F.col("n_common")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    sh = shingled_docs(df, text_col, id_col)
+    ex = sh.select("doc", F.explode("codes").alias("code"))
+    if not prefix_filter:
+        sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
+        a, b = ex.alias("a"), ex.alias("b")
+        common = (
+            a.join(b, (F.col("a.code") == F.col("b.code"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("doc_a"),
+                     F.col("b.doc").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+        sa = sizes.select(F.col("doc").alias("doc_a"),
+                          F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col("doc").alias("doc_b"),
+                          F.col("n_sh").alias("n_b"))
+        verified = common.join(sa, "doc_a").join(sb, "doc_b")
+    else:
+        pref = _ordered_shingles(ex).filter(
+            F.col("pos") <= _prefix_len(F.col("n_sh"), threshold))
+        a = pref.select(F.col("doc").alias("doc_a"), "code",
+                        F.col("n_sh").alias("pn_a"))
+        b = pref.select(F.col("doc").alias("doc_b"), "code",
+                        F.col("n_sh").alias("pn_b"))
+        cand = (a.join(b, "code")
+                .filter((F.col("doc_a") < F.col("doc_b"))
+                        & (F.col("pn_b")
+                           >= threshold * F.col("pn_a") - _PREFIX_EPS)
+                        & (F.col("pn_b")
+                           <= F.col("pn_a") / threshold + _PREFIX_EPS))
+                .select("doc_a", "doc_b").distinct())
+        verified = _verify_pairs(cand, sh)
+    return (verified
+            .withColumn("jaccard", F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
 
 
 def containment_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
-                      threshold: float = 0.95) -> DataFrame:
+                      threshold: float = 0.95, *,
+                      prefix_filter: bool = True) -> DataFrame:
     """Shingle CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold — the
     asymmetric near-dup metric that catches a document embedded inside a
     larger one (quotes, boilerplate wrappers, excerpt pages), which
     symmetric Jaccard misses once the size ratio grows (J = |A∩B|/|A∪B|
-    → small even when A ⊂ B).  Same inverted-index candidate join as
-    :func:`jaccard_pairs`; only the verification ratio differs."""
-    ex = doc_shingle_table(df, text_col, id_col)
-    sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    a, b = ex.alias("a"), ex.alias("b")
-    common = (
-        a.join(b, (F.col("a.code") == F.col("b.code"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("containment", F.round(
-            F.col("n_common") / F.least("n_a", "n_b"), 6))
-        .filter(F.col("containment") >= threshold)
-        .select("doc_a", "doc_b", "containment")
-    )
+    → small even when A ⊂ B).
+
+    Default path: lossless prefix filtering, asymmetric form.  The overlap
+    bound c ≥ ceil(t·min(|A|,|B|)) constrains only the SMALLER doc, so
+    candidates join the smaller doc's prefix against the larger doc's FULL
+    index (no length filter exists for containment: a tiny doc may be
+    contained in an arbitrarily large one).  See :func:`jaccard_pairs` for
+    the prefix principle and the scale rationale."""
+    sh = shingled_docs(df, text_col, id_col)
+    ex = sh.select("doc", F.explode("codes").alias("code"))
+    if not prefix_filter:
+        sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
+        a, b = ex.alias("a"), ex.alias("b")
+        common = (
+            a.join(b, (F.col("a.code") == F.col("b.code"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("doc_a"),
+                     F.col("b.doc").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+        sa = sizes.select(F.col("doc").alias("doc_a"),
+                          F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col("doc").alias("doc_b"),
+                          F.col("n_sh").alias("n_b"))
+        verified = common.join(sa, "doc_a").join(sb, "doc_b")
+    else:
+        ordered = _ordered_shingles(ex)
+        pref = ordered.filter(
+            F.col("pos") <= _prefix_len(F.col("n_sh"), threshold))
+        small = pref.select(F.col("doc").alias("doc_s"), "code",
+                            F.col("n_sh").alias("n_s"))
+        full = ordered.select(F.col("doc").alias("doc_f"), "code",
+                              F.col("n_sh").alias("n_f"))
+        cand = (small.join(full, "code")
+                .filter((F.col("doc_s") != F.col("doc_f"))
+                        & (F.col("n_s") <= F.col("n_f")))
+                .select(F.least("doc_s", "doc_f").alias("doc_a"),
+                        F.greatest("doc_s", "doc_f").alias("doc_b"))
+                .distinct())
+        verified = _verify_pairs(cand, sh)
+    return (verified
+            .withColumn("containment", F.round(
+                F.col("n_common") / F.least("n_a", "n_b"), 6))
+            .filter(F.col("containment") >= threshold)
+            .select("doc_a", "doc_b", "containment"))
 
 
 def jaccard_pairs_incremental(df: DataFrame, is_new,

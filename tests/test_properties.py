@@ -133,3 +133,40 @@ def test_asof_engines_agree_property(spark, inputs, direction, tolerance):
     c = sorted(map(tuple, asof_join_jvm(left, right, **kw).collect()))
     assert a == b, (direction, tolerance, a[:3], b[:3])
     assert a == c, (direction, tolerance, a[:3], c[:3])
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered similarity join ≡ naive inverted-index join (losslessness)
+# ---------------------------------------------------------------------------
+
+_TINY_VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+
+def _doc_texts():
+    word = st.sampled_from(_TINY_VOCAB)
+    return st.lists(
+        st.lists(word, min_size=3, max_size=12).map(" ".join),
+        min_size=2, max_size=12)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_doc_texts(),
+       st.sampled_from([0.3, 0.5, 0.6, 0.8]))
+def test_jaccard_prefix_filter_lossless(spark, texts, threshold):
+    """The ppjoin-style prefix-filtered jaccard_pairs/containment_pairs
+    must return EXACTLY the naive inverted-index join's pairs — the
+    6-word vocabulary forces heavy shingle collisions, duplicate texts,
+    and size ties (the edge cases of the prefix/length bounds)."""
+    from flinkapps_spark.operators.dedup import containment_pairs, jaccard_pairs
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    fast = sorted(map(tuple, jaccard_pairs(
+        docs, threshold=threshold).collect()))
+    naive = sorted(map(tuple, jaccard_pairs(
+        docs, threshold=threshold, prefix_filter=False).collect()))
+    assert fast == naive
+    fast_c = sorted(map(tuple, containment_pairs(
+        docs, threshold=threshold).collect()))
+    naive_c = sorted(map(tuple, containment_pairs(
+        docs, threshold=threshold, prefix_filter=False).collect()))
+    assert fast_c == naive_c
