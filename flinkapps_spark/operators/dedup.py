@@ -321,14 +321,22 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     are verified with the exact intersection of the full shingle sets.
 
     Why it matters at scale: the naive inverted-index self-join is
-    Σ_code f(code)² — quadratic in per-shingle frequency, which saturates
-    once the shingle space stops growing with the corpus (measured at sf1:
-    the raw join explodes while prefixes stay ~40% of tokens AND exclude
-    precisely the frequent shingles that dominate the Σf² sum).
+    Σ_code f(code)² — quadratic in per-shingle frequency; rare-first
+    prefixes exclude precisely the frequent shingles that dominate that
+    sum, so on Zipfian real-text corpora the candidate set collapses.
+    Measured honestly on the UNIFORM-frequency synthetic fixture at sf1
+    (prefix filtering's worst case: no head to prune) it is a wash —
+    159 s vs 166 s for 55k docs / 96.5M candidates — and the shingle
+    table is persisted (MEMORY_AND_DISK) because the prefix path reads
+    it three times (ordering, probe, verify) and the dominant cost is
+    the Arrow word-hash stage, not the joins.
     ``prefix_filter=False`` keeps the naive form (the property test proves
     the two agree).
     """
+    from pyspark import StorageLevel
     sh = shingled_docs(df, text_col, id_col)
+    if prefix_filter:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     ex = sh.select("doc", F.explode("codes").alias("code"))
     if not prefix_filter:
         sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
@@ -383,8 +391,11 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     candidates join the smaller doc's prefix against the larger doc's FULL
     index (no length filter exists for containment: a tiny doc may be
     contained in an arbitrarily large one).  See :func:`jaccard_pairs` for
-    the prefix principle and the scale rationale."""
+    the prefix principle, the persist rationale, and the scale numbers."""
+    from pyspark import StorageLevel
     sh = shingled_docs(df, text_col, id_col)
+    if prefix_filter:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     ex = sh.select("doc", F.explode("codes").alias("code"))
     if not prefix_filter:
         sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
