@@ -63,6 +63,10 @@ HEADLINE = [
     "embedding_quantize_int8",
     "dedup_repeated_spans",
     "sketch_hll_rollup",
+    "bm25_topk_docs",
+    "cdc_apply_changelog",
+    "shuffle_epoch_batches",
+    "text_bigram_logprob",
 ]
 
 

@@ -224,3 +224,97 @@ def resize_profile(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(id_col, payload_col).mapInPandas(
         batches, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup (dHash over binary payloads)
+# ---------------------------------------------------------------------------
+
+PHASH_BLOCKS = 25          # 25 block means -> 24 gradient bits
+PHASH_BITS = PHASH_BLOCKS - 1
+PHASH_BANDS = 3            # 3 x 8-bit bands: pigeonhole covers hamming <= 2
+PHASH_HAM_MAX = 2
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sig", T.LongType()),
+])
+
+
+def phash_signatures(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """dHash-style perceptual signature of each binary payload: 25
+    block-mean "pixels" -> 24 gradient bits (bit j set iff mean(block j) >
+    mean(block j+1), compared as exact integer cross-products so no float
+    enters the signature).
+
+    This is the multimodal near-dup primitive: for real images the blocks
+    would come from the decoded/resized grayscale plane (decode_image
+    stub); byte-level blocks exercise the identical plumbing and are
+    engine-reproducible (the DuckDB oracle recomputes the same signature
+    from code points — the fixtures are pure ASCII, so bytes == code
+    points).  Map-side only: one Arrow pass, no shuffle.
+    """
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sigs = []
+            for raw in pdf[payload_col]:
+                b = bytes(raw)
+                n = len(b)
+                bs, bl = [], []
+                for j in range(PHASH_BLOCKS):
+                    lo = (j * n) // PHASH_BLOCKS
+                    hi = ((j + 1) * n) // PHASH_BLOCKS
+                    blk = b[lo:hi]
+                    bs.append(sum(blk))
+                    bl.append(hi - lo)
+                sig = 0
+                for j in range(PHASH_BITS):
+                    # mean(j) > mean(j+1) without division (empty block
+                    # -> product 0 -> bit stays 0 on both engines)
+                    if bs[j] * bl[j + 1] > bs[j + 1] * bl[j]:
+                        sig |= 1 << j
+                sigs.append(sig)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "sig": pd.Series(sigs, dtype="int64"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "payload",
+                        ham_max: int = PHASH_HAM_MAX) -> DataFrame:
+    """Near-dup pairs by perceptual-hash hamming distance ≤ ham_max.
+
+    Banded hamming LSH: the 24-bit signature splits into 3 8-bit bands;
+    candidates are pairs agreeing on AT LEAST ONE band (pigeonhole: k
+    bands always catch hamming ≤ k-1, so 3 bands are LOSSLESS for the
+    default ham_max=2), verified with an exact popcount of the XOR.
+    Scale: the only shuffle is the band-key self-join — identical shape
+    to the MinHash LSH band join; signatures are 8 bytes per doc, so the
+    join input is tiny regardless of payload size, and payloads never
+    ride a shuffle.
+    """
+    if ham_max > PHASH_BANDS - 1:
+        raise ValueError(
+            f"ham_max={ham_max} exceeds the lossless bound "
+            f"{PHASH_BANDS - 1} of {PHASH_BANDS} bands")
+    sig = phash_signatures(df, id_col, payload_col)
+    bands = (sig.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[F.lit(k) for k in range(PHASH_BANDS)]))
+        .alias("k"))
+        .withColumn("v", F.expr("(sig >> (8 * k)) & 255")))
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sig").alias("sig_a"), "k", "v")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sig").alias("sig_b"), "k", "v")
+    cand = (a.join(b, ["k", "v"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sig_a", "sig_b").distinct())
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.filter(ham <= ham_max)
+            .select("doc_a", "doc_b", ham.cast("int").alias("hamming")))

@@ -820,6 +820,72 @@ def text_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_phash_neardup",
+    oracle=f"""
+        WITH aug AS ({SQL_AUG_NEAR}),
+        cl AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ''),
+                                  c -> CAST(ascii(c) AS BIGINT)) AS cs,
+                   len(text) AS n
+            FROM aug
+        ),
+        blk AS (
+            SELECT doc_id, j,
+                   COALESCE(list_sum(
+                       cs[((j * n) // 25) + 1 : ((j + 1) * n) // 25]), 0)
+                       AS bsum,
+                   ((j + 1) * n) // 25 - (j * n) // 25 AS blen
+            FROM (SELECT doc_id, cs, n, unnest(range(25)) AS j FROM cl) t
+        ),
+        bits AS (
+            SELECT x.doc_id,
+                   CASE WHEN x.bsum * y.blen > y.bsum * x.blen
+                        THEN CAST(1 AS BIGINT) << CAST(x.j AS INT)
+                        ELSE 0 END AS bit
+            FROM blk x JOIN blk y
+              ON x.doc_id = y.doc_id AND y.j = x.j + 1
+            WHERE x.j < 24
+        ),
+        sig AS (
+            SELECT doc_id, CAST(COALESCE(SUM(bit), 0) AS BIGINT) AS sig
+            FROM bits GROUP BY doc_id
+        ),
+        bv AS (
+            SELECT doc_id, sig,
+                   (sig >> CAST(8 * k AS INT)) & 255 AS v, k
+            FROM (SELECT doc_id, sig, unnest(range(3)) AS k FROM sig) t
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sig AS sig_a, b.sig AS sig_b
+            FROM bv a JOIN bv b
+              ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2
+    """,
+    category="extension: multimodal (perceptual-hash near-dup)",
+    doc="Perceptual-hash near-duplicate detection over binary payloads: "
+        "a dHash-style 24-bit gradient signature (25 integer block "
+        "means, compared via exact cross-products so no float enters "
+        "the signature) with banded hamming LSH — 3 x 8-bit bands, "
+        "pigeonhole-LOSSLESS for the hamming<=2 cut, exact popcount "
+        "verification. This is the image near-dup shape (resize -> "
+        "grayscale gradient -> band join) running on the byte-level "
+        "stand-in payloads, bridging the multimodal plumbing and the "
+        "dedup family. Scale: the signature pass is one map-side Arrow "
+        "stage; only 8-byte signatures ride the band-join shuffle, "
+        "payloads never do.",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augment_near(load_table(spark, sf_dir, "documents"))
+    with_payload = multimodal.attach_binary_payload(docs)
+    return multimodal.phash_neardup_pairs(with_payload)
+
+
+@query(
     "multimodal_audio_energy",
     oracle="""
         WITH codes AS (
