@@ -437,19 +437,55 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
 def jaccard_pairs_incremental(df: DataFrame, is_new,
                               text_col: str = "text",
                               id_col: str = "doc_id",
-                              threshold: float = 0.6) -> DataFrame:
+                              threshold: float = 0.6, *,
+                              prefix_filter: bool = True) -> DataFrame:
     """Near-dup pairs INVOLVING a new batch only — the incremental-ingest
     shape: a corpus that was already deduplicated receives a new
     partition, and only (new × all) candidates are generated, never
     history × history.
 
     ``is_new``: a Column-predicate function over the id column.  Cost is
-    bounded by the NEW side's shingle co-occurrence: both candidate joins
-    carry the new batch on one side, so a day's increment against a year's
-    corpus scans the inverted index once instead of re-verifying the
-    whole corpus pairwise.  Output equals :func:`jaccard_pairs` filtered
-    to pairs touching the new batch (the oracle proves that equality).
+    bounded by the NEW side's shingle co-occurrence: the candidate join
+    carries the new batch on one side, so a day's increment against a
+    year's corpus scans the inverted index once instead of re-verifying
+    the whole corpus pairwise.  Output equals :func:`jaccard_pairs`
+    filtered to pairs touching the new batch (the oracle proves that
+    equality).
+
+    Default path: the same lossless prefix filter as
+    :func:`jaccard_pairs`, probing prefix(new) against prefix(all) — the
+    prefix lemma needs no id ordering, so one-side-new coverage holds for
+    either id direction and pairs are canonicalized afterwards.
     """
+    if prefix_filter:
+        from pyspark import StorageLevel
+        sh = shingled_docs(df, text_col, id_col) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        ex = sh.select("doc", F.explode("codes").alias("code"))
+        pref = _ordered_shingles(ex).filter(
+            F.col("pos") <= _prefix_len(F.col("n_sh"), threshold))
+        new_p = (pref.filter(is_new(F.col("doc")))
+                 .select(F.col("doc").alias("doc_n"), "code",
+                         F.col("n_sh").alias("n_n")))
+        all_p = pref.select(F.col("doc").alias("doc_o"), "code",
+                            F.col("n_sh").alias("n_o"))
+        cand = (new_p.join(all_p, "code")
+                .filter((F.col("doc_n") != F.col("doc_o"))
+                        & (F.col("n_o")
+                           >= threshold * F.col("n_n") - _PREFIX_EPS)
+                        & (F.col("n_o")
+                           <= F.col("n_n") / threshold + _PREFIX_EPS))
+                .select(F.least("doc_n", "doc_o").alias("doc_a"),
+                        F.greatest("doc_n", "doc_o").alias("doc_b"))
+                .distinct())
+        verified = _verify_pairs(cand, sh)
+        return (verified
+                .withColumn("jaccard", F.round(
+                    F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("doc_a", "doc_b", "jaccard"))
+
     ex = doc_shingle_table(df, text_col, id_col)
     new_ex = ex.filter(is_new(F.col("doc")))
     hist_ex = ex.filter(~is_new(F.col("doc")))

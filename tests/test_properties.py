@@ -170,3 +170,10 @@ def test_jaccard_prefix_filter_lossless(spark, texts, threshold):
     naive_c = sorted(map(tuple, containment_pairs(
         docs, threshold=threshold, prefix_filter=False).collect()))
     assert fast_c == naive_c
+    from flinkapps_spark.operators.dedup import jaccard_pairs_incremental
+    is_new = lambda c: c % 3 == 0  # noqa: E731
+    fast_i = sorted(map(tuple, jaccard_pairs_incremental(
+        docs, is_new, threshold=threshold).collect()))
+    naive_i = sorted(map(tuple, jaccard_pairs_incremental(
+        docs, is_new, threshold=threshold, prefix_filter=False).collect()))
+    assert fast_i == naive_i
