@@ -42,20 +42,22 @@ def normalize_address(street: Column, zip_code: Column, city: Column) -> Column:
         F.regexp_replace(F.upper(joined), "\\W", " "), "\\s+", " "))
 
 
-def word_code(col: Column | str) -> Column:
-    """Deterministic poly-31 hash of a string → int in [0, 2^31-1).
+def word_code(col: Column | str, base: int = 31) -> Column:
+    """Deterministic poly-``base`` hash of a string → int in [0, 2^31-1).
 
-    fold over characters: acc = (acc*31 + codepoint(ch)) % (2^31-1).
+    fold over characters: acc = (acc*base + codepoint(ch)) % (2^31-1).
     Mirrors exactly in DuckDB:
       list_reduce([0] || list_transform(string_split(w,''), c -> ascii(c)),
-                  (a, b) -> (a*31 + b) % 2147483647)
+                  (a, b) -> (a*base + b) % 2147483647)
+    A second base (e.g. 37) gives an INDEPENDENT hash family over the
+    same modulus — used to widen SimHash signatures portably.
     """
     c = F.col(col) if isinstance(col, str) else col
     chars = F.filter(F.split(c, ""), lambda ch: F.length(ch) > 0)
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
-        lambda acc, ch: (acc * 31 + F.ascii(ch)) % HASH_MOD,
+        lambda acc, ch: (acc * base + F.ascii(ch)) % HASH_MOD,
     ).cast("long")
 
 

@@ -585,26 +585,72 @@ def simhash(df: DataFrame, text_col: str = "text",
                       F.col("simhash").cast("long").alias("simhash"))
 
 
+SIMHASH_BASE2 = 37
+
+
+def simhash_wide(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """62-bit SimHash: two INDEPENDENT 31-bit signatures (poly-31 and
+    poly-37 token codes over the same Mersenne modulus) computed in one
+    tokenize + one groupBy pass, packed as (sig37 << 31) | sig31.
+
+    Why: pigeonhole blocking splits the signature into max_hamming+1
+    chunks, and candidate volume per band is n²/2^(chunk_bits).  31 bits
+    over 7 chunks is 4-5 bits per chunk — measured at sf1 (110k docs)
+    that is ~10⁹ candidates and the pair join crawls.  62 bits gives
+    ~9-bit chunks (~23× fewer candidates); a third base extends to 93
+    bits if a deployment needs hamming budgets beyond 6 at larger n.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("doc"),
+                  F.explode(tokenize(F.col(text_col))).alias("tok"))
+        .select("doc", word_code(F.col("tok")).alias("c1"),
+                word_code(F.col("tok"), base=SIMHASH_BASE2).alias("c2"))
+    )
+    votes = [
+        F.sum(F.when((F.shiftright(F.col(c), b).bitwiseAND(F.lit(1))) == 1,
+                     1).otherwise(-1)).alias(f"{pre}{b}")
+        for pre, c in (("a", "c1"), ("b", "c2"))
+        for b in range(SIMHASH_BITS)
+    ]
+    agged = toks.groupBy("doc").agg(*votes)
+    terms = [
+        F.when(F.col(f"a{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    ] + [
+        F.when(F.col(f"b{b}") > 0,
+               F.lit(1 << (b + SIMHASH_BITS))).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    ]
+    out = agged.select("doc", sum(terms[1:], terms[0]).alias("simhash"))
+    return out.select(F.col("doc").alias("doc_id"),
+                      F.col("simhash").cast("long").alias("simhash"))
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 6,
-                  blocked: bool = True) -> DataFrame:
+                  blocked: bool = True, wide: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Default path (``blocked=True``) is the 100 TB algorithm: split the
-    SIMHASH_BITS signature bits into max_hamming+1 chunks — by pigeonhole,
-    any pair
+    signature bits into max_hamming+1 chunks — by pigeonhole, any pair
     within the distance agrees EXACTLY on at least one chunk — so
     candidates come from an equi-join on (chunk_idx, chunk_value), never a
     cross join.  Each candidate is then verified by exact hamming.  The
     result set is provably identical to the O(n²) scan (the oracle is the
-    cross-join SQL); only the candidate generation changes.  Skew note:
-    a chunk value shared by k docs makes a k² candidate block — widen
-    chunks (smaller max_hamming per band) or sub-split hot chunks if one
-    value dominates.
+    cross-join SQL); only the candidate generation changes.
+
+    ``wide=True`` (default) blocks on the 62-bit two-hash signature —
+    see :func:`simhash_wide` for the measured sf1 rationale; chunk width
+    is what bounds per-band candidate volume.  Skew note: a chunk value
+    shared by k docs makes a k² candidate block — widen chunks (smaller
+    max_hamming per band, more hash bases) or sub-split hot chunks if
+    one value dominates.
 
     ``blocked=False`` keeps the direct cross join for reference/debug.
     """
-    s = simhash(df, text_col, id_col)
+    n_bits = SIMHASH_BITS * 2 if wide else SIMHASH_BITS
+    s = (simhash_wide if wide else simhash)(df, text_col, id_col)
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     if not blocked:
@@ -616,7 +662,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
             .select("doc_a", "doc_b", "hamming")
         )
     n_bands = max_hamming + 1
-    base_w, extra = divmod(SIMHASH_BITS, n_bands)
+    base_w, extra = divmod(n_bits, n_bands)
     chunks, lo = [], 0
     for k in range(n_bands):
         w = base_w + (1 if k < extra else 0)

@@ -348,22 +348,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(docs)
 
 
+def _sql_word_code37(s: str) -> str:
+    # the second hash family of simhash_wide: same fold, base 37
+    return (f"list_reduce([CAST(0 AS BIGINT)] || "
+            f"list_transform(string_split({s}, ''), "
+            f"c -> CAST(ascii(c) AS BIGINT)), "
+            f"(a, b) -> (a * 37 + b) % {HASH_MOD})")
+
+
+def _sql_simhash_wide(aug_sql: str) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN ({c} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS {p}{b}"
+        for p, c in (("a", "c1"), ("b", "c2"))
+        for b in range(SIMHASH_BITS))
+    bits = " + ".join(
+        [f"(CASE WHEN a{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+         for b in range(SIMHASH_BITS)]
+        + [f"(CASE WHEN b{b} > 0 THEN "
+           f"CAST({1 << (b + SIMHASH_BITS)} AS BIGINT) ELSE 0 END)"
+           for b in range(SIMHASH_BITS)])
+    return f"""
+        WITH aug AS ({aug_sql}),
+        toks AS (
+            SELECT doc_id AS doc,
+                   {_sql_word_code('t.tok')} AS c1,
+                   {_sql_word_code37('t.tok')} AS c2
+            FROM aug, unnest({SQL_WORDS}) AS t(tok)
+        ),
+        votes AS (SELECT doc, {votes} FROM toks GROUP BY doc)
+        SELECT doc AS doc_id, {bits} AS simhash FROM votes
+    """
+
+
 @query(
     "dedup_simhash_pairs",
     oracle=f"""
-        WITH sims AS ({_sql_simhash(SQL_AUG_NEAR)})
+        WITH sims AS ({_sql_simhash_wide(SQL_AUG_NEAR)})
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                bit_count(xor(a.simhash, b.simhash)) AS hamming
         FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     category="extension: dedup (SimHash pairs)",
-    doc="Near-dup pairs with SimHash hamming ≤ 6. Fixture-scale cross join; "
-        "100 TB path: pigeonhole bit-band blocking (see operators/dedup.py).",
+    doc="Near-dup pairs with 62-bit two-hash SimHash hamming ≤ 3 "
+        "(simhash_wide: poly-31 + poly-37 signatures packed in one "
+        "BIGINT). The oracle is the O(n²) cross join; the engine blocks "
+        "with 4 pigeonhole chunks of 15-16 bits — chunk width is what "
+        "bounds per-band candidates: the original 31-bit/hamming-6 form "
+        "(4-5 bit chunks) measured ~10⁹ candidates at sf1 and its "
+        "pair DENSITY on the tight-vocabulary fixture was 4% of all "
+        "pairs (a quadratic result set); 62-bit/hamming-3 keeps 79% of "
+        "the constructed near-dups at 0.3% density, i.e. a usable "
+        "dedup cut that also scales.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augment_near(load_table(spark, sf_dir, "documents"))
-    return dedup.simhash_pairs(docs, max_hamming=6)
+    return dedup.simhash_pairs(docs, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

@@ -392,12 +392,13 @@ def test_simhash_blocked_equals_crossjoin(spark):
     returns exactly the cross-join pair set for any max_hamming."""
     from flinkapps_spark.operators.dedup import simhash_pairs
     docs = load_table(spark, SF_SMOKE, "documents")
-    for mh in (3, 6):
+    for mh, wide in ((3, True), (6, True), (6, False)):
         blocked = {(r.doc_a, r.doc_b, r.hamming) for r in
-                   simhash_pairs(docs, max_hamming=mh).collect()}
+                   simhash_pairs(docs, max_hamming=mh,
+                                 wide=wide).collect()}
         direct = {(r.doc_a, r.doc_b, r.hamming) for r in
-                  simhash_pairs(docs, max_hamming=mh,
-                                blocked=False).collect()}
+                  simhash_pairs(docs, max_hamming=mh, blocked=False,
+                                wide=wide).collect()}
         assert blocked == direct
 
 
