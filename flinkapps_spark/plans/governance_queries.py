@@ -250,3 +250,105 @@ def shuffle_epoch_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pos.alias("epoch_pos"),
                     F.floor(pos / float(BATCH_SIZE)).alias("batch_id"),
                     (pos % BATCH_SIZE).alias("pos_in_batch")))
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff — dataset-version diff via row fingerprints
+# ---------------------------------------------------------------------------
+
+DIFF_UPLIFT = 1.07          # synthetic snapshot-B price change (%3 keys)
+DIFF_NEWKEY = 2_000_000_000  # key offset for synthetic inserted rows
+
+
+@query(
+    "snapshot_diff",
+    oracle=f"""
+        WITH a AS (
+            SELECT o_orderkey AS okey, o_orderstatus AS st,
+                   o_orderpriority AS pri,
+                   {sql_units('o_totalprice', 100)} AS price_u
+            FROM orders),
+        b AS (
+            SELECT okey, st, pri,
+                   CASE WHEN okey % 3 = 0 THEN
+                       {sql_units(f'(price_u / CAST(100 AS DOUBLE)) * {DIFF_UPLIFT!r}', 100)}
+                   ELSE price_u END AS price_u
+            FROM a WHERE okey % 7 <> 0
+            UNION ALL
+            SELECT okey + {DIFF_NEWKEY}, st, 'SYNTH', price_u
+            FROM a WHERE okey % 11 = 0),
+        fa AS (SELECT okey, price_u,
+                      md5(concat_ws('|', CAST(price_u AS VARCHAR), st, pri))
+                          AS fp
+               FROM a),
+        fb AS (SELECT okey, price_u,
+                      md5(concat_ws('|', CAST(price_u AS VARCHAR), st, pri))
+                          AS fp
+               FROM b),
+        d AS (
+            SELECT COALESCE(fa.okey, fb.okey) AS okey,
+                   CASE WHEN fb.okey IS NULL THEN 'removed'
+                        WHEN fa.okey IS NULL THEN 'added'
+                        WHEN fa.fp <> fb.fp THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   COALESCE(fb.price_u, 0) - COALESCE(fa.price_u, 0)
+                       AS delta_u
+            FROM fa FULL OUTER JOIN fb ON fa.okey = fb.okey)
+        SELECT status, COUNT(*) AS n_rows,
+               CAST(SUM(delta_u) AS BIGINT) / CAST(100 AS DOUBLE)
+                   AS price_delta
+        FROM d GROUP BY status
+    """,
+    category="extension: snapshot diff (data versioning)",
+    doc="Dataset-version diff (the Delta-Lake/DVC 'what changed between "
+        "snapshot A and B' audit): snapshot B is derived deterministically "
+        "from orders (keys %7==0 deleted, %3==0 price uplifted 7%, %11==0 "
+        "re-inserted under a new key), every row is fingerprinted with "
+        "md5 over its fixed-point-normalized columns, and a FULL OUTER "
+        "join on the primary key classifies added / removed / changed / "
+        "unchanged with the exact price delta per class. Scale: one "
+        "co-partitioned shuffle join on the key (bucket both snapshots "
+        "by key at 100 TB for a shuffle-free storage-partitioned join); "
+        "the fingerprint is constant-width regardless of column count, "
+        "so the compare never widens the shuffle. Fingerprint inputs are "
+        "int64 units cast to string — engine-identical (double-to-string "
+        "formatting never enters the hash).",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderpriority").alias("pri"),
+        units_col(F.col("o_totalprice"), 100).alias("price_u"))
+    b_kept = (a.filter(F.col("okey") % 7 != 0)
+              .withColumn("price_u",
+                          F.when(F.col("okey") % 3 == 0,
+                                 units_col((F.col("price_u")
+                                            / F.lit(100).cast("double"))
+                                           * DIFF_UPLIFT, 100))
+                          .otherwise(F.col("price_u"))))
+    b_new = (a.filter(F.col("okey") % 11 == 0)
+             .select((F.col("okey") + DIFF_NEWKEY).alias("okey"), "st",
+                     F.lit("SYNTH").alias("pri"), "price_u"))
+    b = b_kept.unionByName(b_new)
+
+    def fp(df: DataFrame) -> DataFrame:
+        return df.select(
+            "okey", "price_u",
+            F.md5(F.concat_ws("|", F.col("price_u").cast("string"),
+                              "st", "pri")).alias("fp"))
+
+    fa, fb = fp(a), fp(b)
+    d = (fa.alias("fa").join(fb.alias("fb"), "okey", "full_outer")
+         .select(
+             F.when(F.col("fb.fp").isNull(), "removed")
+              .when(F.col("fa.fp").isNull(), "added")
+              .when(F.col("fa.fp") != F.col("fb.fp"), "changed")
+              .otherwise("unchanged").alias("status"),
+             (F.coalesce(F.col("fb.price_u"), F.lit(0))
+              - F.coalesce(F.col("fa.price_u"), F.lit(0))).alias("delta_u")))
+    return (d.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 (F.sum("delta_u") / F.lit(100).cast("double"))
+                     .alias("price_delta")))

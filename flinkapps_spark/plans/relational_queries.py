@@ -2528,3 +2528,121 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         (F.abs(F.col("value") - F.col("mean")) > 2.0 * F.col("sd"))
         & (F.col("sd") > 0))
+
+
+# ---------------------------------------------------------------------------
+# rfm_segmentation — quartile-based customer segmentation
+# ---------------------------------------------------------------------------
+
+RFM_ANCHOR = "2001-08-02"     # day after the fixture's max orderdate
+
+
+@query(
+    "rfm_segmentation",
+    oracle=f"""
+        WITH m AS (
+            SELECT o_custkey AS custkey,
+                   date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                             DATE '{RFM_ANCHOR}') AS rec_days,
+                   COUNT(*) AS freq,
+                   CAST(SUM({sql_units('o_totalprice', 100)}) AS BIGINT)
+                       AS mon_u
+            FROM orders GROUP BY o_custkey)
+        SELECT custkey, rec_days, freq,
+               mon_u / CAST(100 AS DOUBLE) AS monetary,
+               ntile(4) OVER (ORDER BY rec_days ASC, custkey ASC) AS r_tile,
+               ntile(4) OVER (ORDER BY freq DESC, custkey ASC) AS f_tile,
+               ntile(4) OVER (ORDER BY mon_u DESC, custkey ASC) AS m_tile,
+               ntile(4) OVER (ORDER BY rec_days ASC, custkey ASC) * 100
+                   + ntile(4) OVER (ORDER BY freq DESC, custkey ASC) * 10
+                   + ntile(4) OVER (ORDER BY mon_u DESC, custkey ASC)
+                   AS rfm_segment
+        FROM m
+    """,
+    category="extension: RFM segmentation",
+    doc="RFM (recency / frequency / monetary) customer segmentation: "
+        "per-customer order recency (days to the fixture anchor date), "
+        "order count, and exact fixed-point spend, each cut into "
+        "quartiles with ntile(4) over a TOTAL order (custkey tiebreak, "
+        "so tile boundaries cannot flip between engines), composed into "
+        "the classic 3-digit RFM code. Scale: the heavy part is one "
+        "partial-agg shuffle of orders down to the per-customer table "
+        "(3+ orders of magnitude smaller); the three ntiles are global "
+        "sorts of that reduced table — fine into the billions, and the "
+        "documented swap at extreme customer cardinality is "
+        "approx-percentile cutpoints + a map-side bucket join, trading "
+        "exact quartile boundaries for full parallelism.",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = (orders.groupBy(F.col("o_custkey").alias("custkey"))
+         .agg(F.datediff(F.lit(RFM_ANCHOR).cast("date"),
+                         F.max(F.col("o_orderdate").cast("date")))
+                  .alias("rec_days"),
+              F.count(F.lit(1)).alias("freq"),
+              F.sum(units_col(F.col("o_totalprice"), 100)).alias("mon_u")))
+    w_r = Window.orderBy(F.col("rec_days").asc(), F.col("custkey").asc())
+    w_f = Window.orderBy(F.col("freq").desc(), F.col("custkey").asc())
+    w_m = Window.orderBy(F.col("mon_u").desc(), F.col("custkey").asc())
+    r_t, f_t, m_t = (F.ntile(4).over(w_r), F.ntile(4).over(w_f),
+                     F.ntile(4).over(w_m))
+    return m.select(
+        "custkey", "rec_days", "freq",
+        (F.col("mon_u") / F.lit(100).cast("double")).alias("monetary"),
+        r_t.alias("r_tile"), f_t.alias("f_tile"), m_t.alias("m_tile"),
+        (r_t * 100 + f_t * 10 + m_t).alias("rfm_segment"))
+
+
+# ---------------------------------------------------------------------------
+# source_binaryfile_reader — whole-file binary ingestion (multimodal shape)
+# ---------------------------------------------------------------------------
+
+BINFILE_EVERY = 100           # one file per doc_id % 100 == 0
+
+
+@query(
+    "source_binaryfile_reader",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents WHERE doc_id % {BINFILE_EVERY} = 0
+    """,
+    category="extension: source (binaryFile / whole-file blobs)",
+    doc="Spark's binaryFile source — the ingestion path for multimodal "
+        "corpora (images/audio as whole files): documents with doc_id % "
+        "100 == 0 are materialized once as .bin files (utf-8 text bytes; "
+        "the cache key includes the sf dir), read back as (path, length, "
+        "content) rows, and fingerprinted with md5 over the raw bytes. "
+        "The oracle computes the same sizes and digests straight from "
+        "the documents view (utf-8 octet length + md5 of the text), so "
+        "any byte lost or mangled in the file round-trip breaks the "
+        "hash — lossless end-to-end proof. Scale: binaryFile splits per FILE "
+        "(content is opaque), so partition parallelism = file count; "
+        "pair it with the multimodal mapInPandas decoders "
+        "(operators/multimodal.py) which run map-side before any "
+        "shuffle. Driver lists files O(n) — at 100 TB point it at a "
+        "manifest-partitioned object-store layout.",
+)
+def source_binaryfile_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") % BINFILE_EVERY == 0)
+    key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    bindir = os.path.join(_tf.gettempdir(), f"flinkapps_binfiles_{key}")
+    marker = os.path.join(bindir, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(bindir, exist_ok=True)
+        for row in docs.select("doc_id", "text").collect():
+            with open(os.path.join(bindir, f"doc_{row['doc_id']}.bin"),
+                      "wb") as f:
+                f.write(row["text"].encode("utf-8"))
+        open(marker, "w").close()
+    bf = spark.read.format("binaryFile").load(os.path.join(bindir, "*.bin"))
+    return bf.select(
+        F.regexp_extract(
+            F.element_at(F.split(F.col("path"), "/"), -1),
+            r"doc_(\d+)\.bin", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flinkapps_spark.plans.catalog import query
-from flinkapps_spark.plans.exact import exact_sum, sql_sum, sql_units
+from flinkapps_spark.plans.exact import exact_sum, sql_sum, sql_units, units_col
 from flinkapps_spark.sources.batch import load_table
 
 BAR = "hour"          # OHLC bar width (date_trunc unit, same both engines)
@@ -328,3 +328,208 @@ def time_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type, day_b, hour_b),
                                 (event_type, day_b))
     """)
+
+
+# ---------------------------------------------------------------------------
+# features_pit_window — point-in-time feature computation (feature-store shape)
+# ---------------------------------------------------------------------------
+
+PIT_DAYS = 90         # trailing feature horizon (days, strictly before label)
+
+
+@query(
+    "features_pit_window",
+    oracle=f"""
+        WITH o AS (
+            SELECT o_orderkey AS okey, o_custkey AS custkey,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS day,
+                   {sql_units('o_totalprice', 100)} AS price_u
+            FROM orders)
+        SELECT okey, custkey, day,
+               COUNT(1) OVER w90 AS prior_cnt_90d,
+               CAST(COALESCE(SUM(price_u) OVER w90, 0) AS BIGINT)
+                   / CAST(100 AS DOUBLE) AS prior_spend_90d,
+               COUNT(1) OVER wlife AS prior_cnt_life
+        FROM o
+        WINDOW w90 AS (PARTITION BY custkey ORDER BY day
+                       RANGE BETWEEN {PIT_DAYS} PRECEDING AND 1 PRECEDING),
+               wlife AS (PARTITION BY custkey ORDER BY day
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """,
+    category="extension: point-in-time features (feature store)",
+    doc="Feature-store point-in-time correctness: for every order (the "
+        "label event) compute the customer's trailing-90-day order count "
+        "and spend plus lifetime prior count, using STRICTLY-BEFORE RANGE "
+        "frames so no feature leaks the label row or same-day peers "
+        "(train/serve skew prevention — the core feature-store guarantee). "
+        "Scale: both frames share one (custkey, day) partition/sort, so "
+        "Catalyst emits a single Exchange + Sort feeding one Window "
+        "operator; the frame is value-based (RANGE on epoch-day) — no "
+        "per-row self-join, no Python. Spend is fixed-point exact "
+        "(int64 units summed in-frame, divided once).",
+)
+def features_pit_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.to_date(F.lit("1970-01-01"))).alias("day"),
+        units_col(F.col("o_totalprice"), 100).alias("price_u"))
+    w90 = (Window.partitionBy("custkey").orderBy("day")
+           .rangeBetween(-PIT_DAYS, -1))
+    wlife = (Window.partitionBy("custkey").orderBy("day")
+             .rangeBetween(Window.unboundedPreceding, -1))
+    return o.select(
+        "okey", "custkey", "day",
+        F.count(F.lit(1)).over(w90).alias("prior_cnt_90d"),
+        (F.coalesce(F.sum("price_u").over(w90), F.lit(0)) / 100.0)
+            .alias("prior_spend_90d"),
+        F.count(F.lit(1)).over(wlife).alias("prior_cnt_life"))
+
+
+# ---------------------------------------------------------------------------
+# interp_linear_fill — time-weighted linear interpolation of gaps
+# ---------------------------------------------------------------------------
+
+INTERP_SCALE = 1_000_000      # 6-dp fixed-point round of interpolated values
+
+
+@query(
+    "interp_linear_fill",
+    oracle=f"""
+        WITH g AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v,
+                   epoch_us(ts) AS tus
+            FROM events),
+        n AS (
+            SELECT event_id, user_id, ts, v, tus,
+                   last_value(v IGNORE NULLS) OVER wp AS prev_v,
+                   last_value(CASE WHEN v IS NOT NULL THEN tus END
+                              IGNORE NULLS) OVER wp AS prev_t,
+                   first_value(v IGNORE NULLS) OVER wn AS next_v,
+                   first_value(CASE WHEN v IS NOT NULL THEN tus END
+                              IGNORE NULLS) OVER wn AS next_t
+            FROM g
+            WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        SELECT event_id, user_id, ts, v IS NULL AS was_null,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                        {sql_units(
+                            'prev_v + (next_v - prev_v) * '
+                            '(CAST(tus - prev_t AS DOUBLE) '
+                            '/ CAST(next_t - prev_t AS DOUBLE))',
+                            1_000_000)} / CAST({INTERP_SCALE} AS DOUBLE)
+                    ELSE NULL END AS value_filled
+        FROM n
+    """,
+    category="extension: time-series interpolation",
+    doc="Time-weighted linear interpolation of missing samples (the "
+        "timescaledb `interpolate()` / pandas `interpolate(method='time')` "
+        "semantics): values deterministically nulled (event_id %% 5 == 0) "
+        "are rebuilt from the nearest non-null neighbors on each side, "
+        "weighted by µs timestamp distance; leading/trailing gaps stay "
+        "NULL (no extrapolation). Complements window_locf_fill (step "
+        "carry-forward) with the continuous estimator. Scale: one shuffle "
+        "+ sort per user_id; the four IGNORE-NULLS frames share the same "
+        "partition/sort so Catalyst emits one Exchange and one Sort; all "
+        "arithmetic is JVM-side (no Python). The interpolated double is "
+        "fixed-point-rounded at 6 dp with the engine-identical floor "
+        "formula; the ts-ratio divides the same int64 µs on both engines.",
+)
+def interp_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_id") % 5 == 0, None)
+            .otherwise(F.col("value")).alias("v"),
+        F.unix_micros("ts").alias("tus"))
+    wp = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wn = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(1, Window.unboundedFollowing))
+    t_not_null = F.when(F.col("v").isNotNull(), F.col("tus"))
+    n = g.select(
+        "event_id", "user_id", "ts", "v", "tus",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(t_not_null, ignorenulls=True).over(wp).alias("prev_t"),
+        F.first("v", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(t_not_null, ignorenulls=True).over(wn).alias("next_t"))
+    ratio = ((F.col("tus") - F.col("prev_t")).cast("double")
+             / (F.col("next_t") - F.col("prev_t")).cast("double"))
+    interp = (F.col("prev_v")
+              + (F.col("next_v") - F.col("prev_v")) * ratio)
+    return n.select(
+        "event_id", "user_id", "ts",
+        F.col("v").isNull().alias("was_null"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+         .when(F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+               units_col(interp, INTERP_SCALE) / float(INTERP_SCALE))
+         .alias("value_filled"))
+
+
+# ---------------------------------------------------------------------------
+# events_seasonal_baseline — hour-of-day seasonal profile + deviation flags
+# ---------------------------------------------------------------------------
+
+SEASONAL_FACTOR = 4.0         # flag events with value > FACTOR * hourly mean
+
+
+@query(
+    "events_seasonal_baseline",
+    oracle=f"""
+        WITH prof AS (
+            SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER)
+                       AS hod,
+                   COUNT(*) AS n_in_cell,
+                   {sql_sum('value', 100)} AS cell_sum
+            FROM events GROUP BY 1, 2),
+        p2 AS (
+            SELECT event_type, hod, n_in_cell,
+                   cell_sum / CAST(n_in_cell AS DOUBLE) AS hourly_mean
+            FROM prof)
+        SELECT e.event_id, e.event_type,
+               CAST(EXTRACT(hour FROM e.ts) AS INTEGER) AS hod,
+               e.value, p2.hourly_mean,
+               e.value / p2.hourly_mean AS ratio
+        FROM events e
+        JOIN p2 ON p2.event_type = e.event_type
+               AND p2.hod = CAST(EXTRACT(hour FROM e.ts) AS INTEGER)
+        WHERE e.value > {SEASONAL_FACTOR!r} * p2.hourly_mean
+    """,
+    category="extension: seasonal anomaly baseline",
+    doc="Seasonal (hour-of-day) baseline anomaly detection: a profile "
+        "table of mean value per (event_type, hour-of-day) cell — at most "
+        "types x 24 rows regardless of input size — is joined back to the "
+        "stream and events exceeding FACTOR x their cell mean are "
+        "flagged. Complements events_rate_spike (trailing window) with "
+        "the dimensional-seasonality shape Prometheus/Grafana-style "
+        "monitors use. Scale: the profile is one partial-agg shuffle to "
+        "a provably-bounded table, explicitly broadcast for the join "
+        "back, so the fact stream is never shuffled — scan speed at "
+        "100 TB. Cell mean is fixed-point exact (unit sum / n, divided "
+        "once); the flag compare and ratio are the same deterministic "
+        "doubles on both engines.",
+)
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    ev = load_table(spark, sf_dir, "events")
+    hod = F.hour("ts").cast("int")
+    prof = (ev.groupBy("event_type", hod.alias("hod"))
+            .agg(F.count(F.lit(1)).alias("n_in_cell"),
+                 exact_sum("value", 100).alias("cell_sum"))
+            .withColumn("hourly_mean",
+                        F.col("cell_sum") / F.col("n_in_cell")
+                            .cast("double"))
+            .drop("cell_sum"))
+    e = ev.select("event_id", "event_type", hod.alias("hod"), "value")
+    return (e.join(broadcast(prof), ["event_type", "hod"])
+            .filter(F.col("value") > SEASONAL_FACTOR * F.col("hourly_mean"))
+            .select("event_id", "event_type", "hod", "value", "hourly_mean",
+                    (F.col("value") / F.col("hourly_mean")).alias("ratio")))
