@@ -86,8 +86,31 @@ def _augment_exact(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").unionByName(dup)
 
 
-# shared CTE prefix: aug docs → exploded distinct shingle codes + sizes
+# shared CTE prefix: aug docs → exploded distinct shingle codes + sizes.
+#
+# `common` (every candidate pair + exact shingle-set intersection) is
+# generated with the SAME lossless prefix filtering the engine uses
+# (operators/dedup.py jaccard_pairs/containment_pairs; Bayardo/Ma/Srikant
+# 2007): under a global rare-first shingle order, any pair with
+# J(A,B) ≥ JT shares its globally-smallest common shingle inside BOTH
+# (n − ceil(JT·n) + 1)-prefixes, and any pair with containment ≥ CT
+# shares it inside the SMALLER doc's (n − ceil(CT·n) + 1)-prefix — so
+# prefix×prefix (+ the Jaccard size-ratio bound) ∪ smaller-prefix×full
+# is a complete candidate set for every downstream consumer (jac ≥ 0.6
+# filters, containment ≥ 0.95 filters, cluster edges).  The naive
+# inverted-index self-join (Σ_code freq² pairs, then a COUNT(*) GROUP BY
+# over every pair sharing ANY shingle) explodes to ~4·10⁸ groups on the
+# sf1 fixture (uniform 31-word vocabulary → ~8% of ALL doc pairs
+# collide) and ran DuckDB past 48 GB; the prefix form verifies ~10×
+# fewer candidates with list_intersect on the full sets.  Candidates are
+# a SUPERSET of the true pairs on both paths; exact verification makes
+# the final result identical — parity with the engine is unchanged.
+_SHINGLE_JT = 0.6             # Jaccard threshold all consumers filter at
+_SHINGLE_CT = 0.95            # containment threshold (min-size denominator)
+
+
 def _sql_shingle_cte(aug_sql: str) -> str:
+    jt, ct, eps = repr(_SHINGLE_JT), repr(_SHINGLE_CT), "1e-9"
     return f"""
         WITH aug AS ({aug_sql}),
         docs_w AS (
@@ -105,9 +128,60 @@ def _sql_shingle_cte(aug_sql: str) -> str:
             SELECT doc_id AS doc, unnest(cset) AS code FROM codes
         ),
         sizes AS (SELECT doc, COUNT(*) AS n_sh FROM ex GROUP BY doc),
+        cfreq AS (SELECT code, COUNT(*) AS cf FROM ex GROUP BY code),
+        ordd AS (
+            SELECT ex.doc, ex.code, s.n_sh,
+                   row_number() OVER (PARTITION BY ex.doc
+                                      ORDER BY cfreq.cf ASC, ex.code ASC)
+                       AS pos
+            FROM ex
+            JOIN cfreq ON cfreq.code = ex.code
+            JOIN sizes s ON s.doc = ex.doc
+        ),
+        pref_j AS (
+            SELECT doc, code, n_sh, pos FROM ordd
+            WHERE pos <= n_sh - floor({jt} * n_sh - {eps})
+        ),
+        pref_c AS (
+            SELECT doc, code, n_sh, pos FROM ordd
+            WHERE pos <= n_sh - floor({ct} * n_sh - {eps})
+        ),
+        cand AS (
+            -- PPJoin positional filter (Xiao et al. 2008) on top of the
+            -- prefix join: all common elements rank ≥ the matching code
+            -- in BOTH docs, so overlap ≤ 1 + min(suffix lengths); prune
+            -- when that upper bound cannot reach the required overlap
+            -- (J ≥ t needs o ≥ t/(1+t)·(na+nb); containment ≥ t needs
+            -- o ≥ t·min).  Lossless: the bound is exact set arithmetic.
+            SELECT a.doc AS doc_a, b.doc AS doc_b
+            FROM pref_j a JOIN pref_j b
+              ON a.code = b.code AND a.doc < b.doc
+             AND b.n_sh >= {jt} * a.n_sh - {eps}
+             AND b.n_sh <= a.n_sh / {jt} + {eps}
+             AND 1 + LEAST(a.n_sh - a.pos, b.n_sh - b.pos)
+                 >= {jt} / (1 + {jt}) * (a.n_sh + b.n_sh) - {eps}
+            UNION
+            SELECT LEAST(p.doc, e.doc), GREATEST(p.doc, e.doc)
+            FROM pref_c p
+            JOIN ordd e ON p.code = e.code AND p.doc <> e.doc
+            WHERE (p.n_sh < e.n_sh
+                   OR (p.n_sh = e.n_sh AND p.doc < e.doc))
+              AND 1 + LEAST(p.n_sh - p.pos, e.n_sh - e.pos)
+                  >= {ct} * p.n_sh - {eps}
+        ),
         common AS (
+            -- exact |A∩B| for candidate pairs only.  Shape matters at
+            -- sf1: the IN-subquery becomes a SEMI-join hash built on
+            -- cand (fixed-width pair keys), probed by the streaming
+            -- inverted-index join — no per-pair shingle-list payload is
+            -- ever materialized (joining cand against the cset lists
+            -- directly carries ~400 B of list per candidate row through
+            -- two hash joins ≈ 20+ GB at sf1).
             SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
-            FROM ex a JOIN ex b ON a.code = b.code AND a.doc < b.doc
+            FROM ex a
+            JOIN ex b ON a.code = b.code AND a.doc < b.doc
+            SEMI JOIN cand
+              ON cand.doc_a = a.doc AND cand.doc_b = b.doc
             GROUP BY a.doc, b.doc
         ),
         jac AS (
@@ -1048,7 +1122,10 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_clusters",
     oracle=(_sql_shingle_cte(SQL_AUG_NEAR) + """,
-        edges AS (
+        edges AS MATERIALIZED (
+            -- MATERIALIZED: the recursive reach re-references edges each
+            -- iteration; without the hint DuckDB re-inlines the whole
+            -- prefix-join pipeline per iteration (~4x the cost at sf1)
             SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.6
             UNION ALL
             SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.6
@@ -1604,7 +1681,10 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_cluster_representative",
     oracle=(_sql_shingle_cte(SQL_AUG_NEAR) + """,
-        edges AS (
+        edges AS MATERIALIZED (
+            -- MATERIALIZED: the recursive reach re-references edges each
+            -- iteration; without the hint DuckDB re-inlines the whole
+            -- prefix-join pipeline per iteration (~4x the cost at sf1)
             SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.6
             UNION ALL
             SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.6
