@@ -352,3 +352,72 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  (F.sum("delta_u") / F.lit(100).cast("double"))
                      .alias("price_delta")))
+
+
+# ---------------------------------------------------------------------------
+# skew_key_audit — join-key distribution audit (pre-flight for big joins)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_key_audit",
+    oracle="""
+        WITH kc AS (
+            SELECT l_suppkey AS key, COUNT(*) AS cnt
+            FROM lineitem GROUP BY l_suppkey),
+        r AS (
+            SELECT key, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, key ASC) AS rn_d,
+                   row_number() OVER (ORDER BY cnt ASC, key ASC) AS rn_a,
+                   COUNT(*) OVER () AS n_keys
+            FROM kc)
+        SELECT MAX(n_keys) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS total_rows,
+               MAX(cnt) AS max_cnt,
+               MAX(CASE WHEN rn_a = CAST(ceil(0.99 * n_keys) AS BIGINT)
+                        THEN cnt END) AS p99_cnt,
+               ROUND(CAST(MAX(cnt) * MAX(n_keys) AS DOUBLE)
+                     / CAST(SUM(cnt) AS DOUBLE), 6) AS skew_ratio,
+               ROUND(CAST(SUM(CASE WHEN rn_d <= 10 THEN cnt ELSE 0 END)
+                          AS BIGINT)
+                     / CAST(SUM(cnt) AS DOUBLE), 6) AS top10_share
+        FROM r
+    """,
+    category="extension: skew audit (join pre-flight)",
+    doc="Join-key skew auditor — the pre-flight check before shuffling "
+        "100 TB on a key (feeds the salting / AQE-skew-join decision "
+        "that joins.salted_join and the as-of time-slice path "
+        "implement): per-key counts reduced to cardinality, max and "
+        "exact-p99 frequency, skew ratio (max/mean as an int64 "
+        "cross-product divided once) and top-10-key row share. Scale: "
+        "the per-key count is one partial-agg shuffle; the audit "
+        "windows run over the KEY-COUNT table (|keys| rows, orders of "
+        "magnitude below the fact table — swap exact p99 for "
+        "approx_percentile only at extreme key cardinality). p99 is an "
+        "exact rank pick (ceil(0.99·n)-th smallest), not interpolated — "
+        "engine-identical.",
+)
+def skew_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = (li.groupBy(F.col("l_suppkey").alias("key"))
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    w_d = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    w_a = Window.orderBy(F.col("cnt").asc(), F.col("key").asc())
+    w_all = Window.partitionBy()
+    r = kc.select(
+        "key", "cnt",
+        F.row_number().over(w_d).alias("rn_d"),
+        F.row_number().over(w_a).alias("rn_a"),
+        F.count(F.lit(1)).over(w_all).alias("n_keys"))
+    return r.agg(
+        F.max("n_keys").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.max(F.when(F.col("rn_a")
+                     == F.ceil(0.99 * F.col("n_keys")).cast("long"),
+                     F.col("cnt"))).alias("p99_cnt"),
+        F.round((F.max("cnt") * F.max(F.col("n_keys"))).cast("double")
+                / F.sum("cnt").cast("double"), 6).alias("skew_ratio"),
+        F.round(F.sum(F.when(F.col("rn_d") <= 10, F.col("cnt"))
+                      .otherwise(F.lit(0))).cast("double")
+                / F.sum("cnt").cast("double"), 6).alias("top10_share"))

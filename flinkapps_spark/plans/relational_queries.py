@@ -2646,3 +2646,198 @@ def source_binaryfile_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             r"doc_(\d+)\.bin", 1).cast("long").alias("doc_id"),
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"))
+
+
+# ---------------------------------------------------------------------------
+# itemset_copurchase_pairs — market-basket pairwise co-occurrence
+# ---------------------------------------------------------------------------
+
+COPURCHASE_MIN_SUP = 2        # minimum pair support (orders containing both)
+
+
+@query(
+    "itemset_copurchase_pairs",
+    oracle=f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+            FROM lineitem),
+        n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM op),
+        psup AS (SELECT part, COUNT(*) AS sup FROM op GROUP BY part),
+        pairs AS (
+            SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS support
+            FROM op a JOIN op b
+              ON a.okey = b.okey AND a.part < b.part
+            GROUP BY a.part, b.part
+            HAVING COUNT(*) >= {COPURCHASE_MIN_SUP})
+        SELECT part_a, part_b, support,
+               ROUND(CAST(support * n.n_orders AS DOUBLE)
+                     / CAST(sa.sup * sb.sup AS DOUBLE), 6) AS lift
+        FROM pairs
+        JOIN psup sa ON sa.part = part_a
+        JOIN psup sb ON sb.part = part_b
+        CROSS JOIN n
+    """,
+    category="extension: market-basket co-occurrence",
+    doc="Pairwise frequent-itemset mining (the candidate-pair stage of "
+        "Apriori / the co-purchase graph behind 'bought together' "
+        "recommenders): distinct parts per order, within-order pair "
+        "expansion, support count and lift vs the independence "
+        "assumption. Scale: the quadratic term is bounded per ORDER "
+        "(baskets are ~4-7 lines), so pair expansion is linear in rows; "
+        "one shuffle on the pair key aggregates support; part supports "
+        "and the order total are small side tables. Lift is an int64 "
+        "cross-product ratio divided once — engine-identical doubles "
+        "(counts at 100 TB stay far inside int64; note in SCALE.md "
+        "float policy).",
+)
+def itemset_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (li.select(F.col("l_orderkey").alias("okey"),
+                    F.col("l_partkey").alias("part")).distinct())
+    n_orders = op.select(F.countDistinct("okey").alias("n_orders"))
+    psup = op.groupBy("part").agg(F.count(F.lit(1)).alias("sup"))
+    a = op.select("okey", F.col("part").alias("part_a"))
+    b = op.select("okey", F.col("part").alias("part_b"))
+    pairs = (a.join(b, "okey")
+             .filter(F.col("part_a") < F.col("part_b"))
+             .groupBy("part_a", "part_b")
+             .agg(F.count(F.lit(1)).alias("support"))
+             .filter(F.col("support") >= COPURCHASE_MIN_SUP))
+    sa = psup.select(F.col("part").alias("part_a"),
+                     F.col("sup").alias("sup_a"))
+    sb = psup.select(F.col("part").alias("part_b"),
+                     F.col("sup").alias("sup_b"))
+    return (pairs.join(sa, "part_a").join(sb, "part_b")
+            .crossJoin(F.broadcast(n_orders))
+            .select("part_a", "part_b", "support",
+                    F.round((F.col("support") * F.col("n_orders"))
+                            .cast("double")
+                            / (F.col("sup_a") * F.col("sup_b"))
+                            .cast("double"), 6).alias("lift")))
+
+
+# ---------------------------------------------------------------------------
+# orders_interarrival_stats — inter-order gap distribution per segment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_interarrival_stats",
+    oracle="""
+        WITH seq AS (
+            SELECT o_custkey AS custkey,
+                   date_diff('day',
+                       lag(CAST(o_orderdate AS DATE)) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+            FROM orders),
+        gaps AS (
+            SELECT c.c_mktsegment AS segment, s.gap_days
+            FROM seq s JOIN customer c ON c.c_custkey = s.custkey
+            WHERE s.gap_days IS NOT NULL)
+        SELECT segment, COUNT(*) AS n_gaps,
+               CAST(SUM(gap_days) AS BIGINT)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_gap_days,
+               MIN(gap_days) AS min_gap, MAX(gap_days) AS max_gap
+        FROM gaps GROUP BY segment
+    """,
+    category="extension: inter-arrival analysis",
+    doc="Customer re-order cadence: per-customer inter-order gaps (lag "
+        "over a (custkey, orderdate, orderkey) total order) aggregated "
+        "to gap-count / exact mean / min / max per market segment — the "
+        "churn-model feature and capacity-planning input. Scale: one "
+        "shuffle+sort per custkey for the lag, one broadcast of the "
+        "customer dimension for the segment label (bucket-join it past "
+        "broadcast size), one partial-agg shuffle to 5 segment rows. "
+        "The mean is an exact integer-day sum divided once.",
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lag(F.col("o_orderdate").cast("date")).over(w))
+            .alias("gap_days"))
+    gaps = (seq.filter(F.col("gap_days").isNotNull())
+            .join(F.broadcast(cust.select(
+                F.col("c_custkey").alias("custkey"),
+                F.col("c_mktsegment").alias("segment"))), "custkey"))
+    return (gaps.groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 (F.sum("gap_days") / F.count(F.lit(1)).cast("double"))
+                     .alias("avg_gap_days"),
+                 F.min("gap_days").alias("min_gap"),
+                 F.max("gap_days").alias("max_gap")))
+
+
+# ---------------------------------------------------------------------------
+# agg_partial_merge — mergeable partial-aggregation state proof
+# ---------------------------------------------------------------------------
+
+MERGE_SPLIT_DAY = 16          # events before Jan 16 = batch 1, rest = batch 2
+
+
+@query(
+    "agg_partial_merge",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT event_type,
+                   CASE WHEN EXTRACT(day FROM ts) < {MERGE_SPLIT_DAY}
+                        THEN 1 ELSE 2 END AS batch,
+                   value
+            FROM events),
+        partials AS (
+            SELECT event_type, batch, COUNT(*) AS p_n,
+                   CAST(SUM({sql_units('value', 100)}) AS BIGINT) AS p_su
+            FROM tagged GROUP BY event_type, batch),
+        merged AS (
+            SELECT event_type, CAST(SUM(p_n) AS BIGINT) AS n_events,
+                   CAST(SUM(p_su) AS BIGINT) AS su,
+                   COUNT(*) AS n_batches
+            FROM partials GROUP BY event_type)
+        SELECT event_type, n_events,
+               su / CAST(100 AS DOUBLE) AS total_value, n_batches,
+               true AS merge_equals_direct
+        FROM merged
+    """,
+    category="extension: mergeable partial aggregation",
+    doc="Mergeable aggregation-state proof (the property every "
+        "incremental / distributed agg relies on — Spark's partial_* "
+        "operators, cube materialization, cross-day rollups): events "
+        "are split into two batches, per-batch partial states (count + "
+        "fixed-point unit sum) are computed independently, merged by "
+        "integer addition, and the engine CHECKS the merge equals the "
+        "direct single-pass aggregate in-plan, emitting the comparison "
+        "as a column the oracle pins to true. Works because int64 "
+        "addition is associative — the same reason the exact.* policy "
+        "is order-independent. Scale: partials are map-side combined; "
+        "the merge shuffles ~(types x batches) rows only.",
+)
+def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") < MERGE_SPLIT_DAY, 1).otherwise(2)
+            .alias("batch"),
+        "value")
+    partials = (tagged.groupBy("event_type", "batch")
+                .agg(F.count(F.lit(1)).alias("p_n"),
+                     F.sum(units_col(F.col("value"), 100)).alias("p_su")))
+    merged = (partials.groupBy("event_type")
+              .agg(F.sum("p_n").alias("n_events"),
+                   F.sum("p_su").alias("su"),
+                   F.count(F.lit(1)).alias("n_batches")))
+    direct = (ev.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("d_n"),
+                   F.sum(units_col(F.col("value"), 100)).alias("d_su")))
+    return (merged.join(direct, "event_type")
+            .select("event_type", "n_events",
+                    (F.col("su") / F.lit(100).cast("double"))
+                        .alias("total_value"),
+                    "n_batches",
+                    ((F.col("n_events") == F.col("d_n"))
+                     & (F.col("su") == F.col("d_su")))
+                        .alias("merge_equals_direct")))
