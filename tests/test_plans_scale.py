@@ -311,3 +311,61 @@ def test_gapfill_broadcast_size_guard(spark):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: plan shapes of the new query families
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_baseline_broadcasts_profile(spark):
+    """The (type, hour) profile is provably bounded (types x 24 rows) and
+    must broadcast; the event stream itself must not shuffle for the
+    join-back."""
+    plan = plan_of(spark, "events_seasonal_baseline")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pit_features_single_window_sort(spark):
+    """Both strictly-before RANGE frames share one (custkey, day)
+    partitioning/sort: exactly one Exchange and one Sort in the plan —
+    the point-in-time feature computation never self-joins."""
+    plan = plan_of(spark, "features_pit_window")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_interp_single_sort(spark):
+    """All four IGNORE-NULLS neighbor lookups share one (user_id, ts,
+    event_id) sort — one Exchange, one Sort, no Python stage."""
+    plan = plan_of(spark, "interp_linear_fill")
+    assert plan.count("Exchange") == 1, plan
+    assert "Sort" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_er_blocking_equi_joins_only(spark):
+    """Both ER blocking passes are equality joins on block keys (never a
+    cartesian with a post-filter): the a.k < b.k predicate must ride as
+    a join condition/filter on a hash or sort-merge join."""
+    plan = plan_of(spark, "er_multikey_blocking")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_snapshot_diff_single_key_join(spark):
+    """The A-vs-B diff is one full-outer join on the primary key with
+    constant-width fingerprints — no column-by-column join explosion."""
+    plan = plan_of(spark, "snapshot_diff")
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_itemset_pairs_shuffle_on_pair_key(spark):
+    """Basket pair expansion joins on the order key (bounded per-basket
+    quadratic), aggregates on the pair key; the order-count side is
+    explicitly broadcast."""
+    plan = plan_of(spark, "itemset_copurchase_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row count table
