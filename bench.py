@@ -67,6 +67,15 @@ HEADLINE = [
     "cdc_apply_changelog",
     "shuffle_epoch_batches",
     "text_bigram_logprob",
+    # round-4 additions (appended — bench_compare keys on the common
+    # subset, so extending the list never breaks cross-round ratios)
+    "features_pit_window",
+    "interp_linear_fill",
+    "snapshot_diff",
+    "er_multikey_blocking",
+    "itemset_copurchase_pairs",
+    "rfm_segmentation",
+    "skew_key_audit",
 ]
 
 
