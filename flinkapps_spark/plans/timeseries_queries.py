@@ -533,3 +533,158 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("value") > SEASONAL_FACTOR * F.col("hourly_mean"))
             .select("event_id", "event_type", "hod", "value", "hourly_mean",
                     (F.col("value") / F.col("hourly_mean")).alias("ratio")))
+
+
+# ---------------------------------------------------------------------------
+# events_winsorized_stats — robust moments via exact-rank clipping
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_winsorized_stats",
+    oracle=f"""
+        WITH r AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events),
+        cuts AS (
+            SELECT event_type, MAX(n) AS n,
+                   MAX(CASE WHEN rn = CAST(ceil(0.01 * n) AS BIGINT)
+                            THEN value END) AS p01,
+                   MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                            THEN value END) AS p99
+            FROM r GROUP BY event_type)
+        SELECT e.event_type, MAX(c.n) AS n,
+               MAX(c.p01) AS p01, MAX(c.p99) AS p99,
+               {sql_sum('value', 100)} / COUNT(*) AS mean_raw,
+               {sql_sum('LEAST(GREATEST(e.value, c.p01), c.p99)', 100)}
+                   / COUNT(*) AS mean_winsorized,
+               CAST(SUM(CASE WHEN e.value < c.p01 OR e.value > c.p99
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        FROM events e JOIN cuts c ON c.event_type = e.event_type
+        GROUP BY e.event_type
+    """,
+    category="extension: robust statistics (winsorization)",
+    doc="Winsorized moments — the outlier-robust mean every metrics "
+        "pipeline needs when heavy-tailed values (payment amounts, "
+        "latencies) poison plain averages: per event_type the exact "
+        "p01/p99 cut points are RANK PICKS over a (value, event_id) "
+        "total order (no interpolation — the picked value is an input "
+        "double, engine-identical), values are clipped to the cuts and "
+        "both raw and winsorized exact means are emitted with the clip "
+        "count. Scale: one sort per event_type for the ranks (the same "
+        "shuffle any per-key quantile needs), cut table is ~|types| "
+        "rows broadcast back, then one partial-agg pass. Means are "
+        "fixed-point unit sums divided once.",
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    cuts = (r.groupBy("event_type")
+            .agg(F.max("n").alias("n"),
+                 F.max(F.when(F.col("rn") == F.ceil(0.01 * F.col("n"))
+                              .cast("long"), F.col("value"))).alias("p01"),
+                 F.max(F.when(F.col("rn") == F.ceil(0.99 * F.col("n"))
+                              .cast("long"), F.col("value"))).alias("p99")))
+    e = ev.join(F.broadcast(cuts), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (e.groupBy("event_type")
+            .agg(F.max("n").alias("n"),
+                 F.max("p01").alias("p01"), F.max("p99").alias("p99"),
+                 (exact_sum("value", 100) / F.count(F.lit(1)))
+                     .alias("mean_raw"),
+                 (exact_sum(clipped, 100) / F.count(F.lit(1)))
+                     .alias("mean_winsorized"),
+                 F.sum(F.when((F.col("value") < F.col("p01"))
+                              | (F.col("value") > F.col("p99")), 1)
+                       .otherwise(0)).alias("n_clipped")))
+
+
+# ---------------------------------------------------------------------------
+# events_chi2_independence — contingency-table independence audit
+# ---------------------------------------------------------------------------
+
+CHI2_SCALE = 1_000_000        # 6-dp fixed-point for cell contributions
+
+
+@query(
+    "events_chi2_independence",
+    oracle=f"""
+        WITH obs AS (
+            -- DuckDB dayofweek is 0-based Sunday; Spark's is 1-based —
+            -- +1 aligns the oracle to Spark's numbering
+            SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                   COUNT(*) AS o
+            FROM events GROUP BY 1, 2),
+        tot AS (
+            SELECT event_type, dow, o,
+                   CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS row_tot,
+                   CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT)
+                       AS col_tot,
+                   CAST(SUM(o) OVER () AS BIGINT) AS n
+            FROM obs),
+        cells AS (
+            SELECT event_type, dow, o,
+                   CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS expected,
+                   {sql_units(
+                       '(CAST(o AS DOUBLE) '
+                       '- CAST(row_tot * col_tot AS DOUBLE) '
+                       '/ CAST(n AS DOUBLE)) '
+                       '* (CAST(o AS DOUBLE) '
+                       '- CAST(row_tot * col_tot AS DOUBLE) '
+                       '/ CAST(n AS DOUBLE)) '
+                       '/ (CAST(row_tot * col_tot AS DOUBLE) '
+                       '/ CAST(n AS DOUBLE))', 1_000_000)} AS contrib_u
+            FROM tot)
+        SELECT event_type, dow, o,
+               ROUND(expected, 6) AS expected,
+               contrib_u / CAST({CHI2_SCALE} AS DOUBLE) AS contrib,
+               CAST(SUM(contrib_u) OVER () AS BIGINT)
+                   / CAST({CHI2_SCALE} AS DOUBLE) AS chi2_total
+        FROM cells
+    """,
+    category="extension: statistical testing (chi-square)",
+    doc="Chi-square independence audit over the (event_type x "
+        "day-of-week) contingency table — the drift/independence check "
+        "a data-quality monitor runs on categorical features: observed "
+        "counts, expected counts under independence (int64 "
+        "cross-products divided once), per-cell contributions and the "
+        "global chi2 statistic. Per-cell contributions are fixed-point "
+        "rounded BEFORE the global sum, so the statistic is an exact "
+        "integer sum — immune to float summation order on both "
+        "engines. Scale: one partial-agg shuffle to ~|types|x7 cells; "
+        "the margins are window sums over that tiny table.",
+)
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    obs = (ev.groupBy("event_type",
+                      F.dayofweek("ts").cast("long").alias("dow"))
+           .agg(F.count(F.lit(1)).alias("o")))
+    tot = obs.select(
+        "event_type", "dow", "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"))
+    expected = ((F.col("row_tot") * F.col("col_tot")).cast("double")
+                / F.col("n").cast("double"))
+    diff = F.col("o").cast("double") - expected
+    cells = tot.select(
+        "event_type", "dow", "o",
+        expected.alias("expected_raw"),
+        units_col(diff * diff / expected, CHI2_SCALE).alias("contrib_u"))
+    return cells.select(
+        "event_type", "dow", "o",
+        F.round("expected_raw", 6).alias("expected"),
+        (F.col("contrib_u") / F.lit(CHI2_SCALE).cast("double"))
+            .alias("contrib"),
+        (F.sum("contrib_u").over(Window.partitionBy())
+         / F.lit(CHI2_SCALE).cast("double")).alias("chi2_total"))
