@@ -421,3 +421,101 @@ def skew_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.when(F.col("rn_d") <= 10, F.col("cnt"))
                       .otherwise(F.lit(0))).cast("double")
                 / F.sum("cnt").cast("double"), 6).alias("top10_share"))
+
+
+# ---------------------------------------------------------------------------
+# drift_psi_features — population stability index between two periods
+# ---------------------------------------------------------------------------
+
+PSI_SPLIT_DAY = 16            # period A: Jan < 16; period B: rest
+PSI_BIN = 25.0                # value-bucket width (mirrors histogram bins)
+PSI_BIN_MAX = 19
+PSI_FLOOR = 0.0005            # Laplace-style floor for empty buckets
+
+
+@query(
+    "drift_psi_features",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT CASE WHEN EXTRACT(day FROM ts) < {PSI_SPLIT_DAY}
+                        THEN 'a' ELSE 'b' END AS period,
+                   event_type,
+                   CAST(least(floor(value / {PSI_BIN!r}), {PSI_BIN_MAX})
+                        AS BIGINT) AS bin
+            FROM events),
+        cnt AS (
+            SELECT event_type, bin,
+                   CAST(SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b
+            FROM tagged GROUP BY event_type, bin),
+        tot AS (
+            SELECT event_type, bin, n_a, n_b,
+                   CAST(SUM(n_a) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS tot_a,
+                   CAST(SUM(n_b) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS tot_b
+            FROM cnt),
+        cells AS (
+            SELECT event_type, bin, n_a, n_b,
+                   GREATEST(CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE),
+                            {PSI_FLOOR!r}) AS p_a,
+                   GREATEST(CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE),
+                            {PSI_FLOOR!r}) AS p_b
+            FROM tot)
+        SELECT event_type, bin, n_a, n_b,
+               {sql_units('(p_a - p_b) * ln(p_a / p_b)', 1_000_000)}
+                   / CAST(1000000 AS DOUBLE) AS psi_contrib,
+               CAST(SUM({sql_units('(p_a - p_b) * ln(p_a / p_b)',
+                                   1_000_000)})
+                    OVER (PARTITION BY event_type) AS BIGINT)
+                   / CAST(1000000 AS DOUBLE) AS psi_total
+        FROM cells
+    """,
+    category="extension: distribution drift (PSI)",
+    doc="Population Stability Index — the standard production-ML drift "
+        "monitor comparing a feature's binned distribution across two "
+        "periods: per (event_type, value-bucket) shares in period A vs "
+        "B (floored to avoid ln(0)), per-bucket contribution "
+        "(p_a - p_b)·ln(p_a/p_b), and the per-type PSI total "
+        "(> 0.2 = action threshold). Contributions are fixed-point "
+        "rounded BEFORE the total, so the sum is exact integer "
+        "arithmetic — float summation order cannot flip the hash; the "
+        "shares are identical int64/double divisions and ln is the "
+        "same libm call on both engines (same policy as the unigram "
+        "log-prob and DSIR queries). Scale: one partial-agg shuffle to "
+        "~|types|x|bins| cells; margins are window sums over that tiny "
+        "table — scan-speed at 100 TB.",
+)
+def drift_psi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.when(F.dayofmonth("ts") < PSI_SPLIT_DAY, "a").otherwise("b")
+            .alias("period"),
+        "event_type",
+        F.least(F.floor(F.col("value") / PSI_BIN), F.lit(PSI_BIN_MAX))
+            .cast("long").alias("bin"))
+    cnt = (tagged.groupBy("event_type", "bin")
+           .agg(F.sum(F.when(F.col("period") == "a", 1).otherwise(0))
+                    .alias("n_a"),
+                F.sum(F.when(F.col("period") == "b", 1).otherwise(0))
+                    .alias("n_b")))
+    wt = Window.partitionBy("event_type")
+    tot = cnt.select(
+        "event_type", "bin", "n_a", "n_b",
+        F.sum("n_a").over(wt).alias("tot_a"),
+        F.sum("n_b").over(wt).alias("tot_b"))
+    p_a = F.greatest(F.col("n_a").cast("double")
+                     / F.col("tot_a").cast("double"), F.lit(PSI_FLOOR))
+    p_b = F.greatest(F.col("n_b").cast("double")
+                     / F.col("tot_b").cast("double"), F.lit(PSI_FLOOR))
+    contrib_u = units_col((p_a - p_b) * F.log(p_a / p_b), 1_000_000)
+    cells = tot.select("event_type", "bin", "n_a", "n_b",
+                       contrib_u.alias("contrib_u"))
+    return cells.select(
+        "event_type", "bin", "n_a", "n_b",
+        (F.col("contrib_u") / F.lit(1_000_000).cast("double"))
+            .alias("psi_contrib"),
+        (F.sum("contrib_u").over(wt) / F.lit(1_000_000).cast("double"))
+            .alias("psi_total"))
