@@ -51,6 +51,11 @@ def word_code(col: Column | str, base: int = 31) -> Column:
                   (a, b) -> (a*base + b) % 2147483647)
     A second base (e.g. 37) gives an INDEPENDENT hash family over the
     same modulus — used to widen SimHash signatures portably.
+
+    WARNING: never pass this function itself to a higher-order function
+    (``F.transform(arr, word_code)``) — pyspark inspects the callable's
+    arity, sees (col, base), and binds the element INDEX to ``base``.
+    Always wrap: ``F.transform(arr, lambda w: word_code(w))``.
     """
     c = F.col(col) if isinstance(col, str) else col
     chars = F.filter(F.split(c, ""), lambda ch: F.length(ch) > 0)

@@ -142,7 +142,8 @@ def shingled_docs(df: DataFrame, text_col: str = "text",
                         _word_codes_arrow()(F.col(text_col)).alias("wc"))
     else:
         wc = rep.select(F.col(id_col).alias("doc"),
-                        F.transform(tokenize(F.col(text_col)), word_code)
+                        F.transform(tokenize(F.col(text_col)),
+                                    lambda w: word_code(w))
                         .alias("wc"))
     return (wc.select("doc", shingle_codes_of(F.col("wc")).alias("codes"))
             .filter(F.size("codes") > 0))

@@ -79,7 +79,10 @@ def predict_lang(scores: dict[str, Column]) -> Column:
 def doc_fingerprint(tokens: Column) -> Column:
     """Rolling polynomial fingerprint over per-word poly-31 codes:
     fp = fold(codes, 0, (acc, c) -> (acc*1000003 + c) mod (2^31-1))."""
-    codes = F.transform(tokens, word_code)
+    # Unary lambda is load-bearing: passing ``word_code`` directly would let
+    # F.transform see its (col, base) arity and bind the element INDEX to
+    # ``base``, silently changing the hash per position.
+    codes = F.transform(tokens, lambda w: word_code(w))
     return F.aggregate(
         codes, F.lit(0).cast("long"),
         lambda acc, c: (acc * FINGERPRINT_BASE + c) % HASH_MOD)
