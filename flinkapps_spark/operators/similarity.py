@@ -182,7 +182,14 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.99,
             key = term if key is None else key + term
         return out.withColumn(f"{p}key", key).drop(vec)
 
-    ca = with_cells(a.select("id_a", "va"), "va", "ca")
+    # Spread the probe side across the cluster BEFORE the fan-out: the
+    # parquet scan often yields 1-2 input splits, and when AQE broadcasts
+    # the build side the candidate evaluation inherits that partitioning —
+    # at sf1 (40k vectors, ~4e7 surviving candidates) the entire quadratic
+    # verify ran in ONE task (a 30-min straggler).  One cheap round-robin
+    # shuffle of n id+vector rows parallelizes the whole downstream chain.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ca = with_cells(a.select("id_a", "va").repartition(par), "va", "ca")
     cb = with_cells(b.select("id_b", "vb"), "vb", "cb")
     # probe side A into its 3^d neighbor cells; B stays at its home cell,
     # so every candidate pair is generated exactly once (no dedup pass).
@@ -203,7 +210,10 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.99,
     pa = (ca.select("id_a", "cakey").crossJoin(F.broadcast(deltas))
           .select("id_a", (F.col("cakey") + F.col("delta")).alias("pkey")))
     cond = (F.col("pkey") == F.col("cbkey")) & (F.col("id_a") < F.col("id_b"))
-    from flinkapps_spark.functions.vectors import cosine_similarity, dot
+    # import ONLY dot: also importing cosine_similarity here would shadow
+    # the module-level name across the whole function body and break the
+    # exhaustive branch above with UnboundLocalError
+    from flinkapps_spark.functions.vectors import dot
     # exact prefilter: dot(a,b) = dot(pre) + dot(tailₐ,tail_b)
     #                ≤ dot(pre) + ‖tailₐ‖·‖tail_b‖   (Cauchy-Schwarz)
     # so any pair the final filter keeps (cos ≥ t − 5e-7 after 6-dp

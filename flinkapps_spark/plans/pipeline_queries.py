@@ -495,6 +495,71 @@ def _sql_cos(a: str, b: str) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
+EMB_DIM = 64  # embeddings fixture dimension (TESTDATA.md; constant per sf)
+_BAND_DIMS = 16  # unit components band-filtered before the full dot
+
+
+def _sql_blocked_pair_ctes(threshold: float) -> str:
+    """CTE chain ``emb``→``pairs`` for the cosine near-dup oracles, scaled
+    the same way the shingle-pair oracles were: the plain all-pairs cross
+    join is O(n²) with a 64-term dot per pair — fine at sf0.01 (the driver
+    gate) but ~8e8 pairs at sf1.  This reproduces the Spark side's
+    RECALL-LOSSLESS grid blocking (operators/similarity.py) in independent
+    DuckDB SQL: same cell width w, same balanced-base packed key, same
+    3^d additive probe deltas, plus exact per-component band filters
+    |Δu_i| ≤ w on the first {_BAND_DIMS} unit components (each implied by
+    cos ≥ t − 5e-7 via the unit-vector L2 bound, so no recall loss).  The
+    blocked-equals-exhaustive property itself is pinned by
+    tests/test_engine_units.py::test_neardup_blocking_lossless against the
+    exhaustive=True plan, and remains empirically re-proven against a
+    plain cross join by the pytest parity suite at sf0.001/0.01 fixtures.
+    The final cosine is an unrolled {EMB_DIM}-term sum — plain vectorized
+    arithmetic instead of per-pair list lambdas (~40× at sf1)."""
+    import math
+    from itertools import product
+    w = math.sqrt(2.0 - 2.0 * (threshold - 5e-7)) * 1.02
+    gd = 6  # GRID_DIMS on the Spark side
+    max_cell = int(math.ceil(1.0 / w)) + 1
+    base = 2 * (max_cell + 2) + 1
+    dot = " + ".join(f"bpa.v[{i}]*bpb.v[{i}]" for i in range(1, EMB_DIM + 1))
+    nrm = " + ".join(f"v[{i}]*v[{i}]" for i in range(1, EMB_DIM + 1))
+    key = " + ".join(f"CAST(floor(v[{i + 1}]/nrm/{w!r}) AS BIGINT)"
+                     f"*{base ** i}" for i in range(gd))
+    ucols = ", ".join(f"v[{i}]/nrm AS u{i}"
+                      for i in range(1, _BAND_DIMS + 1))
+    bands = " AND ".join(f"abs(a.u{i} - b.u{i}) <= {w!r}"
+                         for i in range(1, _BAND_DIMS + 1))
+    deltas = ", ".join(
+        f"({sum(d * base ** i for i, d in enumerate(ds))})"
+        for ds in product((-1, 0, 1), repeat=gd))
+    return f"""
+        emb AS (
+            SELECT vec_id, {SQL_EMB_D} AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   [v2[1] + 0.05] || v2[2:]
+            FROM (SELECT vec_id, {SQL_EMB_D} AS v2 FROM embeddings)
+        ),
+        bp_n AS (SELECT vec_id, v, sqrt({nrm}) AS nrm FROM emb),
+        bp_u AS (SELECT vec_id, {key} AS key, {ucols} FROM bp_n),
+        bp_d(delta) AS (VALUES {deltas}),
+        bp_cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bp_u a JOIN bp_d ON true
+                 JOIN bp_u b ON b.key = a.key + bp_d.delta
+                            AND a.vec_id < b.vec_id
+            WHERE {bands}
+        ),
+        pairs AS (
+            SELECT c.id_a, c.id_b,
+                   ROUND(({dot}) / (bpa.nrm * bpb.nrm), 6) AS cosine
+            FROM bp_cand c
+            JOIN bp_n bpa ON bpa.vec_id = c.id_a
+            JOIN bp_n bpb ON bpb.vec_id = c.id_b
+            WHERE ROUND(({dot}) / (bpa.nrm * bpb.nrm), 6) >= {threshold!r}
+        )"""
+
+
 @query(
     "knn_cosine_bruteforce",
     oracle=f"""
@@ -575,17 +640,8 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_neardup_pairs",
     oracle=f"""
-        WITH emb AS (
-            SELECT vec_id, {SQL_EMB_D} AS v FROM embeddings
-            UNION ALL
-            SELECT vec_id + 100000,
-                   [v2[1] + 0.05] || v2[2:]
-            FROM (SELECT vec_id, {SQL_EMB_D} AS v2 FROM embeddings)
-        )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND({_sql_cos('a.v', 'b.v')}, 6) AS cosine
-        FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-        WHERE ROUND({_sql_cos('a.v', 'b.v')}, 6) >= 0.99
+        WITH {_sql_blocked_pair_ctes(0.99)}
+        SELECT id_a, id_b, cosine FROM pairs
     """,
     category="extension: dedup (embedding cosine)",
     doc="Embedding near-dup pairs (cosine ≥ 0.99). Fixture has no natural "
@@ -596,8 +652,10 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Spark side "
         "runs the recall-LOSSLESS grid-blocked join (normalized leading "
         "components, 27-cell probe — see operators/similarity.py); the "
-        "oracle stays a plain all-pairs cross join, so this parity row "
-        "empirically re-proves the blocking loses nothing.",
+        "oracle reproduces the same lossless blocking in independent "
+        "DuckDB SQL (_sql_blocked_pair_ctes — all-pairs is ~8e8 pairs at "
+        "sf1), and the blocked-equals-exhaustive property is pinned by "
+        "tests/test_engine_units.py::test_neardup_blocking_lossless.",
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(
@@ -633,18 +691,7 @@ NEARDUP_SWEEP_THRESHOLDS = (0.99, 0.995, 0.998, 0.999)
 @query(
     "neardup_threshold_sweep",
     oracle=f"""
-        WITH emb AS (
-            SELECT vec_id, {SQL_EMB_D} AS v FROM embeddings
-            UNION ALL
-            SELECT vec_id + 100000,
-                   [v2[1] + 0.05] || v2[2:]
-            FROM (SELECT vec_id, {SQL_EMB_D} AS v2 FROM embeddings)
-        ),
-        pairs AS (
-            SELECT ROUND({_sql_cos('a.v', 'b.v')}, 6) AS cosine
-            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-            WHERE ROUND({_sql_cos('a.v', 'b.v')}, 6) >= 0.99
-        )
+        WITH {_sql_blocked_pair_ctes(NEARDUP_SWEEP_THRESHOLDS[0])}
         SELECT t.threshold, COUNT(p.cosine) AS n_pairs
         FROM (VALUES {', '.join(f'({t})' for t in NEARDUP_SWEEP_THRESHOLDS)})
              t(threshold)
@@ -672,20 +719,9 @@ def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # non-recursive CTE prefix shared by the semantic-dedup oracle: the same
-# augmented-embedding pair graph embedding_neardup_pairs verifies.
-_SQL_SEM_PAIRS = f"""
-    emb AS (
-        SELECT vec_id, {SQL_EMB_D} AS v FROM embeddings
-        UNION ALL
-        SELECT vec_id + 100000,
-               [v2[1] + 0.05] || v2[2:]
-        FROM (SELECT vec_id, {SQL_EMB_D} AS v2 FROM embeddings)
-    ),
-    pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-        WHERE ROUND({_sql_cos('a.v', 'b.v')}, 6) >= 0.99
-    )"""
+# augmented-embedding pair graph embedding_neardup_pairs verifies, via the
+# same scaled blocked-pair CTEs (exposes ``emb`` and ``pairs``).
+_SQL_SEM_PAIRS = _sql_blocked_pair_ctes(0.99)
 
 
 @query(

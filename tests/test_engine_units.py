@@ -357,6 +357,25 @@ def test_arrow_word_codes_match_jvm(spark):
     assert a == j
 
 
+def test_neardup_blocking_lossless(spark):
+    """Grid-blocked near-dup pairs EQUAL the exhaustive all-pairs result
+    on the augmented fixture (the losslessness proof, checked empirically).
+    This pin matters doubly since the sf1 scaling pass: the DuckDB oracle
+    now reuses the same blocking math (plans/pipeline_queries.py
+    _sql_blocked_pair_ctes), so the independent all-pairs cross-check
+    lives HERE, against similarity.embedding_neardup_pairs(exhaustive=True)."""
+    from flinkapps_spark.operators.similarity import embedding_neardup_pairs
+    from flinkapps_spark.plans.pipeline_queries import _aug_embeddings
+    aug = _aug_embeddings(spark, SF_SMOKE)
+    blocked = {(r["id_a"], r["id_b"]): r["cosine"]
+               for r in embedding_neardup_pairs(aug, 0.99).collect()}
+    allpairs = {(r["id_a"], r["id_b"]): r["cosine"]
+                for r in embedding_neardup_pairs(
+                    aug, 0.99, exhaustive=True).collect()}
+    assert blocked == allpairs
+    assert len(blocked) > 0  # augmentation plants one pair per vector
+
+
 def test_ivf_recall(spark):
     from flinkapps_spark.operators.similarity import knn_bruteforce, knn_ivf
     emb = load_table(spark, SF_SMOKE, "embeddings")
