@@ -2118,11 +2118,17 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "smallest reported count must be ≥ the exact 10th-largest count "
         "— together these certify a valid top-10 under ties without "
         "depending on which tied item the sketch surfaced. Oracle "
-        "asserts the literals.",
+        "asserts the literals. The item budget is set explicitly "
+        "(100k ≫ the fixture's key cardinality — 15k users at sf1, "
+        "which silently exceeds the 10k DEFAULT and broke exactness): "
+        "on a uniform key distribution a heavy-hitter sketch is only "
+        "exact while tracked ≥ distinct, so the audit must size the "
+        "budget against the data; real heavy-hitter workloads get "
+        "head-exactness from skew itself with far smaller budgets.",
 )
 def sketch_topk_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    appr = (ev.agg(F.expr("approx_top_k(user_id, 10)").alias("tk"))
+    appr = (ev.agg(F.expr("approx_top_k(user_id, 10, 100000)").alias("tk"))
             .select(F.explode("tk").alias("e"))
             .select(F.col("e.item").alias("user_id"),
                     F.col("e.count").alias("ac")))
