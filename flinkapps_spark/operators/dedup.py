@@ -358,15 +358,28 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
         pref = _ordered_shingles(ex).filter(
             F.col("pos") <= _prefix_len(F.col("n_sh"), threshold))
         a = pref.select(F.col("doc").alias("doc_a"), "code",
-                        F.col("n_sh").alias("pn_a"))
+                        F.col("n_sh").alias("pn_a"),
+                        F.col("pos").alias("pos_a"))
         b = pref.select(F.col("doc").alias("doc_b"), "code",
-                        F.col("n_sh").alias("pn_b"))
+                        F.col("n_sh").alias("pn_b"),
+                        F.col("pos").alias("pos_b"))
+        # PPJoin positional filter (Xiao et al. 2008): every common code
+        # ranks >= the matching code in BOTH docs (the rare-first order is
+        # global, hence consistent across docs), so for the FIRST common
+        # code overlap <= 1 + min(suffix lengths).  A true pair (J >= t,
+        # i.e. overlap >= t/(1+t)*(na+nb)) therefore keeps at least its
+        # first-match row — per-row pruning is lossless.  Mirrors the
+        # oracle CTE (_sql_shingle_cte cand).
         cand = (a.join(b, "code")
                 .filter((F.col("doc_a") < F.col("doc_b"))
                         & (F.col("pn_b")
                            >= threshold * F.col("pn_a") - _PREFIX_EPS)
                         & (F.col("pn_b")
-                           <= F.col("pn_a") / threshold + _PREFIX_EPS))
+                           <= F.col("pn_a") / threshold + _PREFIX_EPS)
+                        & (1 + F.least(F.col("pn_a") - F.col("pos_a"),
+                                       F.col("pn_b") - F.col("pos_b"))
+                           >= threshold / (1 + threshold)
+                           * (F.col("pn_a") + F.col("pn_b")) - _PREFIX_EPS))
                 .select("doc_a", "doc_b").distinct())
         verified = _verify_pairs(cand, sh)
     return (verified
@@ -418,12 +431,21 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
         pref = ordered.filter(
             F.col("pos") <= _prefix_len(F.col("n_sh"), threshold))
         small = pref.select(F.col("doc").alias("doc_s"), "code",
-                            F.col("n_sh").alias("n_s"))
+                            F.col("n_sh").alias("n_s"),
+                            F.col("pos").alias("pos_s"))
         full = ordered.select(F.col("doc").alias("doc_f"), "code",
-                              F.col("n_sh").alias("n_f"))
+                              F.col("n_sh").alias("n_f"),
+                              F.col("pos").alias("pos_f"))
+        # positional filter, asymmetric form: containment >= t needs
+        # overlap >= t*|small|; overlap <= 1 + min(suffix lengths) at the
+        # first common code (see jaccard_pairs).  Lossless per-row prune,
+        # mirrors the oracle CTE.
         cand = (small.join(full, "code")
                 .filter((F.col("doc_s") != F.col("doc_f"))
-                        & (F.col("n_s") <= F.col("n_f")))
+                        & (F.col("n_s") <= F.col("n_f"))
+                        & (1 + F.least(F.col("n_s") - F.col("pos_s"),
+                                       F.col("n_f") - F.col("pos_f"))
+                           >= threshold * F.col("n_s") - _PREFIX_EPS))
                 .select(F.least("doc_s", "doc_f").alias("doc_a"),
                         F.greatest("doc_s", "doc_f").alias("doc_b"))
                 .distinct())
@@ -467,15 +489,22 @@ def jaccard_pairs_incremental(df: DataFrame, is_new,
             F.col("pos") <= _prefix_len(F.col("n_sh"), threshold))
         new_p = (pref.filter(is_new(F.col("doc")))
                  .select(F.col("doc").alias("doc_n"), "code",
-                         F.col("n_sh").alias("n_n")))
+                         F.col("n_sh").alias("n_n"),
+                         F.col("pos").alias("pos_n")))
         all_p = pref.select(F.col("doc").alias("doc_o"), "code",
-                            F.col("n_sh").alias("n_o"))
+                            F.col("n_sh").alias("n_o"),
+                            F.col("pos").alias("pos_o"))
         cand = (new_p.join(all_p, "code")
                 .filter((F.col("doc_n") != F.col("doc_o"))
                         & (F.col("n_o")
                            >= threshold * F.col("n_n") - _PREFIX_EPS)
                         & (F.col("n_o")
-                           <= F.col("n_n") / threshold + _PREFIX_EPS))
+                           <= F.col("n_n") / threshold + _PREFIX_EPS)
+                        # positional filter — see jaccard_pairs
+                        & (1 + F.least(F.col("n_n") - F.col("pos_n"),
+                                       F.col("n_o") - F.col("pos_o"))
+                           >= threshold / (1 + threshold)
+                           * (F.col("n_n") + F.col("n_o")) - _PREFIX_EPS))
                 .select(F.least("doc_n", "doc_o").alias("doc_a"),
                         F.greatest("doc_n", "doc_o").alias("doc_b"))
                 .distinct())

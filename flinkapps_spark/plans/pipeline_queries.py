@@ -24,8 +24,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from flinkapps_spark.functions.text import HASH_MOD, tokenize
 from flinkapps_spark.operators import dedup, multimodal, similarity, textstats
 from flinkapps_spark.operators.dedup import (
-    MINHASH_COEFFS, N_BANDS, ROWS_PER_BAND, SHINGLE_BASE, SIMHASH_BITS,
-    SPAN_SIZE,
+    MINHASH_COEFFS, N_BANDS, N_MINHASH, ROWS_PER_BAND, SHINGLE_BASE,
+    SIMHASH_BITS, SPAN_SIZE,
 )
 from flinkapps_spark.operators.textstats import (
     FINGERPRINT_BASE, LANG_MARKERS, LANG_PRIORITY, STOPWORDS,
@@ -1108,13 +1108,17 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "against the higher-id side of the pair set.",
 )
 def dedup_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
     docs = _augment_near(load_table(spark, sf_dir, "documents"))
     pairs = dedup.jaccard_pairs(docs, threshold=0.6)
     dupes = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    # persist the (small, id-only) keep set and attach the total via a
+    # broadcast scalar cross-join: a partition-less window would drag
+    # EVERY kept id through a single-partition exchange — 2e10 rows in
+    # one task at 100 TB — while count() is a tree-reduced aggregate
     kept = docs.join(dupes, "doc_id", "left_anti").select("doc_id")
-    return kept.withColumn("kept_total",
-                           F.count("*").over(Window.partitionBy()))
+    kept = kept.persist()
+    total = kept.groupBy().agg(F.count("*").alias("kept_total"))
+    return kept.crossJoin(F.broadcast(total))
 
 
 @query(
@@ -1458,13 +1462,20 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     variant = F.regexp_replace("text", "^\\w+\\W+", "")
-    dist = F.levenshtein(F.col("text"), variant)
-    return docs.select(
+    # materialize the O(n*m) levenshtein ONCE in an inner projection —
+    # referencing the expression twice in one select would run the DP
+    # twice per row (Catalyst subexpression elimination does not span
+    # the two aliases under interpreted eval)
+    base = docs.select(
         F.col("doc_id").alias("doc_a"),
         (F.col("doc_id") + 1000000).alias("doc_b"),
-        dist.alias("dist"),
-        F.when(F.length("text") > 0,
-               dist.cast("double") / F.length("text")).alias("dist_ratio"))
+        F.levenshtein(F.col("text"), variant).alias("dist"),
+        F.length("text").alias("n"))
+    return base.select(
+        "doc_a", "doc_b", "dist",
+        F.when(F.col("n") > 0,
+               F.col("dist").cast("double") / F.col("n"))
+            .alias("dist_ratio"))
 
 
 @query(
@@ -1844,14 +1855,134 @@ def er_multikey_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (a.join(b, cond)
                 .select(F.col("a.k").alias("a_key"),
                         F.col("b.k").alias("b_key"),
-                        F.col("a.nm").alias("a_name"),
-                        F.col("b.nm").alias("b_name"),
                         F.lit(src).alias("src")))
 
+    # the pair-dedup shuffle carries ONLY fixed-width int keys — names
+    # re-attach AFTER the aggregation via two broadcast joins against the
+    # dimension (names are pair-functional, so n_blocks is unchanged), and
+    # the levenshtein verify runs once per UNIQUE pair instead of once per
+    # blocked candidate row
     cand = block(["nat", "bal_b"], "bal").unionByName(
         block(["seg", "sfx"], "sfx"))
-    pairs = (cand.groupBy("a_key", "b_key", "a_name", "b_name")
+    pairs = (cand.groupBy("a_key", "b_key")
              .agg(F.countDistinct("src").alias("n_blocks")))
+    names = cust.select("k", "nm")
+    withnames = (pairs
+                 .join(F.broadcast(names.withColumnRenamed("k", "a_key")
+                                   .withColumnRenamed("nm", "a_name")),
+                       "a_key")
+                 .join(F.broadcast(names.withColumnRenamed("k", "b_key")
+                                   .withColumnRenamed("nm", "b_name")),
+                       "b_key"))
     lev = F.levenshtein("a_name", "b_name")
-    return (pairs.filter(lev <= ER_MAX_LEV)
-            .select("a_key", "b_key", "n_blocks", lev.alias("name_lev")))
+    return (withnames.withColumn("name_lev", lev)
+            .filter(F.col("name_lev") <= ER_MAX_LEV)
+            .select("a_key", "b_key", "n_blocks", "name_lev"))
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_estimate — signature-agreement Jaccard estimator calibration
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_minhash_estimate",
+    oracle=f"""
+        WITH aug AS ({SQL_AUG_NEAR}),
+        docs_w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM aug),
+        wcodes AS (
+            SELECT doc_id,
+                   list_transform(ws, w -> {_sql_word_code('w')}) AS wc
+            FROM docs_w WHERE len(ws) >= 3
+        ),
+        codes AS (
+            SELECT doc_id, {_sql_shingle_codes('wc')} AS cset FROM wcodes
+        ),
+        sig_t AS (
+            SELECT doc_id AS doc, {_sql_minhash_sig()} AS sig FROM codes
+        ),
+        bands AS (
+            SELECT doc, unnest([{_sql_band_keys()}]) AS band_key,
+                   unnest({list(range(1, N_BANDS + 1))}) AS band_idx
+            FROM sig_t
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+             AND x.doc < y.doc
+        ),
+        scored AS (
+            SELECT c.doc_a, c.doc_b,
+                   len(list_filter(range({N_MINHASH}),
+                       i -> sa.sig[i + 1] = sb.sig[i + 1]))
+                       AS n_match_slots,
+                   ROUND(CAST(len(list_intersect(ka.cset, kb.cset))
+                              AS DOUBLE)
+                         / (len(ka.cset) + len(kb.cset)
+                            - len(list_intersect(ka.cset, kb.cset))), 6)
+                       AS exact_jaccard
+            FROM cand c
+            JOIN sig_t sa ON sa.doc = c.doc_a
+            JOIN sig_t sb ON sb.doc = c.doc_b
+            JOIN codes ka ON ka.doc_id = c.doc_a
+            JOIN codes kb ON kb.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, n_match_slots,
+               CAST(n_match_slots AS DOUBLE) / {N_MINHASH} AS est_jaccard,
+               exact_jaccard,
+               ROUND(ABS(CAST(n_match_slots AS DOUBLE) / {N_MINHASH}
+                         - exact_jaccard), 6) AS abs_err
+        FROM scored
+    """,
+    category="extension: dedup (MinHash estimator calibration)",
+    doc="MinHash ESTIMATOR calibration: for every LSH candidate pair, the "
+        "Jaccard estimate from signature agreement (matching slots / 16 — "
+        "the Broder 1997 unbiased estimator) next to the exact Jaccard "
+        "from the full shingle sets, plus the absolute error. This is "
+        "how a pipeline decides whether its signature budget (16 hashes) "
+        "is adequate before trusting LSH at full scale: std error is "
+        "sqrt(J(1-J)/k), and the per-pair audit makes the tail visible. "
+        "Scale: candidates come from the band join (never all pairs); "
+        "both per-pair scores are array math over broadcast-joined "
+        "doc-sized arrays. est = n/16 is an exact double; exact_jaccard "
+        "rounds at 6 digits — bit-identical on both engines.",
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.operators.dedup import (
+        band_keys, minhash_signature, shingled_docs,
+    )
+    docs = _augment_near(load_table(spark, sf_dir, "documents"))
+    base = shingled_docs(docs).persist()
+    sig = base.select("doc",
+                      minhash_signature(F.col("codes")).alias("sig"))
+    bands = sig.select(
+        "doc",
+        F.posexplode(F.array(*band_keys(F.col("sig"))))
+            .alias("band_idx", "band_key"))
+    cand = (bands.alias("x")
+            .join(bands.alias("y"),
+                  (F.col("x.band_idx") == F.col("y.band_idx"))
+                  & (F.col("x.band_key") == F.col("y.band_key"))
+                  & (F.col("x.doc") < F.col("y.doc")))
+            .select(F.col("x.doc").alias("doc_a"),
+                    F.col("y.doc").alias("doc_b"))
+            .distinct())
+    sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    ka = base.select(F.col("doc").alias("doc_a"), F.col("codes").alias("ca"))
+    kb = base.select(F.col("doc").alias("doc_b"), F.col("codes").alias("cb"))
+    n_match = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda a, b: (a == b).cast("int")),
+        F.lit(0), lambda acc, x: acc + x)
+    inter = F.size(F.array_intersect("ca", "cb"))
+    scored = (cand.join(sa, "doc_a").join(sb, "doc_b")
+              .join(ka, "doc_a").join(kb, "doc_b")
+              .withColumn("n_match_slots", n_match)
+              .withColumn("exact_jaccard", F.round(
+                  inter / (F.size("ca") + F.size("cb") - inter), 6)))
+    est = F.col("n_match_slots").cast("double") / N_MINHASH
+    return scored.select(
+        "doc_a", "doc_b", "n_match_slots",
+        est.alias("est_jaccard"), "exact_jaccard",
+        F.round(F.abs(est - F.col("exact_jaccard")), 6).alias("abs_err"))
