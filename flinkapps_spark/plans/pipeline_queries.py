@@ -1116,7 +1116,11 @@ def dedup_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EVERY kept id through a single-partition exchange — 2e10 rows in
     # one task at 100 TB — while count() is a tree-reduced aggregate
     kept = docs.join(dupes, "doc_id", "left_anti").select("doc_id")
-    kept = kept.persist()
+    # session-scoped cache, intentionally not unpersisted here: the frame
+    # is returned lazily, so the action that would follow an unpersist
+    # happens in the caller; MEMORY_AND_DISK spills instead of pinning
+    from pyspark import StorageLevel
+    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
     total = kept.groupBy().agg(F.count("*").alias("kept_total"))
     return kept.crossJoin(F.broadcast(total))
 
@@ -1858,21 +1862,22 @@ def er_multikey_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(src).alias("src")))
 
     # the pair-dedup shuffle carries ONLY fixed-width int keys — names
-    # re-attach AFTER the aggregation via two broadcast joins against the
-    # dimension (names are pair-functional, so n_blocks is unchanged), and
-    # the levenshtein verify runs once per UNIQUE pair instead of once per
-    # blocked candidate row
+    # re-attach AFTER the aggregation (names are pair-functional, so
+    # n_blocks is unchanged).  No explicit broadcast hint on the name
+    # re-attach: the dimension grows with the scale factor, so AQE picks
+    # broadcast when it fits and degrades to a shuffle join when it
+    # doesn't, instead of failing past the broadcast limit.
     cand = block(["nat", "bal_b"], "bal").unionByName(
         block(["seg", "sfx"], "sfx"))
     pairs = (cand.groupBy("a_key", "b_key")
              .agg(F.countDistinct("src").alias("n_blocks")))
     names = cust.select("k", "nm")
     withnames = (pairs
-                 .join(F.broadcast(names.withColumnRenamed("k", "a_key")
-                                   .withColumnRenamed("nm", "a_name")),
+                 .join(names.withColumnRenamed("k", "a_key")
+                       .withColumnRenamed("nm", "a_name"),
                        "a_key")
-                 .join(F.broadcast(names.withColumnRenamed("k", "b_key")
-                                   .withColumnRenamed("nm", "b_name")),
+                 .join(names.withColumnRenamed("k", "b_key")
+                       .withColumnRenamed("nm", "b_name"),
                        "b_key"))
     lev = F.levenshtein("a_name", "b_name")
     return (withnames.withColumn("name_lev", lev)
@@ -1943,8 +1948,9 @@ def er_multikey_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is adequate before trusting LSH at full scale: std error is "
         "sqrt(J(1-J)/k), and the per-pair audit makes the tail visible. "
         "Scale: candidates come from the band join (never all pairs); "
-        "both per-pair scores are array math over broadcast-joined "
-        "doc-sized arrays. est = n/16 is an exact double; exact_jaccard "
+        "the corpus-sized signature/shingle tables re-attach via plain "
+        "shuffle joins on the candidate keys (they grow with the corpus, "
+        "so no broadcast). est = n/16 is an exact double; exact_jaccard "
         "rounds at 6 digits — bit-identical on both engines.",
 )
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1952,7 +1958,11 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_keys, minhash_signature, shingled_docs,
     )
     docs = _augment_near(load_table(spark, sf_dir, "documents"))
-    base = shingled_docs(docs).persist()
+    # read three times below (sig, ka, kb); session-scoped cache — the
+    # lazily-returned frame means unpersist belongs to the caller, and
+    # MEMORY_AND_DISK spills instead of pinning executor memory
+    from pyspark import StorageLevel
+    base = shingled_docs(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sig = base.select("doc",
                       minhash_signature(F.col("codes")).alias("sig"))
     bands = sig.select(
