@@ -63,6 +63,7 @@ def _load_all() -> None:
         retrieval_queries,
         graph_queries,
         timeseries_queries,
+        ml_queries,
         streaming_queries,
     )
 

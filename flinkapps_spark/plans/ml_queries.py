@@ -1,0 +1,492 @@
+"""ML-adjacent pipeline queries: iterative clustering, model-based quality
+scoring, mergeable quantile sketches, sequence smoothing, and BPE merge
+learning — the "train a small model / summarize a distribution over the
+corpus" operations a training-data pipeline runs beside dedup and
+filtering.
+
+Beyond-reference extensions (the reference engine has nothing in this
+family); every query keeps the SCALE.md float-determinism discipline:
+fixed-point int64 where sums cross an exchange, and otherwise only IEEE
+ops applied in the same order on both engines so the unrounded doubles
+are bit-identical.
+
+Driver-side model state: k-means centroids (k x dim ints) and BPE merge
+rules (3 tiny rows) are collected to the driver between iterations — the
+same shape MLlib uses internally (treeAggregate to the driver per Lloyd
+step).  The DATA never leaves the executors; only the model does.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from flinkapps_spark.functions.text import HASH_MOD, tokenize, word_code
+from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.plans.pipeline_queries import SQL_WORDS, _sql_word_code
+from flinkapps_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) — integer-exact, deterministic
+# ---------------------------------------------------------------------------
+
+KM_K = 8                  # clusters
+KM_ITERS = 3              # Lloyd assignment rounds
+KM_SCALE = 10 ** 6        # fixed-point units per embedding component
+KM_DIM = 64               # embeddings fixture dimension
+
+# units formula shared with plans/exact.py (floor/ceil half-away-from-zero);
+# inlined here because it runs inside a higher-order lambda on both sides
+_SQL_U = (f"CAST(CASE WHEN CAST(x AS DOUBLE) * {KM_SCALE} >= 0 "
+          f"THEN floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) "
+          f"ELSE ceil(CAST(x AS DOUBLE) * {KM_SCALE} - 0.5) END AS BIGINT)")
+
+
+def _units_arr(vec):
+    """array<float> -> array<long> fixed-point units (engine-portable)."""
+    def u(x):
+        v = x.cast("double") * KM_SCALE
+        return (F.when(v >= 0, F.floor(v + 0.5))
+                .otherwise(F.ceil(v - 0.5)).cast("long"))
+    return F.transform(vec, u)
+
+
+def _kmeans_oracle() -> str:
+    """Generate the unrolled 3-iteration Lloyd SQL (DuckDB)."""
+    dims = f"range(1, {KM_DIM + 1})"
+    ctes = [f"""
+        units AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> {_SQL_U}) AS u
+            FROM embeddings
+        ),
+        cents0 AS (
+            SELECT CAST(vec_id AS INT) AS j, u FROM units
+            WHERE vec_id < {KM_K}
+        )"""]
+    for i in range(1, KM_ITERS + 1):
+        p = i - 1
+        ctes.append(f"""
+        assign{i} AS (
+            SELECT vec_id, j, CAST(d2 AS BIGINT) AS d2 FROM (
+                SELECT p.vec_id, c.j,
+                       list_sum(list_transform({dims},
+                           t -> (p.u[t] - c.u[t]) * (p.u[t] - c.u[t])))
+                           AS d2
+                FROM units p CROSS JOIN cents{p} c
+            )
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d2, j) = 1
+        )""")
+        if i < KM_ITERS:     # last assignment needs no centroid update
+            ctes.append(f"""
+        dim{i} AS (
+            SELECT a.j, t.d,
+                   CAST(floor(CAST(SUM(p.u[t.d]) AS DOUBLE) / COUNT(*))
+                        AS BIGINT) AS c
+            FROM assign{i} a
+            JOIN units p USING (vec_id)
+            CROSS JOIN (SELECT unnest({dims}) AS d) t
+            GROUP BY a.j, t.d
+        ),
+        newc{i} AS (
+            SELECT j, list(c ORDER BY d) AS u FROM dim{i} GROUP BY j
+        ),
+        cents{i} AS (
+            SELECT c0.j, COALESCE(cn.u, c0.u) AS u
+            FROM cents{p} c0 LEFT JOIN newc{i} cn USING (j)
+        )""")
+    body = f"""
+        SELECT j AS cluster_id, COUNT(*) AS n_members,
+               CAST(SUM(d2) AS DOUBLE) / COUNT(*) / {float(KM_SCALE) ** 2}
+                   AS mean_dist2
+        FROM assign{KM_ITERS} GROUP BY j
+    """
+    return "WITH " + ",".join(ctes) + body
+
+
+@query(
+    "kmeans_lloyd",
+    oracle=_kmeans_oracle(),
+    category="extension: clustering (k-means Lloyd iterations)",
+    doc="Deterministic k-means over the embedding corpus: k=8 seeds = the "
+        "vectors with vec_id 0..7, 3 Lloyd rounds, squared-L2 in int64 "
+        "fixed-point units (1e-6 per component) so assignment argmins and "
+        "inertia sums are EXACT on both engines — no float tie ambiguity. "
+        "Empty clusters keep their previous centroid; centroid means use "
+        "floor(sum/n) in the same op order on both sides. Scale: per "
+        "round, centroids (k x 64 ints) broadcast to executors as "
+        "literals, assignment is a map-only pass, and the centroid update "
+        "is one partial-agg shuffle of (cluster, dim) cells — the classic "
+        "distributed Lloyd shape (MLlib does the same via treeAggregate); "
+        "only the k x dim model visits the driver, never the data.",
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select("vec_id", _units_arr(F.col("embedding")).alias("u")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    cents = {int(r["vec_id"]): list(r["u"])
+             for r in pts.filter(F.col("vec_id") < KM_K).collect()}
+
+    def assign(centroids: dict[int, list[int]]) -> DataFrame:
+        carr = F.array(*[
+            F.array(*[F.lit(int(v)) for v in centroids[j]])
+            for j in sorted(centroids)])
+        dists = F.transform(carr, lambda c: F.aggregate(
+            F.zip_with(F.col("u"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x))
+        best = F.array_min(F.transform(
+            dists, lambda d, i: F.struct(d.alias("d"), i.alias("j"))))
+        return pts.select("vec_id", "u",
+                          best.getField("j").alias("j"),
+                          best.getField("d").alias("d2"))
+
+    asg = assign(cents)
+    for _ in range(KM_ITERS - 1):
+        sums = (asg.select("j", F.posexplode("u").alias("pos", "v"))
+                .groupBy("j", "pos")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                .collect())
+        newc: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            newc.setdefault(r["j"], [0] * KM_DIM)[r["pos"]] = \
+                math.floor(r["s"] / r["n"])
+            counts[r["j"]] = r["n"]
+        cents = {j: newc.get(j, cents[j]) for j in cents}
+        asg = assign(cents)
+
+    return (asg.groupBy(F.col("j").alias("cluster_id"))
+            .agg(F.count("*").alias("n_members"),
+                 (F.sum("d2").cast("double") / F.count("*")
+                  / float(KM_SCALE) ** 2).alias("mean_dist2")))
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality scorer
+# ---------------------------------------------------------------------------
+
+QS_BUCKETS = 64           # feature-hash buckets
+QS_MIX = 2654435761       # Knuth multiplicative constant -> pseudo-weights
+QS_WSCALE = 1000          # weight units per 1.0
+
+
+@query(
+    "text_quality_linear",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+        scored AS (
+            SELECT doc_id, len(ws) AS n_tokens,
+                   CAST(list_sum([0] || list_transform(ws,
+                       w -> (({_sql_word_code('w')} % {QS_BUCKETS})
+                             * {QS_MIX}) % 1001 - 500)) AS BIGINT)
+                       AS z_units
+            FROM t
+        )
+        SELECT doc_id, n_tokens, z_units,
+               CASE WHEN n_tokens > 0 THEN
+                   CAST(z_units AS DOUBLE) / (1000.0 * n_tokens) END
+                   AS mean_w,
+               CASE WHEN n_tokens = 0 THEN 'empty'
+                    WHEN CAST(z_units AS DOUBLE) / (1000.0 * n_tokens)
+                         > 0.05 THEN 'high'
+                    WHEN CAST(z_units AS DOUBLE) / (1000.0 * n_tokens)
+                         >= -0.05 THEN 'mid'
+                    ELSE 'low' END AS grade
+        FROM scored
+    """,
+    category="extension: curation (hashed linear quality model)",
+    doc="fastText-shaped quality scoring without the learned weights: "
+        "tokens hash into 64 buckets (poly-31 code mod 64), each bucket "
+        "carries a deterministic pseudo-weight in integer millis "
+        "(((bucket * Knuth) mod 1001) - 500), and the document score is "
+        "the mean weight — the exact linear-model inference shape (hash, "
+        "gather weight, average); swap the weight formula for a trained "
+        "vector and nothing else changes. Integer weight sums are exact "
+        "on both engines; the mean divides once (bit-identical double). "
+        "Scale: pure JVM map over the corpus, zero shuffles, zero Python.",
+)
+def text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokenize(F.col("text"))
+    z = F.aggregate(
+        F.transform(ws, lambda w: ((word_code(w) % QS_BUCKETS)
+                                   * QS_MIX) % 1001 - 500),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    out = docs.select("doc_id", F.size(ws).alias("n_tokens"),
+                      z.alias("z_units"))
+    mean_w = F.when(F.col("n_tokens") > 0,
+                    F.col("z_units").cast("double")
+                    / (F.lit(1000.0) * F.col("n_tokens")))
+    return out.select(
+        "doc_id", "n_tokens", "z_units", mean_w.alias("mean_w"),
+        F.when(F.col("n_tokens") == 0, F.lit("empty"))
+         .when(mean_w > 0.05, F.lit("high"))
+         .when(mean_w >= -0.05, F.lit("mid"))
+         .otherwise(F.lit("low")).alias("grade"))
+
+
+# ---------------------------------------------------------------------------
+# mergeable grid-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+GQ_WIDTH = 4.0            # bin width over events.value (range ~0..490)
+GQ_QS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "sketch_grid_quantiles",
+    oracle=f"""
+        WITH hist AS (
+            SELECT event_type,
+                   CAST(floor(value / {GQ_WIDTH}) AS BIGINT) AS bin,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY event_type, bin
+        ),
+        cum AS (
+            SELECT event_type, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS total,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_bins
+            FROM hist
+        ),
+        hit AS (
+            SELECT c.event_type, q.q, c.bin, c.cnt, c.cum, c.total, c.n_bins
+            FROM cum c CROSS JOIN (
+                SELECT CAST(unnest([{", ".join(repr(q) for q in GQ_QS)}])
+                            AS DOUBLE) AS q) q
+            WHERE CAST(c.cum AS DOUBLE) >= q.q * c.total
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY c.event_type, q.q ORDER BY c.bin) = 1
+        )
+        SELECT event_type, q,
+               bin * {GQ_WIDTH} + {GQ_WIDTH}
+                   * ((q * total - CAST(cum - cnt AS DOUBLE)) / cnt)
+                   AS estimate,
+               CAST(total AS BIGINT) AS total,
+               CAST(n_bins AS BIGINT) AS n_bins
+        FROM hit
+    """,
+    category="extension: mergeable sketch (grid-histogram quantiles)",
+    doc="Fixed-grid histogram quantile sketch: bin = floor(value/4), "
+        "p50/p90/p99 read off the cumulative histogram with linear "
+        "interpolation inside the hit bin. MERGEABILITY PROOF BY "
+        "CONSTRUCTION: the Spark side builds per-(type, hour-of-day) "
+        "PARTIAL histograms and merges 24 partials per type by summing "
+        "bin counts (the sketch-union operation); the oracle computes the "
+        "histogram in one direct pass — identical results prove the "
+        "partial-merge path is lossless, which is what lets 1000 "
+        "executors each summarize their shard and union k x bins tiny "
+        "maps instead of shuffling raw values. Interpolation divides "
+        "exact ints in the same op order on both engines (unrounded "
+        "doubles, bit-identical).",
+)
+def sketch_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    binc = F.floor(F.col("value") / GQ_WIDTH).cast("long")
+    # partial sketches (one histogram per type x hour-of-day) ...
+    part = (ev.groupBy(F.col("event_type"), F.hour("ts").alias("hod"),
+                       binc.alias("bin"))
+            .agg(F.count("*").alias("pcnt")))
+    # ... merged by bin-count addition: the sketch-union operation
+    hist = part.groupBy("event_type", "bin").agg(F.sum("pcnt").alias("cnt"))
+    wcum = (Window.partitionBy("event_type").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type", "bin", "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+        F.count("*").over(wall).alias("n_bins"))
+    qs = F.explode(F.array(*[F.lit(q) for q in GQ_QS])).alias("q")
+    hit = (cum.select("*", qs)
+           .filter(F.col("cum").cast("double") >= F.col("q") * F.col("total"))
+           .withColumn("rk", F.row_number().over(
+               Window.partitionBy("event_type", "q").orderBy("bin")))
+           .filter(F.col("rk") == 1))
+    est = (F.col("bin") * GQ_WIDTH + GQ_WIDTH
+           * ((F.col("q") * F.col("total")
+               - (F.col("cum") - F.col("cnt")).cast("double"))
+              / F.col("cnt")))
+    return hit.select("event_type", "q", est.alias("estimate"),
+                      "total", "n_bins")
+
+
+# ---------------------------------------------------------------------------
+# EWMA over the most recent events per key
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.125        # smoothing factor (2^-3: exact double literal)
+EWMA_N = 256              # bounded lookback: (1-a)^256 ~ 4e-15 tail weight
+
+
+@query(
+    "events_ewma_recent",
+    oracle=f"""
+        WITH recent AS (
+            SELECT event_type, ts, event_id, value
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY event_type
+                ORDER BY ts DESC, event_id DESC) <= {EWMA_N}
+        ),
+        seq AS (
+            SELECT event_type,
+                   list(value ORDER BY ts, event_id) AS vals
+            FROM recent GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(len(vals) AS BIGINT) AS n_used,
+               list_reduce(vals, (acc, x) ->
+                   x * {EWMA_ALPHA} + acc * {1 - EWMA_ALPHA}) AS ewma,
+               vals[len(vals)] AS last_value
+        FROM seq
+    """,
+    category="extension: time-series (EWMA smoothing)",
+    doc="Exponentially-weighted moving average per event_type over the "
+        "most recent 256 events (by ts, event_id-tiebroken): s = a*x + "
+        "(1-a)*s left-fold with a = 0.125. The 256-event cap bounds "
+        "per-key state — the tail weight beyond 256 steps is (7/8)^256 "
+        "~ 4e-15, below double resolution, so the truncated definition "
+        "IS the operator. Both engines fold the identical IEEE ops in "
+        "the identical order (Spark aggregate() vs DuckDB list_reduce, "
+        "both seeded with the first element), so the unrounded double is "
+        "bit-identical. Scale: top-256-per-key via row_number (one "
+        "shuffle on the key), then a k-row result — per-key state never "
+        "exceeds 256 values regardless of corpus size.",
+)
+def events_ewma_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wdesc = Window.partitionBy("event_type") \
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    recent = (ev.withColumn("rn", F.row_number().over(wdesc))
+              .filter(F.col("rn") <= EWMA_N))
+    seq = (recent.groupBy("event_type")
+           .agg(F.array_sort(F.collect_list(F.struct(
+               F.col("ts").alias("ts"), F.col("event_id").alias("eid"),
+               F.col("value").alias("v")))).alias("s")))
+    vals = F.transform(F.col("s"), lambda x: x.getField("v"))
+    seq = seq.select("event_type", vals.alias("vals"))
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2,
+                F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at("vals", 1),
+        lambda acc, x: x * EWMA_ALPHA + acc * (1 - EWMA_ALPHA))
+    return seq.select(
+        "event_type",
+        F.size("vals").cast("long").alias("n_used"),
+        ewma.alias("ewma"),
+        F.element_at("vals", -1).alias("last_value"))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (first 3 merges over the corpus vocabulary)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 3
+
+
+def _bpe_oracle() -> str:
+    ctes = [f"""
+        freq AS (
+            SELECT word, COUNT(*) AS cnt FROM (
+                SELECT unnest({SQL_WORDS}) AS word FROM documents)
+            GROUP BY word
+        ),
+        w0 AS (
+            SELECT word, cnt,
+                   ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sp
+            FROM freq
+        )"""]
+    for i in range(1, BPE_MERGES + 1):
+        p = i - 1
+        ctes.append(f"""
+        p{i} AS (
+            SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS c
+            FROM (
+                SELECT cnt,
+                       unnest(list_transform(range(1, len(t)),
+                           k -> {{'l': t[k], 'r': t[k + 1]}})) AS pr
+                FROM (SELECT cnt, string_split(trim(sp), ' ') AS t
+                      FROM w{p})
+            )
+            GROUP BY pr.l, pr.r
+        ),
+        m{i} AS (
+            SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+        )""")
+        if i < BPE_MERGES:
+            ctes.append(f"""
+        w{i} AS (
+            SELECT word, cnt,
+                   replace(sp,
+                       ' ' || (SELECT l FROM m{i}) || ' '
+                           || (SELECT r FROM m{i}) || ' ',
+                       ' ' || (SELECT l FROM m{i})
+                           || (SELECT r FROM m{i}) || ' ') AS sp
+            FROM w{p}
+        )""")
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, c AS pair_count FROM m{i}"
+        for i in range(1, BPE_MERGES + 1))
+    return "WITH " + ",".join(ctes) + unions
+
+
+@query(
+    "vocab_bpe_merges",
+    oracle=_bpe_oracle(),
+    category="extension: curation (BPE merge learning)",
+    doc="The first 3 byte-pair-encoding merges learned from the corpus "
+        "(Sennrich et al. 2016): words space out into symbol sequences, "
+        "each round counts corpus-frequency-weighted adjacent symbol "
+        "pairs, merges the most frequent pair (ties: lexicographic), and "
+        "rewrites the vocabulary — exactly how tokenizer training "
+        "bootstraps. Scale: the ONLY corpus-sized pass is the word-"
+        "frequency aggregation (one shuffle); merges then iterate on the "
+        "distinct-word vocabulary table (mergeable to millions of rows "
+        "at 100 TB), and each round's single winning pair — k x 3 "
+        "strings of model state — is what visits the driver, mirroring "
+        "the k-means centroid pattern. Pair application uses "
+        "non-overlapping left-to-right replace on space-delimited symbol "
+        "strings, identical semantics on both engines.",
+)
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("cnt")))
+    vocab = freq.select(
+        "word", "cnt",
+        F.concat(F.lit(" "),
+                 F.regexp_replace("word", "(.)", "$1 ")).alias("sp"))
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for i in range(1, BPE_MERGES + 1):
+        toks = F.split(F.trim(F.col("sp")), " ")
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda k: F.struct(
+                            F.element_at(toks, k).alias("l"),
+                            F.element_at(toks, k + 1).alias("r")))
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        top = (vocab.select(F.explode(pairs).alias("pr"), "cnt")
+               .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+               .agg(F.sum("cnt").alias("c"))
+               .orderBy(F.col("c").desc(), "l", "r")
+               .limit(1).collect()[0])
+        l, r, c = top["l"], top["r"], int(top["c"])
+        merges.append((i, l, r, l + r, c))
+        if i < BPE_MERGES:
+            vocab = vocab.select(
+                "word", "cnt",
+                F.replace(F.col("sp"), F.lit(f" {l} {r} "),
+                          F.lit(f" {l}{r} ")).alias("sp"))
+
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long")
