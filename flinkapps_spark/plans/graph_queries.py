@@ -145,3 +145,77 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         und, (F.col("w_a") == F.col("a")) & (F.col("w_c") == F.col("b")))
     out = closed.agg(F.count("*").alias("n_triangles"))
     return out
+
+
+LP_ITERATIONS = 3
+
+
+def _sql_labelprop() -> str:
+    parts = [f"""
+        WITH edges AS ({_SQL_EDGES}),
+        adj AS (
+            SELECT DISTINCT src AS v, dst AS n FROM edges WHERE src <> dst
+            UNION
+            SELECT DISTINCT dst AS v, src AS n FROM edges WHERE src <> dst),
+        nodes AS (SELECT DISTINCT v AS node FROM adj),
+        lab0 AS (SELECT node, node AS lab FROM nodes)"""]
+    for i in range(LP_ITERATIONS):
+        parts.append(f""",
+        lab{i + 1} AS (
+            SELECT nn.node, COALESCE(m.lab, nn.node) AS lab
+            FROM nodes nn LEFT JOIN (
+                SELECT v, lab FROM (
+                    SELECT a.v, l.lab, COUNT(*) AS c
+                    FROM adj a JOIN lab{i} l ON a.n = l.node
+                    GROUP BY a.v, l.lab)
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY v ORDER BY c DESC, lab) = 1
+            ) m ON nn.node = m.v)""")
+    parts.append(f"""
+        SELECT node AS user_id, lab AS label FROM lab{LP_ITERATIONS}""")
+    return "".join(parts)
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_sql_labelprop(),
+    category="extension: graph (label propagation communities)",
+    doc="Synchronous label propagation (Raghavan et al. 2007) on the "
+        "undirected event graph: every node starts as its own label; "
+        "each of 3 rounds re-labels a node with the MOST FREQUENT label "
+        "among its neighbors (ties: smallest label — a total order, so "
+        "the sync update is fully deterministic and needs no float "
+        "tolerance anywhere). Complements the min-label connected "
+        "components in operators/dedup.py: LP finds dense communities "
+        "inside a component, not just reachability. Scale: per round, "
+        "one join keyed on the neighbor column and one (node, label) "
+        "count shuffle — the same two-exchange shape as PageRank; "
+        "localCheckpoint truncates iteration lineage; adjacency builds "
+        "once and stays cached.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") + 1 + F.col("event_id") % 97) % 150)
+        .alias("dst")).filter(F.col("src") != F.col("dst"))
+    adj = (e.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+           .union(e.select(F.col("dst").alias("v"), F.col("src").alias("n")))
+           .distinct().persist())
+    nodes = adj.select(F.col("v").alias("node")).distinct().persist()
+    labs = nodes.select("node", F.col("node").alias("lab"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(LP_ITERATIONS):
+        counted = (adj.join(labs, adj.n == labs.node)
+                   .groupBy("v", "lab").agg(F.count("*").alias("c")))
+        mode = (counted.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1).select("v", "lab"))
+        labs = (nodes.join(mode, nodes.node == mode.v, "left")
+                .select("node", F.coalesce("lab", "node").alias("lab"))
+                ).localCheckpoint()
+    out = labs.select(F.col("node").alias("user_id"),
+                      F.col("lab").alias("label"))
+    adj.unpersist()
+    nodes.unpersist()
+    return out
