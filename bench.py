@@ -76,6 +76,13 @@ HEADLINE = [
     "itemset_copurchase_pairs",
     "rfm_segmentation",
     "skew_key_audit",
+    # round-5 additions
+    "kmeans_lloyd",
+    "vocab_bpe_merges",
+    "text_quality_linear",
+    "sketch_grid_quantiles",
+    "events_ewma_recent",
+    "graph_label_propagation",
 ]
 
 

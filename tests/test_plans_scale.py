@@ -369,3 +369,38 @@ def test_itemset_pairs_shuffle_on_pair_key(spark):
     plan = plan_of(spark, "itemset_copurchase_pairs")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row count table
+
+
+def test_quality_linear_map_only(spark):
+    """The hashed linear quality scorer is a pure JVM map over the scan:
+    zero exchanges, zero joins, zero Python."""
+    plan = plan_of(spark, "text_quality_linear")
+    assert plan.count("Exchange") == 0, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_kmeans_assignment_no_join(spark):
+    """Lloyd assignment carries the centroids as broadcast literals in the
+    expression tree — the final plan has NO join operator, only the
+    (cluster, dim) partial-agg shuffle."""
+    plan = plan_of(spark, "kmeans_lloyd")
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_grid_quantiles_partial_merge(spark):
+    """The histogram builds map-side partials before each exchange (the
+    sketch-merge property in the physical plan), and never joins."""
+    plan = plan_of(spark, "sketch_grid_quantiles")
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_ewma_single_shuffle(spark):
+    """The top-256 window and the per-key fold share one event_type hash
+    partitioning: exactly one Exchange, no Python stage."""
+    plan = plan_of(spark, "events_ewma_recent")
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan, plan
