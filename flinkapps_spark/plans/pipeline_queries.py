@@ -1996,3 +1996,132 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", "n_match_slots",
         est.alias("est_jaccard"), "exact_jaccard",
         F.round(F.abs(est - F.col("exact_jaccard")), 6).alias("abs_err"))
+
+
+# ---------------------------------------------------------------------------
+# neardup_signal_agreement — do the text and embedding detectors agree?
+# ---------------------------------------------------------------------------
+
+AGREE_JT = 0.9        # shingle-Jaccard threshold for the text signal
+AGREE_CT = 0.9988     # rounded-cosine threshold for the embedding signal
+
+# SQL_WORDS applied to the first-word-dropped twin instead of text
+_SQL_WORDS_DROPFIRST = SQL_WORDS.replace(
+    "lower(text)", "lower(regexp_replace(text, '^\\w+\\W+', ''))")
+
+
+@query(
+    "neardup_signal_agreement",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {SQL_WORDS} AS wa,
+                   {_SQL_WORDS_DROPFIRST} AS wb
+            FROM documents
+        ),
+        wc AS (
+            SELECT doc_id,
+                   list_transform(wa, w -> {_sql_word_code('w')}) AS ca_w,
+                   list_transform(wb, w -> {_sql_word_code('w')}) AS cb_w
+            FROM d WHERE len(wa) >= 3 AND len(wb) >= 3
+        ),
+        txt AS (
+            SELECT doc_id,
+                   {_sql_shingle_codes('ca_w')} AS ca,
+                   {_sql_shingle_codes('cb_w')} AS cb
+            FROM wc
+        ),
+        tj AS (
+            SELECT doc_id,
+                   CAST(len(list_intersect(ca, cb)) AS DOUBLE)
+                       / (len(ca) + len(cb) - len(list_intersect(ca, cb)))
+                       AS jaccard
+            FROM txt
+        ),
+        ej AS (
+            SELECT vec_id,
+                   ROUND({_sql_cos('v', 'b')}, 6) AS cosine
+            FROM (
+                SELECT vec_id, v, [v[1] + 0.05] || v[2:] AS b
+                FROM (SELECT vec_id, {SQL_EMB_D} AS v FROM embeddings)
+            )
+        ),
+        cls AS (
+            SELECT t.doc_id, t.jaccard, e.cosine,
+                   CASE WHEN t.jaccard >= {AGREE_JT}
+                             AND e.cosine >= {AGREE_CT} THEN 'both'
+                        WHEN t.jaccard >= {AGREE_JT} THEN 'text_only'
+                        WHEN e.cosine >= {AGREE_CT} THEN 'embedding_only'
+                        ELSE 'neither' END AS found_by
+            FROM tj t JOIN ej e ON t.doc_id = e.vec_id
+        )
+        SELECT found_by, COUNT(*) AS n_entities,
+               ROUND(MIN(jaccard), 6) AS min_jaccard,
+               ROUND(MAX(jaccard), 6) AS max_jaccard,
+               MIN(cosine) AS min_cosine, MAX(cosine) AS max_cosine
+        FROM cls GROUP BY found_by
+    """,
+    category="extension: dedup (multi-signal agreement audit)",
+    doc="Cross-detector calibration: for every base entity, the TEXT "
+        "near-dup signal (3-shingle Jaccard between the doc and its "
+        "first-word-dropped twin, >= 0.9) and the EMBEDDING signal "
+        "(cosine between the vector and its +0.05-bumped twin, rounded "
+        "6dp >= 0.9988) are evaluated on the SAME constructed "
+        "perturbation, then entities are classed both / text_only / "
+        "embedding_only / neither. This is how a pipeline chooses "
+        "thresholds before committing to one detector family: the "
+        "disagreement classes ARE the calibration signal (the thresholds "
+        "here deliberately sit inside each signal's distribution so all "
+        "classes are populated). Per-entity signals are single-row "
+        "computations — the corpus pass is map-only plus one base-id "
+        "equi-join (documents x embeddings) and a 4-group aggregate; no "
+        "pair joins at all, so it scales linearly. Jaccard is exact "
+        "int-ratio; min/max aggregates of identical doubles are "
+        "order-independent (no sums cross the exchange).",
+)
+def neardup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.functions.text import word_code
+    from flinkapps_spark.operators.dedup import shingle_codes_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    wa = tokenize(F.col("text"))
+    wb = tokenize(F.regexp_replace("text", "^\\w+\\W+", ""))
+    d = (docs.select("doc_id", wa.alias("wa"), wb.alias("wb"))
+         .filter((F.size("wa") >= 3) & (F.size("wb") >= 3)))
+    codes = d.select(
+        "doc_id",
+        shingle_codes_of(F.transform("wa", lambda w: word_code(w)))
+            .alias("ca"),
+        shingle_codes_of(F.transform("wb", lambda w: word_code(w)))
+            .alias("cb"))
+    inter = F.size(F.array_intersect("ca", "cb"))
+    tj = codes.select(
+        "doc_id",
+        (inter.cast("double")
+         / (F.size("ca") + F.size("cb") - inter)).alias("jaccard"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    ed = emb.select("vec_id", v.alias("v"),
+                    F.concat(F.array(F.element_at(v, 1) + 0.05),
+                             F.slice(v, 2, 10_000)).alias("b"))
+    dot = F.aggregate(F.zip_with("v", "b", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    ej = ed.select(
+        "vec_id",
+        F.round(dot / (nrm(F.col("v")) * nrm(F.col("b"))), 6).alias("cosine"))
+
+    cls = (tj.join(ej, tj.doc_id == ej.vec_id)
+           .select("jaccard", "cosine",
+                   F.when((F.col("jaccard") >= AGREE_JT)
+                          & (F.col("cosine") >= AGREE_CT), "both")
+                   .when(F.col("jaccard") >= AGREE_JT, "text_only")
+                   .when(F.col("cosine") >= AGREE_CT, "embedding_only")
+                   .otherwise("neither").alias("found_by")))
+    return (cls.groupBy("found_by")
+            .agg(F.count("*").alias("n_entities"),
+                 F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+                 F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+                 F.min("cosine").alias("min_cosine"),
+                 F.max("cosine").alias("max_cosine")))
