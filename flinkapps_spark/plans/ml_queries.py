@@ -236,9 +236,33 @@ GQ_WIDTH = 4.0            # bin width over events.value (range ~0..490)
 GQ_QS = (0.5, 0.9, 0.99)
 
 
-@query(
-    "sketch_grid_quantiles",
-    oracle=f"""
+def grid_quantiles_finalize(hist: DataFrame) -> DataFrame:
+    """Read p50/p90/p99 off a merged (event_type, bin, cnt) histogram —
+    the sketch-finalization step, shared by the batch partial-merge path
+    and the streaming state-store path (stream_grid_quantiles)."""
+    wcum = (Window.partitionBy("event_type").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type", "bin", "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+        F.count("*").over(wall).alias("n_bins"))
+    qs = F.explode(F.array(*[F.lit(q) for q in GQ_QS])).alias("q")
+    hit = (cum.select("*", qs)
+           .filter(F.col("cum").cast("double") >= F.col("q") * F.col("total"))
+           .withColumn("rk", F.row_number().over(
+               Window.partitionBy("event_type", "q").orderBy("bin")))
+           .filter(F.col("rk") == 1))
+    est = (F.col("bin") * GQ_WIDTH + GQ_WIDTH
+           * ((F.col("q") * F.col("total")
+               - (F.col("cum") - F.col("cnt")).cast("double"))
+              / F.col("cnt")))
+    return hit.select("event_type", "q", est.alias("estimate"),
+                      "total", "n_bins")
+
+
+GRID_QUANTILES_ORACLE = f"""
         WITH hist AS (
             SELECT event_type,
                    CAST(floor(value / {GQ_WIDTH}) AS BIGINT) AS bin,
@@ -269,7 +293,12 @@ GQ_QS = (0.5, 0.9, 0.99)
                CAST(total AS BIGINT) AS total,
                CAST(n_bins AS BIGINT) AS n_bins
         FROM hit
-    """,
+    """
+
+
+@query(
+    "sketch_grid_quantiles",
+    oracle=GRID_QUANTILES_ORACLE,
     category="extension: mergeable sketch (grid-histogram quantiles)",
     doc="Fixed-grid histogram quantile sketch: bin = floor(value/4), "
         "p50/p90/p99 read off the cumulative histogram with linear "
@@ -293,26 +322,7 @@ def sketch_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("pcnt")))
     # ... merged by bin-count addition: the sketch-union operation
     hist = part.groupBy("event_type", "bin").agg(F.sum("pcnt").alias("cnt"))
-    wcum = (Window.partitionBy("event_type").orderBy("bin")
-            .rowsBetween(Window.unboundedPreceding, 0))
-    wall = Window.partitionBy("event_type")
-    cum = hist.select(
-        "event_type", "bin", "cnt",
-        F.sum("cnt").over(wcum).alias("cum"),
-        F.sum("cnt").over(wall).alias("total"),
-        F.count("*").over(wall).alias("n_bins"))
-    qs = F.explode(F.array(*[F.lit(q) for q in GQ_QS])).alias("q")
-    hit = (cum.select("*", qs)
-           .filter(F.col("cum").cast("double") >= F.col("q") * F.col("total"))
-           .withColumn("rk", F.row_number().over(
-               Window.partitionBy("event_type", "q").orderBy("bin")))
-           .filter(F.col("rk") == 1))
-    est = (F.col("bin") * GQ_WIDTH + GQ_WIDTH
-           * ((F.col("q") * F.col("total")
-               - (F.col("cum") - F.col("cnt")).cast("double"))
-              / F.col("cnt")))
-    return hit.select("event_type", "q", est.alias("estimate"),
-                      "total", "n_bins")
+    return grid_quantiles_finalize(hist)
 
 
 # ---------------------------------------------------------------------------
