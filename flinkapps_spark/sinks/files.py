@@ -82,3 +82,63 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def compact_parquet(spark, path: str, *, target_mb: int = 256,
+                    partition_col: str | None = None) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files sized
+    near ``target_mb`` — the table-maintenance job every long-lived
+    ingest (streaming sinks, incremental batches) needs, because
+    thousands of KB-sized part files destroy scan throughput (footer
+    reads + task-per-file scheduling dominate).
+
+    Sizing is measured, not guessed: the current on-disk byte size sets
+    the output file count (ceil(bytes / target)); ``repartition(n)`` is
+    a full shuffle of the data ONCE, which is the cost of the compaction
+    by definition.  With ``partition_col`` the layout is preserved
+    (repartition on the column so each Hive partition writes its own
+    files) and dynamic partition overwrite would let a scheduler compact
+    one partition at a time.  Writes to a temp sibling then swaps, so a
+    crash mid-compaction never leaves the dataset half-rewritten.
+
+    Returns the number of output files written.
+    """
+    import glob
+    import os
+    import shutil
+
+    files = [f for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                                  recursive=True)
+             if os.path.isfile(f)]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    rep = (df.repartition(int(n_out), partition_col) if partition_col
+           else df.repartition(int(n_out)))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    w = rep.write.mode("overwrite")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len([f for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                                     recursive=True) if os.path.isfile(f)])
+
+
+def insert_overwrite_partitions(df: DataFrame, path: str,
+                                partition_col: str) -> None:
+    """Dynamic partition overwrite: replace ONLY the Hive partitions
+    present in ``df``, leaving all others untouched — the idempotent
+    re-run primitive for daily/hourly backfills (a failed day re-writes
+    that day, not the table).  Uses Spark's
+    ``partitionOverwriteMode=dynamic`` scoped to this single write via
+    the DataFrameWriter option (no session-level state leaked).
+    """
+    (df.write
+     .option("partitionOverwriteMode", "dynamic")
+     .mode("overwrite")
+     .partitionBy(partition_col)
+     .parquet(path))

@@ -692,3 +692,40 @@ def test_exact_dedup_skew_guard(spark):
                  .agg(F.max("count")).first()[0])
     assert unsplit_max == n / 2
     assert split_max <= unsplit_max / 4
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """A fragmented dataset (64 tiny files) compacts to the measured
+    target count with identical contents; the swap is atomic-ish (no
+    temp dirs left behind)."""
+    from flinkapps_spark.sinks.files import compact_parquet
+    path = str(tmp_path / "frag")
+    spark.range(10_000).selectExpr("id", "id % 7 AS k") \
+        .repartition(64).write.parquet(path)
+    before = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert before >= 32
+    total_before = spark.read.parquet(path).count()
+    sum_before = spark.read.parquet(path).agg(F.sum("id")).collect()[0][0]
+    n_out = compact_parquet(spark, path, target_mb=256)
+    assert n_out < before
+    assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + "__compact_old")
+    after = spark.read.parquet(path)
+    assert after.count() == total_before
+    assert after.agg(F.sum("id")).collect()[0][0] == sum_before
+
+
+def test_insert_overwrite_partitions_touches_only_written(spark, tmp_path):
+    """Dynamic partition overwrite rewrites only the partitions present
+    in the incoming frame; untouched partitions keep their rows."""
+    from flinkapps_spark.sinks.files import insert_overwrite_partitions
+    path = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [(1, "d1"), (2, "d1"), (3, "d2"), (4, "d3")], "id int, day string")
+    insert_overwrite_partitions(base, path, "day")
+    # backfill re-writes ONLY d2 with corrected rows
+    fix = spark.createDataFrame([(30, "d2"), (31, "d2")], "id int, day string")
+    insert_overwrite_partitions(fix, path, "day")
+    got = {(r["id"], r["day"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "d1"), (2, "d1"), (30, "d2"), (31, "d2"), (4, "d3")}
