@@ -2125,3 +2125,68 @@ def neardup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.max("jaccard"), 6).alias("max_jaccard"),
                  F.min("cosine").alias("min_cosine"),
                  F.max("cosine").alias("max_cosine")))
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_probe_sweep — how many cells must a query probe?
+# ---------------------------------------------------------------------------
+
+IVF_SWEEP_PROBES = (1, 2, 4, 16)           # 16 = all cells = exhaustive
+IVF_SWEEP_FLOORS = {1: 0.10, 2: 0.15, 4: 0.30, 16: 1.0}
+
+
+@query(
+    "knn_ivf_probe_sweep",
+    oracle=f"""
+        SELECT p.n_probe, COUNT(*) AS n_queries,
+               true AS floor_ok, true AS monotone_ok
+        FROM embeddings e CROSS JOIN (
+            SELECT unnest([{", ".join(map(str, IVF_SWEEP_PROBES))}])
+                AS n_probe) p
+        WHERE e.vec_id < 10
+        GROUP BY p.n_probe
+    """,
+    category="extension: similarity (IVF probe-count calibration)",
+    doc="The n_probe calibration table for the IVF ANN index: recall@5 "
+        "against brute force at 1, 2, 4 and 16 probed cells (of 16). "
+        "Cell boundaries are MLlib-model-specific, so the emitted values "
+        "are the deterministic PROPERTIES of the sweep rather than raw "
+        "recalls: per-setting floor checks, monotonicity (probe sets "
+        "nest under one fixed-seed model, so recall can only grow), and "
+        "the exhaustive endpoint — probing ALL cells makes the candidate "
+        "set identical to brute force and both paths share the "
+        "(rounded-cosine, vec_id) ranking, so recall at n_probe=16 is "
+        "EXACTLY 1.0, not approximately. This is how a pipeline picks "
+        "the latency/recall knee before committing a billion-vector "
+        "index. Scale: queries broadcast; the corpus partitions by cell "
+        "once per setting; the per-setting index build here re-fits the "
+        "same fixed-seed quantizer (memoize in production).",
+)
+def knn_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.knn_bruteforce(emb, q, k=5) \
+        .select("query_id", "vec_id")
+    per_probe = []
+    for p in IVF_SWEEP_PROBES:
+        ann = similarity.knn_ivf(emb, q, k=5, n_probe=p) \
+            .select("query_id", "vec_id").withColumn("hit", F.lit(1))
+        j = brute.join(ann, ["query_id", "vec_id"], "left")
+        per_probe.append(j.agg(
+            F.lit(p).alias("n_probe"),
+            F.countDistinct("query_id").alias("n_queries"),
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+             / F.count(F.lit(1))).alias("recall")))
+    allp = per_probe[0]
+    for df in per_probe[1:]:
+        allp = allp.unionByName(df)
+    from pyspark.sql import Window as W
+    prev = F.lag("recall").over(W.orderBy("n_probe"))
+    floor = F.create_map(*[F.lit(x) for kv in IVF_SWEEP_FLOORS.items()
+                           for x in kv])
+    return (allp.select(
+        "n_probe", "n_queries",
+        (F.col("recall") >= floor.getItem(F.col("n_probe")))
+            .alias("floor_ok"),
+        F.coalesce(F.col("recall") >= prev, F.lit(True))
+            .alias("monotone_ok")))
