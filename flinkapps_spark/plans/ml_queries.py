@@ -125,6 +125,9 @@ def _kmeans_oracle() -> str:
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
     emb = load_table(spark, sf_dir, "embeddings")
+    # read once per Lloyd round; session-scoped cache (the returned frame
+    # is lazy, so unpersist belongs to the caller) — MEMORY_AND_DISK
+    # spills instead of pinning executor memory
     pts = emb.select("vec_id", _units_arr(F.col("embedding")).alias("u")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     cents = {int(r["vec_id"]): list(r["u"])

@@ -2181,6 +2181,8 @@ def knn_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per_probe[1:]:
         allp = allp.unionByName(df)
     from pyspark.sql import Window as W
+    # partition-less window is safe here: the frame is the 4-row sweep
+    # summary (one row per n_probe setting), never corpus-sized
     prev = F.lag("recall").over(W.orderBy("n_probe"))
     floor = F.create_map(*[F.lit(x) for kv in IVF_SWEEP_FLOORS.items()
                            for x in kv])
