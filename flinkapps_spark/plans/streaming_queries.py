@@ -636,9 +636,14 @@ def stream_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+from flinkapps_spark.plans.ml_queries import (  # noqa: E402
+    GQ_WIDTH, GRID_QUANTILES_ORACLE as _GRID_ORACLE, grid_quantiles_finalize,
+)
+
+
 @query(
     "stream_grid_quantiles",
-    oracle=None,  # set below: shares the batch sketch's oracle verbatim
+    oracle=_GRID_ORACLE,  # shared verbatim with the batch sketch
     category="streaming: incremental quantile sketch (complete)",
     doc="The grid-histogram quantile sketch maintained INCREMENTALLY by "
         "the streaming state store: each micro-batch updates per-(type, "
@@ -652,9 +657,6 @@ def stream_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "constant per key, unbounded input.",
 )
 def stream_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flinkapps_spark.plans.ml_queries import (
-        GQ_WIDTH, grid_quantiles_finalize,
-    )
     ev = file_stream_source(spark, sf_dir, "events")
     hist = (ev.groupBy(
         F.col("event_type"),
@@ -662,16 +664,3 @@ def stream_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt")))
     converged = run_stream_to_memory(hist, output_mode="complete")
     return grid_quantiles_finalize(converged)
-
-
-def _patch_stream_grid_oracle() -> None:
-    # late-bind the shared oracle (ml_queries imports after this module
-    # in catalog._load_all, so the constant is attached post-definition)
-    from flinkapps_spark.plans import catalog as _cat
-    from flinkapps_spark.plans.ml_queries import GRID_QUANTILES_ORACLE
-    qd = _cat._REGISTRY["stream_grid_quantiles"]
-    _cat._REGISTRY["stream_grid_quantiles"] = type(qd)(
-        qd.name, qd.build, GRID_QUANTILES_ORACLE, qd.category, qd.doc)
-
-
-_patch_stream_grid_oracle()
