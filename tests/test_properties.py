@@ -177,3 +177,49 @@ def test_jaccard_prefix_filter_lossless(spark, texts, threshold):
     naive_i = sorted(map(tuple, jaccard_pairs_incremental(
         docs, is_new, threshold=threshold, prefix_filter=False).collect()))
     assert fast_i == naive_i
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                          st.integers(0, 23),
+                          st.floats(0.0, 490.0, allow_nan=False,
+                                    allow_infinity=False)),
+                min_size=1, max_size=60))
+def test_grid_histogram_merge_lossless(spark, rows):
+    """Sketch-union property behind sketch_grid_quantiles: per-partial
+    histograms merged by bin-count addition equal the direct single-pass
+    histogram for ANY partition assignment (hour column here)."""
+    from flinkapps_spark.plans.ml_queries import GQ_WIDTH
+    df = spark.createDataFrame(rows, "k string, part int, value double")
+    binc = F.floor(F.col("value") / GQ_WIDTH).cast("long")
+    direct = {tuple(r) for r in
+              df.groupBy("k", binc.alias("bin"))
+                .agg(F.count("*").alias("cnt")).collect()}
+    merged = {tuple(r) for r in
+              df.groupBy("k", F.col("part"), binc.alias("bin"))
+                .agg(F.count("*").alias("pcnt"))
+                .groupBy("k", "bin").agg(F.sum("pcnt").alias("cnt"))
+                .collect()}
+    assert direct == merged
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.floats(-1e3, 1e3, allow_nan=False,
+                          allow_infinity=False, width=32),
+                min_size=1, max_size=40))
+def test_ewma_fold_matches_python(spark, values):
+    """The JVM left-fold in events_ewma_recent computes the exact same
+    IEEE sequence as the reference Python recurrence (s = a*x + (1-a)*s
+    seeded with the first element)."""
+    from flinkapps_spark.plans.ml_queries import EWMA_ALPHA
+    expected = values[0]
+    for x in values[1:]:
+        expected = x * EWMA_ALPHA + expected * (1 - EWMA_ALPHA)
+    df = spark.createDataFrame([(values,)], "vals array<double>")
+    got = df.select(F.aggregate(
+        F.slice(F.col("vals"), 2,
+                F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at("vals", 1),
+        lambda acc, x: x * EWMA_ALPHA + acc * (1 - EWMA_ALPHA))
+        .alias("e")).collect()[0]["e"]
+    assert got == expected  # bit-identical, not approximately
