@@ -294,6 +294,12 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "vec_id", "cosine", "rank"))
 
 
+# PQ codebooks are trained on a bounded sample (standard practice: faiss
+# recommends ~max(10k, 256·k) training points regardless of corpus size);
+# the cap keeps driver memory and train time O(1) in corpus size.
+_PQ_TRAIN_CAP = 16384
+
+
 def pq_encode_audit(df: DataFrame, m: int = 8, k: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     seed: int = 42,
@@ -313,20 +319,20 @@ def pq_encode_audit(df: DataFrame, m: int = 8, k: int = 16,
     cannot be oracled; the floors are set at ~half the observed values,
     same pattern as the LSH/IVF recall gates).
 
-    Scale: codebook training (KMeans.fit per subspace) runs over
-    ``train_fraction`` of the corpus — codebooks only need a sample, so
-    at 100 TB pass ``train_fraction≈1e-5`` and the fit cost is bounded
-    while encode stays exact; encoding and reconstruction are pure
-    Column expressions (element_at into a literal codebook array), so
-    the 100 TB encode pass is map-only with whole-stage codegen, no
-    shuffle, no Python.
+    Scale: codebook training is seeded Lloyd on a driver-side sample
+    capped at ``_PQ_TRAIN_CAP`` rows (optionally thinned first by
+    ``train_fraction`` — at 100 TB pass ≈1e-5 so the limit() scan stops
+    early); codebooks only ever need a bounded sample, so train cost is
+    O(1) in corpus size.  Encode + reconstruct + score run in ONE
+    Arrow-batched pandas UDF (vectorized numpy per batch, codebooks in
+    the closure) — map-only, no shuffle, no ML stages; see the in-body
+    note for why this beats the pure-Column form here.
 
     Requires ``dim % m == 0`` (asserted): otherwise the reconstruction
     concat would cover only ``m*(dim//m)`` elements and the cosine
     zip_with would null-pad, silently turning the audit booleans NULL.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     c = df.select(F.col(id_col).alias("vec_id"),
                   _as_double(F.col(vec_col)).alias("v"))
@@ -339,26 +345,61 @@ def pq_encode_audit(df: DataFrame, m: int = 8, k: int = 16,
             f"last subvector would make recon_cos NULL instead of failing")
     sub = dim // m
 
-    enc = c
-    recon_parts = []
+    # Phase 1 — train: seeded Lloyd over a BOUNDED in-memory sample
+    # (≤ _PQ_TRAIN_CAP rows), the standard PQ recipe (faiss trains its
+    # codebooks the same way: a ~100k sample, never the corpus).  The
+    # earlier MLlib form ran 8 distributed KMeans fits — hundreds of
+    # scheduler-bound micro-jobs that dominated runtime at every sf
+    # (24 s at sf0.1) while touching only 20k rows; driver-side numpy on
+    # the sample is milliseconds and strictly bounded at 100 TB.
+    train = (c if train_fraction >= 1.0
+             else c.sample(fraction=train_fraction, seed=seed))
+    X = np.asarray(
+        [r["v"] for r in train.select("v").limit(_PQ_TRAIN_CAP).collect()],
+        dtype=np.float64)
+    codebooks: list[list[list[float]]] = []
     for i in range(m):
-        sv = F.slice("v", i * sub + 1, sub)
-        ml_in = enc.withColumn("__feat", array_to_vector(sv))
-        train = (ml_in if train_fraction >= 1.0
-                 else ml_in.sample(fraction=train_fraction, seed=seed + i))
-        model = (KMeans(k=k, seed=seed + i, featuresCol="__feat",
-                        predictionCol=f"__code_{i}")
-                 .fit(train))
-        enc = model.transform(ml_in).drop("__feat")
-        centers = F.array(*[
-            F.array(*[F.lit(float(x)) for x in ctr])
-            for ctr in model.clusterCenters()])
-        recon_parts.append(
-            F.element_at(centers, F.col(f"__code_{i}") + 1))
-    recon = F.concat(*recon_parts)
-    scored = enc.select(
-        "vec_id",
-        F.round(cosine_similarity(F.col("v"), recon), 6).alias("recon_cos"))
+        S = X[:, i * sub:(i + 1) * sub]
+        rng = np.random.default_rng(seed + i)
+        ctr = S[rng.choice(len(S), size=min(k, len(S)), replace=False)]
+        for _ in range(25):
+            d2 = ((S[:, None, :] - ctr[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(ctr)):
+                pts = S[assign == j]
+                if len(pts):            # empty cluster keeps its center
+                    ctr[j] = pts.mean(axis=0)
+        codebooks.append([[float(x) for x in row] for row in ctr])
+
+    # Phase 2 — encode + reconstruct + score in ONE Arrow-batched pandas
+    # UDF (map-only, no shuffle; codebooks ride in the closure, m*k*sub
+    # floats).  A pure-Column form was tried first and rejected measured:
+    # per-subspace argmin over k centers needs aggregate()/zip_with()
+    # lambda chains, and Spark evaluates higher-order array functions
+    # INTERPRETED (no whole-stage codegen) — ~26 s for 20k x 64 vectors
+    # vs <1 s for the vectorized numpy batch below.  Per Arrow batch: one
+    # n x k distance matrix per subspace via the |s|^2 - 2 s.C + |C|^2
+    # expansion, argmin (first-index tie-break, same as Lloyd), gather,
+    # cosine.
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    @pandas_udf("double")
+    def _recon_cos(vs):
+        Xb = np.asarray(vs.tolist(), dtype=np.float64)
+        recon = np.empty_like(Xb)
+        for i, ctr in enumerate(books):
+            S = Xb[:, i * sub:(i + 1) * sub]
+            d2 = ((S * S).sum(1)[:, None] - 2.0 * S @ ctr.T
+                  + (ctr * ctr).sum(1)[None, :])
+            recon[:, i * sub:(i + 1) * sub] = ctr[d2.argmin(1)]
+        num = (Xb * recon).sum(1)
+        den = np.sqrt((Xb * Xb).sum(1)) * np.sqrt((recon * recon).sum(1))
+        out = np.where(den > 0, num / np.where(den > 0, den, 1.0), np.nan)
+        return pd.Series(np.round(out, 6))
+
+    scored = c.select("vec_id", _recon_cos(F.col("v")).alias("recon_cos"))
     return scored.agg(
         F.count("*").alias("n_vectors"),
         (F.avg("recon_cos") >= mean_floor).alias("mean_ok"),

@@ -1111,18 +1111,20 @@ def dedup_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augment_near(load_table(spark, sf_dir, "documents"))
     pairs = dedup.jaccard_pairs(docs, threshold=0.6)
     dupes = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    # persist the (small, id-only) keep set and attach the total via a
-    # broadcast scalar cross-join: a partition-less window would drag
-    # EVERY kept id through a single-partition exchange — 2e10 rows in
-    # one task at 100 TB — while count() is a tree-reduced aggregate
-    kept = docs.join(dupes, "doc_id", "left_anti").select("doc_id")
-    # session-scoped cache, intentionally not unpersisted here: the frame
-    # is returned lazily, so the action that would follow an unpersist
-    # happens in the caller; MEMORY_AND_DISK spills instead of pinning
+    # Persist the id-only dupe set and force it NOW: the expensive pair
+    # search upstream then runs exactly once no matter how many consumers
+    # the final plan has (the earlier form cached the corpus-sized keep
+    # set lazily; under session storage pressure the cache evicted and
+    # the pair search re-ran — 222 s vs 61 s at sf1).  doc_ids are unique
+    # on both sides, so kept_total = |docs| − |dupes| without a second
+    # pass or a partition-less window (which would drag every kept id
+    # through one task at 100 TB).
     from pyspark import StorageLevel
-    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
-    total = kept.groupBy().agg(F.count("*").alias("kept_total"))
-    return kept.crossJoin(F.broadcast(total))
+    dupes = dupes.persist(StorageLevel.MEMORY_AND_DISK)
+    n_dupes = dupes.count()
+    n_docs = docs.count()
+    kept = docs.join(dupes, "doc_id", "left_anti").select("doc_id")
+    return kept.withColumn("kept_total", F.lit(n_docs - n_dupes))
 
 
 @query(

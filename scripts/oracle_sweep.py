@@ -201,6 +201,13 @@ def main() -> None:
             r["spark_sec"] = round(time.perf_counter() - t0, 2)
             n_fail += 1
         results[name] = r
+        # queries are self-contained; drop any persist a query left behind
+        # so later queries don't evict/recompute under storage pressure
+        # (222 s dedup_keep_set at sf1 was cache thrash, not plan cost)
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001 — cleanup must not kill the sweep
+            pass
         _flush()
         flag = "" if r["status"] in ("pass", "rows-only") else "   <<<<"
         print(f"[{i + 1}/{len(names)}] {name}: {r['status']} "
