@@ -238,30 +238,85 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.99,
             .filter(F.col("cosine") >= threshold))
 
 
+def _lloyd(X, k: int, seed: int, iters: int = 25) -> list[list[float]]:
+    """Seeded Lloyd k-means over an in-memory sample matrix; returns the
+    centers as plain floats.  First-index argmin tie-break throughout.
+    Empty clusters keep their previous center (deterministic, no re-seed)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    ctr = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    xx = (X * X).sum(1)[:, None]
+    for _ in range(iters):
+        d2 = xx - 2.0 * X @ ctr.T + (ctr * ctr).sum(1)[None, :]
+        assign = d2.argmin(axis=1)
+        for j in range(len(ctr)):
+            pts = X[assign == j]
+            if len(pts):
+                ctr[j] = pts.mean(axis=0)
+    return [[float(x) for x in row] for row in ctr]
+
+
+def _sample_matrix(df: DataFrame, col: str, cap: int):
+    """Bounded driver-side sample of an array column as a numpy matrix —
+    the training substrate for coarse/PQ quantizers.  limit() short-
+    circuits the scan, so cost is O(cap) regardless of corpus size."""
+    import numpy as np
+    return np.asarray([r[col] for r in df.select(col).limit(cap).collect()],
+                      dtype=np.float64)
+
+
+def train_coarse_centroids(corpus: DataFrame, n_centroids: int = 16,
+                           vec_col: str = "embedding",
+                           seed: int = 42,
+                           train_cap: int = 16384) -> list[list[float]]:
+    """Train an IVF coarse quantizer on a bounded corpus sample (the
+    faiss recipe: quantizers never need the full corpus).  Train once and
+    pass the result to repeated ``knn_ivf`` calls (e.g. a probe sweep) so
+    the index is built once per corpus, not once per setting."""
+    c = corpus.select(_as_double(F.col(vec_col)).alias("cv"))
+    return _lloyd(_sample_matrix(c, "cv", train_cap), n_centroids, seed)
+
+
+def _cell_assign_udf(centers: list[list[float]]):
+    """Arrow-batched nearest-center assignment: per batch one n×k distance
+    matrix via the ‖v‖²−2v·C+‖C‖² expansion, first-index argmin (same
+    tie-break as Lloyd).  Map-only; the centers ride in the closure."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    C = np.asarray(centers, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _assign(vs):
+        Xb = np.asarray(vs.tolist(), dtype=np.float64)
+        d2 = ((Xb * Xb).sum(1)[:, None] - 2.0 * Xb @ C.T
+              + (C * C).sum(1)[None, :])
+        return pd.Series(d2.argmin(1).astype("int32"))
+
+    return _assign
+
+
 def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
             n_centroids: int = 16, n_probe: int = 3,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            seed: int = 42) -> DataFrame:
-    """IVF (inverted-file) ANN: KMeans-partition the corpus, search only
+            seed: int = 42,
+            centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means-partition the corpus, search only
     the n_probe nearest centroid cells per query — the standard
     billion-vector scale path (coarse quantizer + cell scan).
 
-    Uses Spark MLlib KMeans (fixed seed) for the coarse quantizer; cell
-    assignment is a one-pass map, and each query's candidate set is
-    n_probe/n_centroids of the corpus.
+    The coarse quantizer is seeded Lloyd on a bounded driver-side sample
+    (``train_coarse_centroids``); pass ``centroids=`` to reuse a trained
+    quantizer across calls.  Cell assignment is one Arrow-batched map
+    pass, and each query's candidate set is n_probe/n_centroids of the
+    corpus.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       _as_double(F.col(vec_col)).alias("cv"))
-    ml_input = c.withColumn("features", array_to_vector("cv"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features") \
-        .fit(ml_input)
-    assigned = model.transform(ml_input) \
-        .select("vec_id", "cv", F.col("prediction").alias("cell"))
+    centers = centroids if centroids is not None else \
+        _lloyd(_sample_matrix(c, "cv", _PQ_TRAIN_CAP), n_centroids, seed)
+    assigned = c.withColumn("cell", _cell_assign_udf(centers)(F.col("cv")))
 
-    centers = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
     spark = corpus.sparkSession
     centers_df = spark.createDataFrame(
         [(i, ctr) for i, ctr in enumerate(centers)],
@@ -354,22 +409,9 @@ def pq_encode_audit(df: DataFrame, m: int = 8, k: int = 16,
     # the sample is milliseconds and strictly bounded at 100 TB.
     train = (c if train_fraction >= 1.0
              else c.sample(fraction=train_fraction, seed=seed))
-    X = np.asarray(
-        [r["v"] for r in train.select("v").limit(_PQ_TRAIN_CAP).collect()],
-        dtype=np.float64)
-    codebooks: list[list[list[float]]] = []
-    for i in range(m):
-        S = X[:, i * sub:(i + 1) * sub]
-        rng = np.random.default_rng(seed + i)
-        ctr = S[rng.choice(len(S), size=min(k, len(S)), replace=False)]
-        for _ in range(25):
-            d2 = ((S[:, None, :] - ctr[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for j in range(len(ctr)):
-                pts = S[assign == j]
-                if len(pts):            # empty cluster keeps its center
-                    ctr[j] = pts.mean(axis=0)
-        codebooks.append([[float(x) for x in row] for row in ctr])
+    X = _sample_matrix(train, "v", _PQ_TRAIN_CAP)
+    codebooks = [_lloyd(X[:, i * sub:(i + 1) * sub], k, seed + i)
+                 for i in range(m)]
 
     # Phase 2 — encode + reconstruct + score in ONE Arrow-batched pandas
     # UDF (map-only, no shuffle; codebooks ride in the closure, m*k*sub

@@ -2151,27 +2151,32 @@ IVF_SWEEP_FLOORS = {1: 0.10, 2: 0.15, 4: 0.30, 16: 1.0}
     category="extension: similarity (IVF probe-count calibration)",
     doc="The n_probe calibration table for the IVF ANN index: recall@5 "
         "against brute force at 1, 2, 4 and 16 probed cells (of 16). "
-        "Cell boundaries are MLlib-model-specific, so the emitted values "
+        "Cell boundaries are quantizer-specific, so the emitted values "
         "are the deterministic PROPERTIES of the sweep rather than raw "
         "recalls: per-setting floor checks, monotonicity (probe sets "
-        "nest under one fixed-seed model, so recall can only grow), and "
+        "nest under one shared quantizer, so recall can only grow), and "
         "the exhaustive endpoint — probing ALL cells makes the candidate "
         "set identical to brute force and both paths share the "
         "(rounded-cosine, vec_id) ranking, so recall at n_probe=16 is "
         "EXACTLY 1.0, not approximately. This is how a pipeline picks "
         "the latency/recall knee before committing a billion-vector "
         "index. Scale: queries broadcast; the corpus partitions by cell "
-        "once per setting; the per-setting index build here re-fits the "
-        "same fixed-seed quantizer (memoize in production).",
+        "once per setting; the quantizer is trained ONCE on a bounded "
+        "sample and shared across all sweep settings.",
 )
 def knn_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     brute = similarity.knn_bruteforce(emb, q, k=5) \
         .select("query_id", "vec_id")
+    # one quantizer for the whole sweep: probe sets then nest by
+    # construction (the monotonicity property) and the index is built
+    # once per corpus, not once per setting
+    centroids = similarity.train_coarse_centroids(emb)
     per_probe = []
     for p in IVF_SWEEP_PROBES:
-        ann = similarity.knn_ivf(emb, q, k=5, n_probe=p) \
+        ann = similarity.knn_ivf(emb, q, k=5, n_probe=p,
+                                 centroids=centroids) \
             .select("query_id", "vec_id").withColumn("hit", F.lit(1))
         j = brute.join(ann, ["query_id", "vec_id"], "left")
         per_probe.append(j.agg(
