@@ -1853,7 +1853,7 @@ def er_multikey_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"),
         F.expr("right(c_name, 3)").alias("sfx"))
 
-    def block(keys: list, src: str) -> DataFrame:
+    def block(keys: list, src_bit: int) -> DataFrame:
         a, b = cust.alias("a"), cust.alias("b")
         cond = F.col("a.k") < F.col("b.k")
         for kcol in keys:
@@ -1861,7 +1861,7 @@ def er_multikey_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (a.join(b, cond)
                 .select(F.col("a.k").alias("a_key"),
                         F.col("b.k").alias("b_key"),
-                        F.lit(src).alias("src")))
+                        F.lit(src_bit).alias("src_bit")))
 
     # the pair-dedup shuffle carries ONLY fixed-width int keys — names
     # re-attach AFTER the aggregation (names are pair-functional, so
@@ -1869,10 +1869,15 @@ def er_multikey_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-attach: the dimension grows with the scale factor, so AQE picks
     # broadcast when it fits and degrades to a shuffle join when it
     # doesn't, instead of failing past the broadcast limit.
-    cand = block(["nat", "bal_b"], "bal").unionByName(
-        block(["seg", "sfx"], "sfx"))
+    # each source contributes a pair at most once (its block keys are
+    # functional per customer), so "COUNT(DISTINCT src)" ≡ popcount of a
+    # source bitmask — bit_or partial-aggregates map-side without the
+    # distinct-expand doubling countDistinct would pay on the pair stream
+    cand = block(["nat", "bal_b"], 1).unionByName(
+        block(["seg", "sfx"], 2))
     pairs = (cand.groupBy("a_key", "b_key")
-             .agg(F.countDistinct("src").alias("n_blocks")))
+             .agg(F.bit_count(F.bit_or("src_bit")).cast("long")
+                  .alias("n_blocks")))
     names = cust.select("k", "nm")
     withnames = (pairs
                  .join(names.withColumnRenamed("k", "a_key")
