@@ -1,0 +1,143 @@
+"""Engine-portable HyperLogLog: identical registers on every engine.
+
+Classic HLL (Flajolet et al. 2007, AMC'07; the HLL++ bias table of Heule
+et al. 2013 is intentionally omitted — the linear-counting switch covers
+the small range) built on a 60-bit md5-prefix hash (crypto-uniform in
+every bit, reproducible in any engine: both sides parse the first 15 hex
+chars of md5 of the value's string form), so an independent engine (the
+DuckDB oracle) reproduces the REGISTERS bit for bit, not just an
+estimate within tolerance.  The repo's poly-31 hash was tried first and
+REJECTED measured: its high bits are far from uniform on short decimal
+strings (sf1: estimate 373k for 15k true distinct) — rho statistics
+need every bit uniform, unlike the bucket-only uses elsewhere.  Every quantity downstream
+of the registers is then deterministic:
+
+- register weights sum as INTEGERS (2^(52-reg) fits int64: reg ≤ 51,
+  1024 registers → Σ ≤ 2^61), so the harmonic mean needs exactly ONE
+  floating division;
+- the raw estimate multiplies one shared literal (alpha·m²·2^52,
+  embedded via repr round-trip on both sides) by that quotient;
+- linear counting (raw ≤ 2.5m, V > 0) is m·ln(m/V) — ln is the one
+  libm call, and the final estimate rounds to an INTEGER, so a
+  last-ulp ln difference cannot surface;
+- reg_checksum = Σ reg·(bucket+1) pins the registers themselves in the
+  value hash.
+
+Scale: registers are a (key, bucket)→max aggregation — partial-agg
+combinable map-side, fixed m=1024 counters per key no matter how many
+rows stream through, and register tables MERGE by pairwise max, which is
+what makes per-segment sketches roll up to any coarser grain for free
+(the batch query's 'ALL' row and the streaming state-store variant both
+reuse exactly that algebra).
+
+Hash width: 60 bits — 10 bucket bits + 50 rho bits, ample for any
+practical cardinality (rho saturates at 51 ≈ 2^50 distinct per bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+HLL_P = 10
+HLL_M = 1 << HLL_P              # 1024 registers
+_HASH_HEX = 15                  # md5 prefix length → 60-bit hash
+_W_BITS = 4 * _HASH_HEX - HLL_P  # 50 rho-domain bits
+_RHO_MAX = _W_BITS + 1          # 51: value for w == 0 (all zeros)
+_SHIFT = 52                     # integer register weight 2^(52-reg)
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# alpha · m² · 2^52  (m²·2^52 = 2^72, exactly representable)
+HLL_NUM = HLL_ALPHA * float(1 << (2 * HLL_P + _SHIFT))
+_LC_CUTOFF = 2.5 * HLL_M
+
+
+def hll_registers(df: DataFrame, key_cols: list[str],
+                  value_col: str) -> DataFrame:
+    """(keys..., bucket, reg): the HLL register table.  One partial-agg
+    shuffle on (keys, bucket); reg = max over rows of rho(hash)."""
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")),
+                           1, _HASH_HEX), 16, 10).cast("long")
+    bucket = (h % HLL_M).alias("bucket")
+    w = F.floor(h / HLL_M).cast("long")
+    rho = F.when(w == 0, F.lit(_RHO_MAX)) \
+        .otherwise(F.lit(_RHO_MAX) - F.length(F.bin(w)))
+    return (df.groupBy(*key_cols, bucket)
+            .agg(F.max(rho).alias("reg")))
+
+
+def hll_merge(regs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Merge register tables to coarser keys: pairwise max per bucket —
+    the re-aggregation property (no raw data touched)."""
+    return regs.groupBy(*key_cols, "bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_finalize(regs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(keys..., hll_est, reg_checksum) from a register table."""
+    two_pow = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"CAST({_SHIFT} - reg AS INT))")
+    per = regs.groupBy(*key_cols).agg(
+        F.count("*").alias("n_obs"),
+        F.sum(two_pow).alias("sum_obs"),
+        F.sum(F.col("reg") * (F.col("bucket") + 1)).alias("reg_checksum"))
+    v = F.lit(HLL_M) - F.col("n_obs")
+    sum_int = (F.col("sum_obs")
+               + v * F.expr(f"shiftleft(CAST(1 AS BIGINT), {_SHIFT})"))
+    raw = F.lit(HLL_NUM) / sum_int.cast("double")
+    est = F.when((raw <= F.lit(_LC_CUTOFF)) & (v > 0),
+                 F.lit(float(HLL_M))
+                 * F.log(F.lit(float(HLL_M)) / v.cast("double"))) \
+        .otherwise(raw)
+    return per.select(*key_cols,
+                      F.round(est, 0).cast("long").alias("hll_est"),
+                      F.col("reg_checksum").cast("long")
+                      .alias("reg_checksum"))
+
+
+# --------------------------------------------------------------------------
+# DuckDB mirrors (shared by every query that oracles this sketch)
+# --------------------------------------------------------------------------
+
+def sql_hll_hash(value: str) -> str:
+    """60-bit integer from the first 15 hex chars of md5 of the value's
+    string form — mirrors the Spark conv(substring(md5(...))) hash."""
+    return (f"list_reduce(list_transform("
+            f"string_split(substr(md5(CAST({value} AS VARCHAR)), 1, "
+            f"{_HASH_HEX}), ''), "
+            f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+            f"(a, b) -> a * 16 + b)")
+
+
+def sql_hll_regs_cte(key: str, value: str, table: str) -> str:
+    """CTE body producing ``hll_regs(k, bucket, reg)`` from a table."""
+    return f"""
+        hll_hx AS (
+            SELECT {key} AS k, {sql_hll_hash(value)} AS h FROM {table}),
+        hll_regs AS (
+            SELECT k, h % {HLL_M} AS bucket,
+                   MAX(CASE WHEN h // {HLL_M} = 0 THEN {_RHO_MAX}
+                       ELSE {_RHO_MAX} - length(bin(h // {HLL_M}))
+                       END) AS reg
+            FROM hll_hx GROUP BY k, h % {HLL_M})"""
+
+
+def sql_hll_finalize(regs_rel: str) -> str:
+    """SELECT producing (k, hll_est, reg_checksum) from a register
+    relation — mirrors hll_finalize term for term (CASTs keep DuckDB's
+    HUGEINT sums out of the result)."""
+    return f"""
+        SELECT k,
+               CAST(ROUND(CASE WHEN {HLL_NUM!r} / CAST(sum_int AS DOUBLE)
+                                    <= {_LC_CUTOFF!r} AND v > 0
+                               THEN {float(HLL_M)!r}
+                                    * ln({float(HLL_M)!r}
+                                         / CAST(v AS DOUBLE))
+                               ELSE {HLL_NUM!r} / CAST(sum_int AS DOUBLE)
+                          END, 0) AS BIGINT) AS hll_est,
+               reg_checksum
+        FROM (
+            SELECT k, {HLL_M} - COUNT(*) AS v,
+                   CAST(SUM(CAST(1 AS BIGINT) << ({_SHIFT} - reg))
+                        + ({HLL_M} - COUNT(*))
+                          * (CAST(1 AS BIGINT) << {_SHIFT})
+                        AS BIGINT) AS sum_int,
+                   CAST(SUM(reg * (bucket + 1)) AS BIGINT) AS reg_checksum
+            FROM {regs_rel} GROUP BY k)"""

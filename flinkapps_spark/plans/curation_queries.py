@@ -600,3 +600,98 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_rows"),
                  F.min("k1").alias("min_k1"), F.max("k1").alias("max_k1"),
                  F.min("k2").alias("min_k2"), F.max("k2").alias("max_k2")))
+
+
+# ---------------------------------------------------------------------------
+# text_line_dedup — line-level exact dedup statistics
+# ---------------------------------------------------------------------------
+
+LINE_WORDS = 8            # unit width: fixed 8-word "lines"
+LINE_AUG_EVERY = 5        # every 5th doc gets a constructed duplicate copy
+
+
+@query(
+    "text_line_dedup",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+        aug AS (
+            SELECT doc_id, ws FROM base
+            UNION ALL
+            SELECT doc_id + 3000000, list_concat(ws[1:{LINE_WORDS}], ws)
+            FROM base
+            WHERE doc_id % {LINE_AUG_EVERY} = 0
+              AND len(ws) >= {LINE_WORDS}),
+        u AS (
+            SELECT doc_id,
+                   md5(unnest(list_transform(
+                       range(len(ws) // {LINE_WORDS}),
+                       i -> array_to_string(
+                           ws[i * {LINE_WORDS} + 1 : i * {LINE_WORDS}
+                              + {LINE_WORDS}], ' ')))) AS h
+            FROM aug),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_units,
+                   COUNT(DISTINCT h) AS n_distinct_units
+            FROM u GROUP BY doc_id),
+        dh AS (SELECT DISTINCT doc_id, h FROM u),
+        shared AS (SELECT h FROM dh GROUP BY h HAVING COUNT(*) >= 2),
+        spd AS (
+            SELECT doc_id, COUNT(*) AS n_shared_units
+            FROM dh JOIN shared USING (h) GROUP BY doc_id)
+        SELECT p.doc_id, p.n_units, p.n_distinct_units,
+               COALESCE(s.n_shared_units, 0) AS n_shared_units,
+               CAST(p.n_units - p.n_distinct_units AS DOUBLE)
+                   / CAST(p.n_units AS DOUBLE) AS intra_dup_ratio
+        FROM per_doc p LEFT JOIN spd s ON p.doc_id = s.doc_id
+    """,
+    category="extension: dedup (line-level / C4-style)",
+    doc="Line-level exact-dedup statistics — the C4/RefinedWeb step that "
+        "removes repeated lines and boilerplate paragraphs INSIDE and "
+        "ACROSS documents, one level below whole-doc dedup.  The fixture "
+        "has no newlines, so a 'line' is a fixed 8-word block; every 5th "
+        "doc gains a constructed copy with its first line prepended, "
+        "which manufactures both an intra-doc duplicate (the prepend "
+        "shifts the original blocks by exactly one full line, preserving "
+        "alignment) and cross-doc shared lines against the original.  "
+        "Per doc: unit count, distinct units, units shared with ANY "
+        "other doc, intra-doc dup ratio (one IEEE division).  Scale: one "
+        "explode, then every shuffle is keyed by doc_id or by the "
+        "128-bit md5 line digest (uniform; count-only aggs partial-"
+        "combine, so a viral boilerplate line cannot hot-spot a "
+        "reducer).  Line hashes, not line text, cross the wire.",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), "\\W+"), lambda w: w != "")
+    base = docs.select("doc_id", ws.alias("ws"))
+    aug = base.unionByName(
+        base.filter((F.col("doc_id") % LINE_AUG_EVERY == 0)
+                    & (F.size("ws") >= LINE_WORDS))
+        .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat(F.slice("ws", 1, LINE_WORDS), F.col("ws"))
+                .alias("ws")))
+    lines = F.transform(
+        F.sequence(F.lit(0),
+                   F.floor(F.size("ws") / LINE_WORDS).cast("int") - 1),
+        lambda i: F.array_join(
+            F.slice("ws", (i * LINE_WORDS + 1).cast("int"), LINE_WORDS),
+            " "))
+    u = (aug.filter(F.size("ws") >= LINE_WORDS)
+         .select("doc_id", F.explode(lines).alias("line"))
+         .select("doc_id", F.md5(F.col("line")).alias("h")))
+    per_doc = u.groupBy("doc_id").agg(
+        F.count("*").alias("n_units"),
+        F.countDistinct("h").alias("n_distinct_units"))
+    dh = u.distinct()
+    shared = dh.groupBy("h").agg(F.count("*").alias("nd")) \
+        .filter(F.col("nd") >= 2).select("h")
+    spd = dh.join(shared, "h").groupBy("doc_id").agg(
+        F.count("*").alias("n_shared_units"))
+    return (per_doc.join(spd, "doc_id", "left")
+            .select("doc_id", "n_units", "n_distinct_units",
+                    F.coalesce("n_shared_units", F.lit(0).cast("long"))
+                    .alias("n_shared_units"),
+                    ((F.col("n_units") - F.col("n_distinct_units"))
+                     .cast("double") / F.col("n_units").cast("double"))
+                    .alias("intra_dup_ratio")))

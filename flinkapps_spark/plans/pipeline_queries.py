@@ -2204,3 +2204,66 @@ def knn_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("floor_ok"),
         F.coalesce(F.col("recall") >= prev, F.lit(True))
             .alias("monotone_ok")))
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_scurve — the banding S-curve for the engine's own LSH constants
+# ---------------------------------------------------------------------------
+
+SCURVE_GRID = [round(0.05 * i, 2) for i in range(1, 20)]   # 0.05 .. 0.95
+
+
+@query(
+    "dedup_lsh_scurve",
+    oracle=f"""
+        WITH g AS (
+            SELECT CAST(unnest([{", ".join(map(repr, SCURVE_GRID))}])
+                        AS DOUBLE) AS jaccard),
+        s AS (
+            SELECT jaccard,
+                   jaccard * jaccard AS j2
+            FROM g),
+        s4 AS (SELECT jaccard, j2 * j2 AS j4 FROM s),
+        y AS (SELECT jaccard, 1.0 - j4 AS y1 FROM s4),
+        y2 AS (SELECT jaccard, y1 * y1 AS y2 FROM y)
+        SELECT jaccard,
+               {dedup.N_BANDS} AS n_bands,
+               {dedup.N_MINHASH // dedup.N_BANDS} AS rows_per_band,
+               1.0 - y2 * y2 AS p_candidate,
+               1.0 - y2 * y2 >= 0.5 AS above_half
+        FROM y2
+    """,
+    category="extension: dedup (LSH S-curve calibration)",
+    doc="The banding S-curve for the engine's OWN MinHash-LSH "
+        "configuration (b=4 bands x r=4 rows, imported from "
+        "operators/dedup.py so code and calibration cannot drift): "
+        "P(candidate | J) = 1 - (1 - J^r)^b on a 19-point Jaccard grid "
+        "— the table a pipeline reads to pick its banding before "
+        "trusting LSH at full scale (where the curve crosses 0.5 is the "
+        "effective threshold; mass below it at the target J is the "
+        "false-negative rate).  Determinism: with integer b and r the "
+        "powers expand to a fixed multiplication chain (j2=J*J, j4=j2*j2, "
+        "y=1-j4, y2=y*y, p=1-y2*y2) evaluated in the same association "
+        "order on both engines — no pow(), no libm.  The grid literals "
+        "are CAST to DOUBLE in the oracle (DuckDB types a bare numeric "
+        "list DECIMAL, which would silently switch the arithmetic).  "
+        "Zero data touched: this is the sketch-parameter audit "
+        "complement to dedup_minhash_estimate's per-pair audit.",
+)
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = dedup.N_MINHASH // dedup.N_BANDS
+    grid = spark.createDataFrame([(j,) for j in SCURVE_GRID],
+                                 "jaccard double")
+    j2 = F.col("jaccard") * F.col("jaccard")
+    j4 = (j2 * j2).alias("j4")
+    base = grid.select("jaccard", j4)
+    y1 = (F.lit(1.0) - F.col("j4"))
+    y2 = (y1 * y1).alias("y2")
+    curved = base.select("jaccard", y2)
+    p = F.lit(1.0) - F.col("y2") * F.col("y2")
+    return curved.select(
+        "jaccard",
+        F.lit(dedup.N_BANDS).alias("n_bands"),
+        F.lit(r).alias("rows_per_band"),
+        p.alias("p_candidate"),
+        (p >= 0.5).alias("above_half"))

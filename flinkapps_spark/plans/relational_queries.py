@@ -2847,3 +2847,69 @@ def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("n_events") == F.col("d_n"))
                      & (F.col("su") == F.col("d_su")))
                         .alias("merge_equals_direct")))
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_portable — engine-portable HLL: registers match bit for bit
+# ---------------------------------------------------------------------------
+
+from flinkapps_spark.operators import sketches as _sk  # noqa: E402
+
+
+HLL_PORTABLE_ORACLE = f"""
+        WITH {_sk.sql_hll_regs_cte("event_type", "user_id", "events")},
+        regs2 AS (
+            SELECT k, bucket, reg FROM hll_regs
+            UNION ALL
+            SELECT 'ALL', bucket, MAX(reg)
+            FROM hll_regs GROUP BY bucket),
+        fin AS ({_sk.sql_hll_finalize("regs2")}),
+        ex AS (
+            SELECT event_type AS k, COUNT(DISTINCT user_id) AS n_exact
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'ALL', COUNT(DISTINCT user_id) FROM events)
+        SELECT ex.k AS event_type, ex.n_exact, fin.hll_est,
+               fin.reg_checksum,
+               ABS(CAST(fin.hll_est AS DOUBLE)
+                   - CAST(ex.n_exact AS DOUBLE))
+                   <= 0.15 * CAST(ex.n_exact AS DOUBLE) AS within_tol
+        FROM ex JOIN fin ON ex.k = fin.k
+    """
+
+
+@query(
+    "sketch_hll_portable",
+    oracle=HLL_PORTABLE_ORACLE,
+    category="extension: mergeable sketches (portable HLL)",
+    doc="Engine-PORTABLE HyperLogLog (operators/sketches.py): distinct "
+        "users per event_type plus an 'ALL' row produced by MERGING the "
+        "per-type register tables (pairwise max — no raw data touched), "
+        "with the DuckDB oracle rebuilding the SAME registers from the "
+        "shared poly-31 hash.  Unlike sketch_hll_rollup (DataSketches "
+        "bytes are engine-specific, so only a tolerance boolean is "
+        "checkable there), here the estimate AND a register checksum "
+        "are value-hashed exactly: register weights sum as integers, "
+        "one division, integer-rounded estimate.  Scale: registers are "
+        "a (type, bucket) partial-agg — 1024 counters per key for any "
+        "input size; merge is max-per-bucket, the algebra that makes "
+        "per-segment sketches roll up for free.",
+)
+def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("k"), "user_id")
+    regs = _sk.hll_registers(ev, ["k"], "user_id")
+    all_regs = _sk.hll_merge(
+        regs.withColumn("k", F.lit("ALL")), ["k"])
+    fin = _sk.hll_finalize(regs.unionByName(all_regs), ["k"])
+    ex = ev.groupBy("k").agg(
+        F.countDistinct("user_id").alias("n_exact")).unionByName(
+        ev.agg(F.lit("ALL").alias("k"),
+               F.countDistinct("user_id").alias("n_exact")))
+    return (ex.join(fin, "k")
+            .select(F.col("k").alias("event_type"), "n_exact",
+                    "hll_est", "reg_checksum",
+                    (F.abs(F.col("hll_est").cast("double")
+                           - F.col("n_exact").cast("double"))
+                     <= 0.15 * F.col("n_exact").cast("double"))
+                    .alias("within_tol")))

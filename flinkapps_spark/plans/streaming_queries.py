@@ -664,3 +664,53 @@ def stream_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt")))
     converged = run_stream_to_memory(hist, output_mode="complete")
     return grid_quantiles_finalize(converged)
+
+
+from flinkapps_spark.operators import sketches as _sk  # noqa: E402
+from flinkapps_spark.plans.relational_queries import (  # noqa: E402
+    HLL_PORTABLE_ORACLE as _HLL_ORACLE,
+)
+
+
+@query(
+    "stream_hll_distinct",
+    oracle=_HLL_ORACLE,  # shared verbatim with the batch sketch
+    category="streaming: incremental portable HLL (complete)",
+    doc="The engine-portable HLL register table maintained INCREMENTALLY "
+        "by the streaming state store: each micro-batch folds new rows "
+        "into the per-(type, bucket) max-rho registers (complete output "
+        "mode = the converged register table), then the finalize step — "
+        "shared code with batch sketch_hll_portable, including the "
+        "register-merged 'ALL' row — reads the estimate and register "
+        "checksum off the converged state.  Stream-converged == batch == "
+        "DuckDB oracle: per-micro-batch state fold and batch partial "
+        "aggregation are the SAME max-per-bucket sketch algebra, which "
+        "is the mergeability property that lets a production pipeline "
+        "keep one live sketch per segment and union them on demand.  "
+        "Scale: streaming state is m=1024 registers per key — constant "
+        "per key, unbounded input.  Exact distinct counts for the "
+        "tolerance column are recomputed batch-side (the stream never "
+        "needs per-key value sets).",
+)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.sources.batch import load_table
+    ev = file_stream_source(spark, sf_dir, "events").select(
+        F.col("event_type").alias("k"), "user_id")
+    regs_stream = _sk.hll_registers(ev, ["k"], "user_id")
+    converged = run_stream_to_memory(regs_stream, output_mode="complete")
+    all_regs = _sk.hll_merge(
+        converged.withColumn("k", F.lit("ALL")), ["k"])
+    fin = _sk.hll_finalize(converged.unionByName(all_regs), ["k"])
+    ev_b = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("k"), "user_id")
+    ex = ev_b.groupBy("k").agg(
+        F.countDistinct("user_id").alias("n_exact")).unionByName(
+        ev_b.agg(F.lit("ALL").alias("k"),
+                 F.countDistinct("user_id").alias("n_exact")))
+    return (ex.join(fin, "k")
+            .select(F.col("k").alias("event_type"), "n_exact",
+                    "hll_est", "reg_checksum",
+                    (F.abs(F.col("hll_est").cast("double")
+                           - F.col("n_exact").cast("double"))
+                     <= 0.15 * F.col("n_exact").cast("double"))
+                    .alias("within_tol")))

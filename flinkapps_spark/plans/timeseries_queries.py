@@ -688,3 +688,96 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contrib"),
         (F.sum("contrib_u").over(Window.partitionBy())
          / F.lit(CHI2_SCALE).cast("double")).alias("chi2_total"))
+
+
+@query(
+    "events_concurrency_peaks",
+    oracle="""
+        WITH iv AS (
+            SELECT event_type, ts AS s,
+                   ts + to_seconds(greatest(
+                       CAST(floor(COALESCE(value, 0)) AS BIGINT), 0)) AS e
+            FROM events),
+        b AS (
+            SELECT event_type, s AS t, 1 AS delta FROM iv
+            UNION ALL
+            SELECT event_type, e, -1 FROM iv),
+        net AS (
+            SELECT event_type, date_trunc('hour', t) AS hr, t,
+                   SUM(delta) AS net,
+                   SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_starts,
+                   SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS n_ends
+            FROM b GROUP BY 1, 2, 3),
+        run AS (
+            SELECT event_type, hr, n_starts, n_ends,
+                   SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS conc
+            FROM net)
+        SELECT event_type, hr,
+               CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+               CAST(SUM(n_starts) AS BIGINT) AS n_starts,
+               CAST(SUM(n_ends) AS BIGINT) AS n_ends
+        FROM run GROUP BY 1, 2
+    """,
+    category="extension: time-series (interval concurrency / sweep-line)",
+    doc="Peak concurrent intervals per event_type per hour — the "
+        "capacity-planning sweep-line (how many sessions/calls/jobs were "
+        "in flight at once).  Each event spans [ts, ts + floor(value) "
+        "seconds]; boundaries become +1/-1 deltas, ends processed before "
+        "starts at the same instant (end-exclusive), which also makes "
+        "the per-timestamp NET delta exact, so equal-time boundaries "
+        "collapse by aggregation before any window.  THE SCALE POINT: a "
+        "global running sum would drag every boundary through one "
+        "ordered partition, so the engine uses the two-phase distributed "
+        "prefix sum instead — (1) within-hour running sums, partitioned "
+        "by (type, hour); (2) a cross-hour offset window over the TINY "
+        "per-hour net table (|types| x |hours| rows); peak = offset + "
+        "within-hour max.  The oracle runs the simple one-window form — "
+        "same result, so the decomposition's correctness is what the "
+        "parity check proves.  Concurrency is sampled AT boundaries "
+        "(hours with no boundary emit no row; a spanning interval's "
+        "contribution is carried into later hours by the offset).",
+)
+def events_concurrency_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dur = F.greatest(
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0))).cast("long"),
+        F.lit(0).cast("long"))
+    iv = ev.select(
+        "event_type", F.col("ts").alias("s"),
+        F.timestamp_add("SECOND", dur, F.col("ts")).alias("e"))
+    b = iv.select("event_type", F.col("s").alias("t"),
+                  F.lit(1).alias("delta")).unionByName(
+        iv.select("event_type", F.col("e").alias("t"),
+                  F.lit(-1).alias("delta")))
+    net = (b.groupBy("event_type",
+                     F.date_trunc("hour", "t").alias("hr"), "t")
+           .agg(F.sum("delta").alias("net"),
+                F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+                    .alias("n_starts"),
+                F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+                    .alias("n_ends")))
+    # phase 1: running sum WITHIN each (type, hour) partition — shuffle
+    # is keyed by (type, hour), so no partition ever exceeds one hour of
+    # one type's boundaries regardless of corpus size
+    w_in = (Window.partitionBy("event_type", "hr").orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = net.withColumn("run_in", F.sum("net").over(w_in))
+    hour_stats = (within.groupBy("event_type", "hr")
+                  .agg(F.max("run_in").alias("peak_in"),
+                       F.sum("net").alias("hour_net"),
+                       F.sum("n_starts").alias("n_starts"),
+                       F.sum("n_ends").alias("n_ends")))
+    # phase 2: carry-in offset = cumulative net of all PRIOR hours; the
+    # window runs over the per-hour summary (|types| x |hours| rows),
+    # never over raw boundaries
+    w_off = (Window.partitionBy("event_type").orderBy("hr")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offset = F.coalesce(F.sum("hour_net").over(w_off),
+                        F.lit(0).cast("long"))
+    return hour_stats.select(
+        "event_type", "hr",
+        (offset + F.col("peak_in")).cast("long").alias("peak_concurrency"),
+        F.col("n_starts").cast("long").alias("n_starts"),
+        F.col("n_ends").cast("long").alias("n_ends"))
