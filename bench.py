@@ -83,6 +83,9 @@ HEADLINE = [
     "sketch_grid_quantiles",
     "events_ewma_recent",
     "graph_label_propagation",
+    "events_concurrency_peaks",
+    "text_line_dedup",
+    "sketch_hll_portable",
 ]
 
 

@@ -404,3 +404,30 @@ def test_ewma_single_shuffle(spark):
     plan = plan_of(spark, "events_ewma_recent")
     assert plan.count("Exchange") == 1, plan
     assert "Python" not in plan, plan
+
+
+def test_concurrency_peaks_no_global_sort(spark):
+    """The sweep-line never sorts globally: the within-hour running sum
+    partitions by (type, hour) and the offset window runs over the tiny
+    per-hour summary — no single-partition Exchange, no Python."""
+    plan = plan_of(spark, "events_concurrency_peaks")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hll_portable_partial_agg_no_python(spark):
+    """Registers partial-aggregate map-side (max per bucket combines
+    before the exchange) and the whole sketch stays JVM-side."""
+    plan = plan_of(spark, "sketch_hll_portable")
+    assert "partial_max" in plan or "partial_count" in plan, plan
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_line_dedup_shuffles_on_digest_or_doc(spark):
+    """Line dedup never broadcasts the corpus and never goes quadratic:
+    only hash joins on doc_id / md5 digests, no cartesian."""
+    plan = plan_of(spark, "text_line_dedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -223,3 +223,68 @@ def test_ewma_fold_matches_python(spark, values):
         lambda acc, x: x * EWMA_ALPHA + acc * (1 - EWMA_ALPHA))
         .alias("e")).collect()[0]["e"]
     assert got == expected  # bit-identical, not approximately
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["x", "y"]),
+                          st.integers(0, 3),
+                          st.integers(0, 10_000)),
+                min_size=1, max_size=80))
+def test_hll_register_merge_lossless(spark, rows):
+    """Sketch algebra behind sketch_hll_portable / stream_hll_distinct:
+    registers built per-segment and MERGED (pairwise max per bucket)
+    equal registers built directly over the union, for ANY segmentation
+    — the property that makes per-segment sketches roll up for free."""
+    from flinkapps_spark.operators import sketches as sk
+    df = spark.createDataFrame(rows, "k string, seg int, v long")
+    direct = {tuple(r) for r in
+              sk.hll_registers(df, ["k"], "v").collect()}
+    merged = {tuple(r) for r in
+              sk.hll_merge(sk.hll_registers(df, ["k", "seg"], "v")
+                           .drop("seg"), ["k"]).collect()}
+    assert direct == merged
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3_600 * 6),   # start offset s
+                          st.integers(0, 900)),        # duration s
+                min_size=1, max_size=60))
+def test_concurrency_two_phase_matches_naive(spark, iv):
+    """The two-phase distributed prefix sum in events_concurrency_peaks
+    (within-hour running sums + cross-hour offsets) equals the naive
+    single-ordered-scan sweep-line for ANY interval set."""
+    import datetime as dt
+    from flinkapps_spark.plans.timeseries_queries import (
+        events_concurrency_peaks,
+    )
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(seconds=s), 1, "t", float(d), None)
+            for i, (s, d) in enumerate(iv)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = {(r["hr"], r["peak_concurrency"]) for r in
+               events_concurrency_peaks(spark, tmp).collect()}
+    # naive sweep: sort all boundaries, ends before starts at equal time
+    bounds = []
+    for s, d in iv:
+        t0 = base + dt.timedelta(seconds=s)
+        bounds.append((t0, 1))
+        bounds.append((t0 + dt.timedelta(seconds=d), -1))
+    bounds.sort(key=lambda b: (b[0], b[1]))
+    conc, peaks = 0, {}
+    i = 0
+    while i < len(bounds):
+        t = bounds[i][0]
+        # collapse equal (t, delta) runs exactly like the engine's net agg
+        net = 0
+        while i < len(bounds) and bounds[i][0] == t:
+            net += bounds[i][1]
+            i += 1
+        conc += net
+        hr = t.replace(minute=0, second=0, microsecond=0)
+        peaks[hr] = max(peaks.get(hr, conc), conc)
+    assert got == set(peaks.items())
