@@ -141,3 +141,56 @@ def sql_hll_finalize(regs_rel: str) -> str:
                         AS BIGINT) AS sum_int,
                    CAST(SUM(reg * (bucket + 1)) AS BIGINT) AS reg_checksum
             FROM {regs_rel} GROUP BY k)"""
+
+
+# --------------------------------------------------------------------------
+# KMV (k minimum values) — the set-operation sketch HLL cannot provide
+# --------------------------------------------------------------------------
+
+KMV_K = 256                     # sample size: rse ≈ 1/sqrt(k-2) ≈ 6%
+_HASH_RANGE = float(1 << (4 * _HASH_HEX))   # 2^60, exact power of two
+
+
+def kmv_hash(value_col: str):
+    """The same 60-bit md5-prefix hash the HLL uses — uniform in every
+    bit, parseable identically by the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(F.col(value_col).cast("string")),
+                              1, _HASH_HEX), 16, 10).cast("long")
+
+
+def kmv_sample(df: DataFrame, key_cols: list[str],
+               value_col: str, k: int = KMV_K) -> DataFrame:
+    """(keys..., h): the k smallest DISTINCT hash values per key — the
+    Beyer et al. 2007 KMV synopsis / theta-sketch sample.  Exact and
+    deterministic (k-th smallest of a set is order-free), so unlike
+    DataSketches theta bytes it cross-engine value-hashes.  Scale: the
+    distinct pre-aggregates map-side; the rank window partitions by
+    key, and ANY partial top-k optimization (e.g. per-partition top-k
+    before the exchange) preserves the result exactly."""
+    hashes = (df.select(*key_cols, kmv_hash(value_col).alias("h"))
+              .distinct())
+    from pyspark.sql import Window
+    w = Window.partitionBy(*key_cols).orderBy("h")
+    return (hashes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).select(*key_cols, "h"))
+
+
+def kmv_estimate(theta_h):
+    """Distinct-count estimate (k−1)/U_(k) from the k-th smallest hash
+    (normalized by the exact-power-of-two hash range: one division)."""
+    return (F.lit(float(KMV_K - 1))
+            / (theta_h.cast("double") / F.lit(_HASH_RANGE)))
+
+
+def sql_kmv_sample(key: str, value: str, table: str, name: str,
+                   k: int = KMV_K) -> str:
+    """CTE producing ``{name}(k, h)`` — mirrors kmv_sample."""
+    return f"""
+        {name} AS (
+            SELECT k, h FROM (
+                SELECT {key} AS k, h,
+                       ROW_NUMBER() OVER (PARTITION BY {key}
+                                          ORDER BY h) AS rn
+                FROM (SELECT DISTINCT {key}, {sql_hll_hash(value)} AS h
+                      FROM {table}))
+            WHERE rn <= {k})"""
