@@ -194,3 +194,52 @@ def sql_kmv_sample(key: str, value: str, table: str, name: str,
                 FROM (SELECT DISTINCT {key}, {sql_hll_hash(value)} AS h
                       FROM {table}))
             WHERE rn <= {k})"""
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch — mergeable frequency estimation, never underestimates
+# --------------------------------------------------------------------------
+
+CMS_D = 4                       # hash rows: P(over eps-bound) <= e^-d
+CMS_W = 1024                    # columns: eps = e / w ~ 2.7e-3
+CMS_EPS = 2.718281828459045 / CMS_W
+
+
+def cms_bucket(value_col: str, row: int):
+    """Row-``row`` CMS column for a value: the shared md5-prefix hash
+    with the row index salted into the input, mod w."""
+    salted = F.concat(F.lit(f"{row}:"),
+                      F.col(value_col).cast("string"))
+    h = F.conv(F.substring(F.md5(salted), 1, _HASH_HEX), 16, 10) \
+        .cast("long")
+    return h % CMS_W
+
+
+def cms_cells(df: DataFrame, value_col: str) -> DataFrame:
+    """(row, bucket, cnt): the d×w counter matrix.  Each input row
+    increments d cells; the explode-by-d stream partial-aggregates
+    map-side, so the shuffle carries ≤ d·w cells per task regardless of
+    input size — and two cell tables MERGE by cnt addition."""
+    rows = df.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 cms_bucket(value_col, i).alias("bucket"))
+        for i in range(CMS_D)])).alias("c"))
+    return (rows.select("c.row", "c.bucket")
+            .groupBy("row", "bucket")
+            .agg(F.count("*").alias("cnt")))
+
+
+def sql_cms_cells(value: str, table: str, name: str) -> str:
+    """CTE producing ``{name}(row, bucket, cnt)`` — mirrors cms_cells."""
+    salted = (f"list_reduce(list_transform(string_split(substr(md5("
+              f"CAST(r AS VARCHAR) || ':' || CAST({value} AS VARCHAR)"
+              f"), 1, {_HASH_HEX}), ''), "
+              f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+              f"(a, b) -> a * 16 + b)")
+    return f"""
+        {name} AS (
+            SELECT r AS row, {salted} % {CMS_W} AS bucket,
+                   COUNT(*) AS cnt
+            FROM {table} CROSS JOIN
+                 (SELECT unnest(range({CMS_D})) AS r)
+            GROUP BY 1, 2)"""

@@ -3040,3 +3040,82 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
          <= 0.25 * F.col("n_exact_union") + 5).alias("union_ok"),
         (F.abs(inter_est - F.col("n_exact_inter"))
          <= 0.25 * F.col("n_exact_inter") + 5).alias("inter_ok"))
+
+
+# ---------------------------------------------------------------------------
+# sketch_cms_freq — Count-Min frequency estimates with the CMS guarantee
+# ---------------------------------------------------------------------------
+
+CMS_PROBE_MAX_ID = 8            # probe keys: user_ids 0..7 (deterministic)
+
+
+@query(
+    "sketch_cms_freq",
+    oracle=f"""
+        WITH {_sk.sql_cms_cells("user_id", "events", "cells")},
+        n AS (SELECT COUNT(*) AS n_total FROM events),
+        ex AS (SELECT user_id, COUNT(*) AS n_exact FROM events
+               WHERE user_id < {CMS_PROBE_MAX_ID} GROUP BY user_id),
+        pb AS (
+            SELECT ex.user_id, ex.n_exact, r AS row,
+                   list_reduce(list_transform(string_split(substr(md5(
+                       CAST(r AS VARCHAR) || ':'
+                       || CAST(ex.user_id AS VARCHAR)), 1, 15), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1
+                                 AS BIGINT)),
+                       (a, b) -> a * 16 + b) % {_sk.CMS_W} AS bucket
+            FROM ex CROSS JOIN (SELECT unnest(range({_sk.CMS_D})) AS r)),
+        est AS (
+            SELECT pb.user_id, pb.n_exact,
+                   CAST(MIN(cells.cnt) AS BIGINT) AS cms_est
+            FROM pb JOIN cells ON pb.row = cells.row
+                               AND pb.bucket = cells.bucket
+            GROUP BY pb.user_id, pb.n_exact)
+        SELECT user_id, n_exact, cms_est,
+               cms_est >= n_exact AS never_under,
+               cms_est <= n_exact
+                   + CAST(CEIL({_sk.CMS_EPS!r}
+                               * CAST(n_total AS DOUBLE)) AS BIGINT)
+                   AS within_eps
+        FROM est CROSS JOIN n
+    """,
+    category="extension: mergeable sketches (Count-Min frequency)",
+    doc="Count-Min sketch (Cormode & Muthukrishnan 2005): per-key "
+        "frequency estimates for 8 deterministic probe users from a "
+        "d=4 × w=1024 counter matrix, next to exact counts and the two "
+        "CMS guarantees as booleans — NEVER-underestimates (structural: "
+        "every cell counts a superset of the key's rows, so the oracle "
+        "asserts it as a hard invariant) and est ≤ exact + ceil(e/w · N) "
+        "(holds per key with prob ≥ 1−e⁻⁴; deterministic per fixture, "
+        "verified green on all of them).  Counters are exact integers "
+        "from the shared salted md5-prefix hash, so cells AND estimates "
+        "value-hash across engines.  Scale: each input row increments d "
+        "cells map-side (partial agg → ≤ d·w cells per task cross the "
+        "wire); cell tables merge by addition — the same rollup algebra "
+        "as the HLL registers; probes join the 4096-cell table, which "
+        "broadcasts at any corpus size.",
+)
+def sketch_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = _sk.cms_cells(ev, "user_id")
+    n = ev.agg(F.count("*").alias("n_total"))
+    ex = (ev.filter(F.col("user_id") < CMS_PROBE_MAX_ID)
+          .groupBy("user_id").agg(F.count("*").alias("n_exact")))
+    pb = ex.select(
+        "user_id", "n_exact",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     _sk.cms_bucket("user_id", i).alias("bucket"))
+            for i in range(_sk.CMS_D)])).alias("c")) \
+        .select("user_id", "n_exact", "c.row", "c.bucket")
+    est = (pb.join(F.broadcast(cells), ["row", "bucket"])
+           .groupBy("user_id", "n_exact")
+           .agg(F.min("cnt").cast("long").alias("cms_est")))
+    slack = F.ceil(F.lit(_sk.CMS_EPS)
+                   * F.col("n_total").cast("double")).cast("long")
+    return (est.crossJoin(F.broadcast(n))
+            .select("user_id", "n_exact", "cms_est",
+                    (F.col("cms_est") >= F.col("n_exact"))
+                    .alias("never_under"),
+                    (F.col("cms_est") <= F.col("n_exact") + slack)
+                    .alias("within_eps")))
