@@ -3049,9 +3049,7 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_PROBE_MAX_ID = 8            # probe keys: user_ids 0..7 (deterministic)
 
 
-@query(
-    "sketch_cms_freq",
-    oracle=f"""
+CMS_FREQ_ORACLE = f"""
         WITH {_sk.sql_cms_cells("user_id", "events", "cells")},
         n AS (SELECT COUNT(*) AS n_total FROM events),
         ex AS (SELECT user_id, COUNT(*) AS n_exact FROM events
@@ -3078,7 +3076,12 @@ CMS_PROBE_MAX_ID = 8            # probe keys: user_ids 0..7 (deterministic)
                                * CAST(n_total AS DOUBLE)) AS BIGINT)
                    AS within_eps
         FROM est CROSS JOIN n
-    """,
+    """
+
+
+@query(
+    "sketch_cms_freq",
+    oracle=CMS_FREQ_ORACLE,
     category="extension: mergeable sketches (Count-Min frequency)",
     doc="Count-Min sketch (Cormode & Muthukrishnan 2005): per-key "
         "frequency estimates for 8 deterministic probe users from a "

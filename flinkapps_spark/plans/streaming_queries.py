@@ -714,3 +714,59 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                            - F.col("n_exact").cast("double"))
                      <= 0.15 * F.col("n_exact").cast("double"))
                     .alias("within_tol")))
+
+
+from flinkapps_spark.plans.relational_queries import (  # noqa: E402
+    CMS_FREQ_ORACLE as _CMS_ORACLE, CMS_PROBE_MAX_ID,
+)
+
+
+@query(
+    "stream_cms_freq",
+    oracle=_CMS_ORACLE,  # shared verbatim with the batch sketch
+    category="streaming: incremental Count-Min sketch (complete)",
+    doc="The Count-Min counter matrix maintained INCREMENTALLY by the "
+        "streaming state store: each micro-batch adds its d-cell "
+        "increments into the per-(row, bucket) counters (complete "
+        "output mode = the converged matrix), probed batch-side with "
+        "the same estimate/guarantee code as sketch_cms_freq.  "
+        "Stream-converged == batch == oracle — counter addition per "
+        "micro-batch IS the CMS merge, the third sketch family (after "
+        "grid quantiles and portable HLL) whose state-store fold is "
+        "proven identical to the batch partial-agg.  Scale: streaming "
+        "state is d×w = 4096 counters total, unbounded input.",
+)
+def stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.sources.batch import load_table
+    ev_s = file_stream_source(spark, sf_dir, "events")
+    rows = ev_s.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 _sk.cms_bucket("user_id", i).alias("bucket"))
+        for i in range(_sk.CMS_D)])).alias("c"))
+    cells_stream = (rows.select("c.row", "c.bucket")
+                    .groupBy("row", "bucket")
+                    .agg(F.count("*").alias("cnt")))
+    cells = run_stream_to_memory(cells_stream, output_mode="complete")
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.agg(F.count("*").alias("n_total"))
+    ex = (ev.filter(F.col("user_id") < CMS_PROBE_MAX_ID)
+          .groupBy("user_id").agg(F.count("*").alias("n_exact")))
+    pb = ex.select(
+        "user_id", "n_exact",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     _sk.cms_bucket("user_id", i).alias("bucket"))
+            for i in range(_sk.CMS_D)])).alias("c")) \
+        .select("user_id", "n_exact", "c.row", "c.bucket")
+    est = (pb.join(F.broadcast(cells), ["row", "bucket"])
+           .groupBy("user_id", "n_exact")
+           .agg(F.min("cnt").cast("long").alias("cms_est")))
+    slack = F.ceil(F.lit(_sk.CMS_EPS)
+                   * F.col("n_total").cast("double")).cast("long")
+    return (est.crossJoin(F.broadcast(n))
+            .select("user_id", "n_exact", "cms_est",
+                    (F.col("cms_est") >= F.col("n_exact"))
+                    .alias("never_under"),
+                    (F.col("cms_est") <= F.col("n_exact") + slack)
+                    .alias("within_eps")))

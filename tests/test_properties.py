@@ -288,3 +288,43 @@ def test_concurrency_two_phase_matches_naive(spark, iv):
         hr = t.replace(minute=0, second=0, microsecond=0)
         peaks[hr] = max(peaks.get(hr, conc), conc)
     assert got == set(peaks.items())
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2),       # segment
+                          st.integers(0, 500)),    # value
+                min_size=1, max_size=80))
+def test_cms_cells_merge_lossless(spark, rows):
+    """CMS cell tables built per-segment and merged by cnt addition
+    equal cells built directly over the union — the mergeable-counter
+    algebra behind sketch_cms_freq."""
+    from flinkapps_spark.operators import sketches as sk
+    df = spark.createDataFrame(rows, "seg int, v long")
+    direct = {tuple(r) for r in sk.cms_cells(df, "v").collect()}
+    parts = [sk.cms_cells(df.filter(F.col("seg") == s), "v")
+             for s in (0, 1, 2)]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = {tuple(r) for r in
+              u.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+              .collect()}
+    assert direct == merged
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 100_000), min_size=1, max_size=120),
+       st.lists(st.integers(0, 100_000), min_size=1, max_size=120))
+def test_kmv_union_of_samples_is_sample_of_union(spark, xs, ys):
+    """theta-sketch set algebra behind sketch_kmv_setops: the k smallest
+    of (sample(A) ∪ sample(B)) equal the k smallest of A ∪ B — so KMV
+    samples compose without revisiting raw data."""
+    from flinkapps_spark.operators import sketches as sk
+    k = 16  # small k so the property bites at these sizes
+    a = spark.createDataFrame([(x,) for x in xs], "v long")
+    b = spark.createDataFrame([(y,) for y in ys], "v long")
+    top = lambda df: (df.select(sk.kmv_hash("v").alias("h"))  # noqa: E731
+                      .distinct().orderBy("h").limit(k))
+    from_samples = {r["h"] for r in
+                    top(a).unionByName(top(b)).distinct()
+                    .orderBy("h").limit(k).collect()}
+    from_union = {r["h"] for r in top(a.unionByName(b)).collect()}
+    assert from_samples == from_union
