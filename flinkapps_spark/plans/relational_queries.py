@@ -3122,3 +3122,100 @@ def sketch_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("never_under"),
                     (F.col("cms_est") <= F.col("n_exact") + slack)
                     .alias("within_eps")))
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_rolling7d — sliding distinct windows from merged day sketches
+# ---------------------------------------------------------------------------
+
+ROLL_PROBE_RANKS = (8, 15, 25)   # day ranks whose windows get exact checks
+
+
+@query(
+    "sketch_hll_rolling7d",
+    oracle=f"""
+        WITH b AS (
+            SELECT date_trunc('day', ts) AS day, user_id FROM events),
+        {_sk.sql_hll_regs_cte("day", "user_id", "b")},
+        days AS (SELECT DISTINCT day FROM b),
+        contrib AS (
+            SELECT k + to_days(CAST(off AS INTEGER)) AS window_end,
+                   bucket, reg
+            FROM hll_regs CROSS JOIN
+                 (SELECT unnest(range(7)) AS off)),
+        kept AS (
+            SELECT c.window_end, c.bucket, c.reg
+            FROM contrib c JOIN days d ON c.window_end = d.day),
+        merged AS (
+            SELECT window_end AS k, bucket, MAX(reg) AS reg
+            FROM kept GROUP BY 1, 2),
+        fin AS ({_sk.sql_hll_finalize("merged")}),
+        ranked AS (
+            SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rk FROM days),
+        exact AS (
+            SELECT p.day AS k, COUNT(DISTINCT b.user_id) AS n_exact
+            FROM (SELECT day FROM ranked
+                  WHERE rk IN {ROLL_PROBE_RANKS}) p
+            JOIN b ON b.day BETWEEN p.day - to_days(CAST(6 AS INTEGER)) AND p.day
+            GROUP BY p.day)
+        SELECT fin.k AS window_end, hll_est, reg_checksum,
+               exact.n_exact,
+               CASE WHEN exact.n_exact IS NULL THEN NULL
+                    ELSE ABS(CAST(hll_est AS DOUBLE)
+                             - CAST(n_exact AS DOUBLE))
+                         <= 0.15 * CAST(n_exact AS DOUBLE)
+               END AS within_tol
+        FROM fin LEFT JOIN exact ON fin.k = exact.k
+    """,
+    category="extension: mergeable sketches (sliding-window rollup)",
+    doc="Rolling 7-day distinct users per day WITHOUT revisiting raw "
+        "data: per-day HLL register tables merge (pairwise max) into "
+        "each of the ≤7 sliding windows a day contributes to — the "
+        "continuous-aggregate pattern (Timescale-style): raw events are "
+        "read once to build day sketches; every window after that is "
+        "sketch algebra over |days|×m register rows.  Exact COUNT "
+        "DISTINCT is computed for three probe windows only (ranks 8/15/"
+        "25 — exact sliding distinct is precisely the thing too "
+        "expensive to do for every window at 100 TB, which is the point "
+        "of the sketch), with 15%-band booleans; estimates and register "
+        "checksums value-hash exactly for ALL windows.  Scale: the "
+        "7× register fan-out is |days|×m×7 rows regardless of event "
+        "count; the raw scan is one partial-agg pass.",
+)
+def sketch_hll_rolling7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+    regs = _sk.hll_registers(base, ["day"], "user_id")
+    days = base.select("day").distinct()
+    contrib = (regs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day", "bucket", "reg")
+        .select(F.timestamp_add("DAY", F.col("off"), F.col("day"))
+                .alias("window_end"), "bucket", "reg")
+        .join(days.withColumnRenamed("day", "window_end"), "window_end"))
+    fin = _sk.hll_finalize(
+        _sk.hll_merge(contrib, ["window_end"]), ["window_end"])
+    # probe-day ranking: a partition-less window over the DISTINCT day
+    # table (|days| rows), never over events
+    ranked = days.withColumn(
+        "rk", F.row_number().over(W.orderBy("day")))
+    probes = ranked.filter(
+        F.col("rk").isin(*ROLL_PROBE_RANKS)).select("day")
+    exact = (probes.alias("p")
+             .join(base.alias("b"),
+                   (F.col("b.day") <= F.col("p.day"))
+                   & (F.col("b.day")
+                      >= F.timestamp_add("DAY", F.lit(-6),
+                                         F.col("p.day"))))
+             .groupBy(F.col("p.day").alias("window_end"))
+             .agg(F.countDistinct("b.user_id").alias("n_exact")))
+    return (fin.join(exact, "window_end", "left")
+            .select("window_end", "hll_est", "reg_checksum", "n_exact",
+                    F.when(F.col("n_exact").isNull(),
+                           F.lit(None).cast("boolean"))
+                    .otherwise(
+                        F.abs(F.col("hll_est").cast("double")
+                              - F.col("n_exact").cast("double"))
+                        <= 0.15 * F.col("n_exact").cast("double"))
+                    .alias("within_tol")))
