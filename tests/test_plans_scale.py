@@ -431,3 +431,29 @@ def test_line_dedup_shuffles_on_digest_or_doc(spark):
     plan = plan_of(spark, "text_line_dedup")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kmv_top_k_is_take_ordered(spark):
+    """The KMV samples run as TakeOrdered (per-partition top-k merged on
+    the driver), never a global sort — and the sketch stays JVM-side."""
+    plan = plan_of(spark, "sketch_kmv_setops")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_cms_cells_partial_agg(spark):
+    """CMS cell counts combine map-side before the exchange, and the
+    probe join broadcasts the 4096-cell table — never the other way."""
+    plan = plan_of(spark, "sketch_cms_freq")
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hll_rolling_no_event_scale_sort(spark):
+    """The rolling-window merge works on register tables: the only sort
+    in the plan orders the |days| table for probe ranking, and no Python
+    stage ever touches the event stream."""
+    plan = plan_of(spark, "sketch_hll_rolling7d")
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
