@@ -3219,3 +3219,100 @@ def sketch_hll_rolling7d(spark: SparkSession, sf_dir: str) -> DataFrame:
                               - F.col("n_exact").cast("double"))
                         <= 0.15 * F.col("n_exact").cast("double"))
                     .alias("within_tol")))
+
+
+# ---------------------------------------------------------------------------
+# exact_median_selection — distributed k-th smallest without a global sort
+# ---------------------------------------------------------------------------
+
+MEDIAN_BINS = 1024
+
+
+@query(
+    "exact_median_selection",
+    oracle="""
+        SELECT event_type, n, k, median_value
+        FROM (
+            SELECT event_type, value AS median_value,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n,
+                   (COUNT(*) OVER (PARTITION BY event_type) + 1) // 2
+                       AS k,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value) AS rn
+            FROM events WHERE value IS NOT NULL)
+        WHERE rn = k
+    """,
+    category="extension: distributed selection (exact median)",
+    doc="EXACT median (lower-middle k-th smallest, k=(n+1)//2) per "
+        "event_type WITHOUT a global sort — the two-pass selection "
+        "algorithm: pass 1 builds a fixed 1024-bin histogram per group "
+        "(one partial-agg shuffle) and the driver walks cumulative "
+        "counts to find each group's median bin (only |groups|×bins "
+        "cells leave the executors); pass 2 filters to the median bins "
+        "(a map-side predicate that discards ~99.9% of rows) and ranks "
+        "only the survivors inside each group.  The oracle sorts "
+        "everything — the naive plan — so parity proves the narrowing "
+        "is lossless, ties included (rank k BY VALUE: equal values make "
+        "rank selection ambiguous row-wise but the emitted VALUE is "
+        "identical).  At 100 TB a group's bin can still be large; the "
+        "narrowing recurses (each pass shrinks the candidate set ~3 "
+        "orders of magnitude), documented here with one level because "
+        "the fixtures' bins fit a single rank pass.  Bin edges derive "
+        "from exact min/max doubles; bin index is one subtraction, one "
+        "division, one floor — identical IEEE ops both engines would "
+        "compute, but only the ENGINE needs them (the oracle never "
+        "bins), so cross-engine float identity is not even in play.",
+)
+def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "value"))
+    # pass 0: per-group extent + count (one partial-agg shuffle)
+    ext = {r["event_type"]: r for r in
+           ev.groupBy("event_type")
+           .agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
+                F.count("*").alias("n")).collect()}
+    # pass 1: fixed histogram per group; driver walks cumulative counts
+    def bin_of(t):
+        lo, hi = ext[t]["lo"], ext[t]["hi"]
+        w = (hi - lo) / MEDIAN_BINS or 1.0
+        return F.least(F.floor((F.col("value") - F.lit(lo)) / F.lit(w)),
+                       F.lit(MEDIAN_BINS - 1)).cast("long")
+    binned = ev.withColumn("bin", F.coalesce(*[
+        F.when(F.col("event_type") == t, bin_of(t)) for t in ext]))
+    hist = {(r["event_type"], r["bin"]): r["cnt"] for r in
+            binned.groupBy("event_type", "bin")
+            .agg(F.count("*").alias("cnt")).collect()}
+    target = {}          # type -> (median_bin, rank_within_bin)
+    for t, info in ext.items():
+        k = (info["n"] + 1) // 2
+        cum = 0
+        for b in range(MEDIAN_BINS):
+            c = hist.get((t, b), 0)
+            if cum + c >= k:
+                target[t] = (b, k - cum)
+                break
+            cum += c
+    # pass 2: rank only the rows inside each group's median bin
+    from pyspark.sql import Window as W
+    in_bin = F.coalesce(*[
+        F.when(F.col("event_type") == t, F.col("bin") == target[t][0])
+        for t in ext])
+    k_in = F.coalesce(*[
+        F.when(F.col("event_type") == t, F.lit(target[t][1]))
+        for t in ext])
+    survivors = binned.filter(in_bin)
+    ranked = survivors.withColumn(
+        "rn", F.row_number().over(
+            W.partitionBy("event_type").orderBy("value")))
+    return (ranked.filter(F.col("rn") == k_in)
+            .select("event_type",
+                    F.coalesce(*[
+                        F.when(F.col("event_type") == t,
+                               F.lit(ext[t]["n"]))
+                        for t in ext]).alias("n"),
+                    F.coalesce(*[
+                        F.when(F.col("event_type") == t,
+                               F.lit((ext[t]["n"] + 1) // 2))
+                        for t in ext]).alias("k"),
+                    F.col("value").alias("median_value")))
