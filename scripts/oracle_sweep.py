@@ -163,13 +163,18 @@ def main() -> None:
     n_fail = 0
 
     def _flush() -> None:
+        # temp + atomic rename: a kill mid-write must never corrupt the
+        # incremental file --resume depends on (truncate-then-write also
+        # made concurrent readers see an empty file)
         if ns.json_out:
-            with open(ns.json_out, "w") as f:
+            tmp_json = ns.json_out + ".tmp"
+            with open(tmp_json, "w") as f:
                 json.dump({"summary": {
                     "sf_dir": ns.sf_dir, "n_queries": len(results),
                     "pass": n_pass, "fail": n_fail,
                     "rows_only": n_rows_only},
                     "results": results}, f, indent=1)
+            os.replace(tmp_json, ns.json_out)
 
     for i, name in enumerate(names):
         q = reg[name]
