@@ -243,3 +243,75 @@ def sql_cms_cells(value: str, table: str, name: str) -> str:
             FROM {table} CROSS JOIN
                  (SELECT unnest(range({CMS_D})) AS r)
             GROUP BY 1, 2)"""
+
+
+# --------------------------------------------------------------------------
+# Bloom filter — portable membership sketch (no false negatives, ever)
+# --------------------------------------------------------------------------
+
+BLOOM_K = 6                     # hash functions
+BLOOM_WORDS = 4096              # int64 words...
+BLOOM_BITS_PER_WORD = 62        # ...of 62 usable bits (DuckDB's << errors
+#                                 on the sign bit; 62 keeps both engines
+#                                 in defined-behavior territory)
+BLOOM_M = BLOOM_WORDS * BLOOM_BITS_PER_WORD   # 253,952 bits
+
+
+def bloom_positions(df: DataFrame, value_col: str) -> DataFrame:
+    """(word, bit): the k bit positions per input row — the salted
+    md5-prefix hash family shared with the CMS sketch."""
+    pos = [
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"b{j}:"),
+                           F.col(value_col).cast("string"))),
+            1, _HASH_HEX), 16, 10).cast("long") % BLOOM_M)
+        for j in range(BLOOM_K)]
+    return df.select(F.explode(F.array(*[
+        F.struct((p / BLOOM_BITS_PER_WORD).cast("long").alias("word"),
+                 (p % BLOOM_BITS_PER_WORD).cast("int").alias("bit"))
+        for p in pos])).alias("c")).select("c.word", "c.bit")
+
+
+def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
+    """(word, bits): the packed filter.  Bit masks partial-aggregate by
+    bit_or map-side — ≤ BLOOM_WORDS rows per task cross the wire, and
+    two filters MERGE by bit_or (the same rollup algebra as the other
+    sketches)."""
+    return (bloom_positions(df, value_col)
+            .withColumn("mask", F.expr(
+                "shiftleft(CAST(1 AS BIGINT), bit)"))
+            .groupBy("word").agg(F.bit_or("mask").alias("bits")))
+
+
+def bloom_probe(df: DataFrame, value_col: str,
+                filt: DataFrame, id_cols: list[str]) -> DataFrame:
+    """(ids..., hit): hit = all k bits set.  The ≤ BLOOM_WORDS-row
+    filter broadcasts at any corpus size; a probe row is a hit iff all
+    its k (word, bit) lookups land on set bits."""
+    probe = df.select(*id_cols, F.col(value_col).alias("__v"))
+    exprs = [
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"b{j}:"),
+                           F.col("__v").cast("string"))),
+            1, _HASH_HEX), 16, 10).cast("long") % BLOOM_M)
+        for j in range(BLOOM_K)]
+    expanded = probe.select(*id_cols, F.explode(F.array(*[
+        F.struct((p / BLOOM_BITS_PER_WORD).cast("long").alias("word"),
+                 (p % BLOOM_BITS_PER_WORD).cast("int").alias("bit"))
+        for p in exprs])).alias("c")).select(*id_cols, "c.word", "c.bit")
+    checked = (expanded.join(F.broadcast(filt), "word", "left")
+               .withColumn("set_", F.coalesce(
+                   F.col("bits").bitwiseAND(F.expr(
+                       "shiftleft(CAST(1 AS BIGINT), bit)")) != 0,
+                   F.lit(False))))
+    return (checked.groupBy(*id_cols)
+            .agg((F.sum(F.col("set_").cast("int")) == BLOOM_K)
+                 .alias("hit")))
+
+
+def sql_bloom_pos(value: str, j: int) -> str:
+    """One salted hash position — mirrors bloom_positions for row j."""
+    return (f"list_reduce(list_transform(string_split(substr(md5("
+            f"'b{j}:' || CAST({value} AS VARCHAR)), 1, {_HASH_HEX}), "
+            f"''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS "
+            f"BIGINT)), (a, b) -> a * 16 + b) % {BLOOM_M}")
