@@ -2267,3 +2267,94 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(r).alias("rows_per_band"),
         p.alias("p_candidate"),
         (p >= 0.5).alias("above_half"))
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted_priority — deterministic weighted sampling w/o replacement
+# ---------------------------------------------------------------------------
+
+PRIORITY_SAMPLE_K = 50
+_PRI_HASH_HEX = 10     # 40-bit hash: h/w stays exact in a double
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT lang, doc_id, n_chars AS weight,
+                   CAST(list_reduce(list_transform(string_split(
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                              {_PRI_HASH_HEX}), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1
+                                 AS BIGINT)),
+                       (a, b) -> a * 16 + b) AS DOUBLE)
+                       / CAST(n_chars AS DOUBLE) AS pri
+            FROM documents WHERE n_chars > 0),
+        ranked AS (
+            SELECT lang, doc_id, weight,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                           ORDER BY pri, doc_id)
+                        AS INT) AS rank
+            FROM keyed),
+        sample AS (SELECT * FROM ranked
+                   WHERE rank <= {PRIORITY_SAMPLE_K}),
+        pop AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sw,
+                       COUNT(*) AS n FROM documents
+                WHERE n_chars > 0 GROUP BY lang),
+        samp AS (SELECT lang, CAST(SUM(weight) AS BIGINT) AS sw,
+                        COUNT(*) AS n FROM sample GROUP BY lang)
+        SELECT s.lang, s.doc_id, s.weight, s.rank,
+               samp.sw * pop.n >= pop.sw * samp.n AS bias_ok
+        FROM sample s
+        JOIN samp ON s.lang = samp.lang
+        JOIN pop ON s.lang = pop.lang
+    """,
+    category="extension: deterministic weighted sampling",
+    doc="Weighted sampling WITHOUT replacement per language, fully "
+        "deterministic: priority = hash40(doc_id)/weight, keep the "
+        "{PRIORITY_SAMPLE_K} smallest per lang — the uniform-clock "
+        "variant of Efraimidis-Spirakis priority sampling "
+        "(P(a beats b) = w_a/(w_a+w_b) exactly for uniform clocks; the "
+        "exponential-clock form is exact for all orders but needs ln(), "
+        "traded away so the key is ONE IEEE division of a 40-bit "
+        "integer by an int — bit-identical on any engine, reruns and "
+        "backfills select the same rows).  bias_ok pins the mechanism: "
+        "the sample's mean weight beats the population's per lang "
+        "(compared by integer cross-multiplication, no float sums).  "
+        "Scale: the engine pre-prunes per-PARTITION top-k before the "
+        "per-lang rank (global top-k is a subset of the union of local "
+        "top-ks, so pruning is lossless), so the lang-keyed shuffle "
+        "carries k rows per partition, not the corpus — the two-phase "
+        "top-k that survives 5-key skew at 100 TB.",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("n_chars") > 0)
+    pri = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                              1, _PRI_HASH_HEX), 16, 10).cast("long")
+           .cast("double") / F.col("n_chars").cast("double"))
+    keyed = docs.select("lang", "doc_id",
+                        F.col("n_chars").alias("weight"),
+                        pri.alias("pri"))
+    # phase 1: lossless per-partition prune — the global k smallest per
+    # lang are necessarily within each partition's k smallest per lang
+    lw = W.partitionBy("lang", "pid").orderBy("pri", "doc_id")
+    pruned = (keyed.withColumn("pid", F.spark_partition_id())
+              .withColumn("lrn", F.row_number().over(lw))
+              .filter(F.col("lrn") <= PRIORITY_SAMPLE_K)
+              .drop("pid", "lrn"))
+    gw = W.partitionBy("lang").orderBy("pri", "doc_id")
+    sample = (pruned.withColumn(
+        "rank", F.row_number().over(gw).cast("int"))
+        .filter(F.col("rank") <= PRIORITY_SAMPLE_K))
+    pop = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("psw"),
+        F.count("*").alias("pn"))
+    samp = sample.groupBy("lang").agg(
+        F.sum("weight").cast("long").alias("ssw"),
+        F.count("*").alias("sn"))
+    return (sample.join(samp, "lang").join(pop, "lang")
+            .select("lang", "doc_id", "weight", "rank",
+                    (F.col("ssw") * F.col("pn")
+                     >= F.col("psw") * F.col("sn")).alias("bias_ok")))
