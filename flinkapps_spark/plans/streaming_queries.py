@@ -770,3 +770,103 @@ def stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("never_under"),
                     (F.col("cms_est") <= F.col("n_exact") + slack)
                     .alias("within_eps")))
+
+
+@query(
+    "stream_stream_left_join",
+    oracle="""
+        SELECT s.event_id AS signup_id, s.user_id,
+               p.event_id AS purchase_id, p.value AS purchase_value
+        FROM events s LEFT JOIN events p
+          ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+        WHERE s.event_type = 'signup'
+    """,
+    category="streaming: stream-stream LEFT OUTER join",
+    doc="Signups LEFT-OUTER-joined to purchases by the same user within "
+        "the following hour: the hard part of streaming outer joins is "
+        "that an unmatched left row can only be emitted once the "
+        "watermark PROVES no match can still arrive — Spark holds it in "
+        "state until watermark > signup_ts + interval, then emits it "
+        "with nulls.  The replay therefore stages the fixture into a "
+        "multi-batch file stream (maxFilesPerTrigger=1) and appends "
+        "far-future sentinel files: sentinel 1 advances the watermark "
+        "past every signup's upper bound, sentinel 2 provides the "
+        "micro-batch in which the flushed non-matches actually emit "
+        "(watermarks update at batch END, so emission happens one batch "
+        "later — exactly the production behavior where a quiet stream "
+        "withholds tail results until traffic advances the clock).  "
+        "Converged output equals the batch LEFT JOIN, nulls included.  "
+        "Scale: state keyed by user_id, evicted by watermark; bounded "
+        "by the 1-hour range condition.",
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from flinkapps_spark.sources.batch import load_table, normalize_ntz
+
+    batch = load_table(spark, sf_dir, "events")
+    max_ts = batch.agg(F.max("ts")).first()[0]
+
+    staged = tempfile.mkdtemp(prefix="lj_replay_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(staged, "00_events.parquet"))
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")).schema
+    ts_is_nanos = dict((f.name, f.dataType.simpleString())
+                       for f in raw_schema).get("ts") == "bigint"
+    import datetime as _dt
+    sent_ts = max_ts + _dt.timedelta(days=10)
+    for i in (1, 2, 3):
+        # sentinels must survive the event_type filters to reach the
+        # withWatermark nodes (a filtered-out row advances nothing): one
+        # signup and one purchase row per file, on disjoint negative
+        # user ids so they can never join each other or real rows
+        ts_val = (int(sent_ts.timestamp() * 1e9) if ts_is_nanos
+                  else sent_ts)
+        rows = [
+            {"event_id": -i, "user_id": -1, "event_type": "signup",
+             "value": 0.0, "props": None, "ts": ts_val},
+            {"event_id": -1000 - i, "user_id": -2,
+             "event_type": "purchase", "value": 0.0, "props": None,
+             "ts": ts_val},
+        ]
+        sdf = spark.createDataFrame(
+            [tuple(r[f.name] for f in raw_schema.fields) for r in rows],
+            raw_schema)
+        part = tempfile.mkdtemp(prefix=f"lj_sent{i}_")
+        sdf.coalesce(1).write.mode("overwrite").parquet(part)
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(part, src),
+                    os.path.join(staged, f"zz_sentinel_{i}.parquet"))
+
+    stream = (spark.readStream.schema(raw_schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(staged, "*.parquet")))
+    if ts_is_nanos:
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(`ts` div 1000)"))
+    stream = normalize_ntz(stream)
+
+    s = (stream.filter(F.col("event_type") == "signup")
+         .select(F.col("event_id").alias("signup_id"),
+                 F.col("user_id").alias("s_user"),
+                 F.col("ts").alias("s_ts"))
+         .withWatermark("s_ts", "2 hours"))
+    p = (stream.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.col("value").alias("purchase_value"),
+                 F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", "2 hours"))
+    joined = s.join(
+        p, (F.col("p_user") == F.col("s_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter")
+    out = joined.select("signup_id", F.col("s_user").alias("user_id"),
+                        "purchase_id", "purchase_value")
+    converged = run_stream_to_memory(out, output_mode="append")
+    return converged.filter(F.col("signup_id") >= 0)
