@@ -3423,3 +3423,82 @@ def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_nonmember_probes", "n_false_positives",
                     F.round(fpr_raw, 6).alias("fpr"),
                     (fpr_raw <= 0.01).alias("fpr_ok")))
+
+
+# ---------------------------------------------------------------------------
+# events_cep_sequence — 3-step strict-order pattern match without joins
+# ---------------------------------------------------------------------------
+
+CEP_STEP_US = 6 * 3600 * 1_000_000    # 6 hours, in microseconds
+#   (per-user inter-event gaps in the fixture average ~1 h; a 30-min
+#    step made the pattern near-vacuous — 0 matches below sf0.1)
+
+
+@query(
+    "events_cep_sequence",
+    oracle=f"""
+        WITH t AS (
+            SELECT user_id, event_type, ts, epoch_us(ts) AS us
+            FROM events),
+        s1 AS (
+            SELECT user_id, event_type, ts, us,
+                   MAX(CASE WHEN event_type = 'view' THEN us END)
+                       OVER w AS last_view_us
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN {CEP_STEP_US} PRECEDING
+                         AND CURRENT ROW)),
+        s2 AS (
+            SELECT user_id, event_type, ts, us,
+                   MAX(CASE WHEN event_type = 'click'
+                            AND last_view_us < us THEN us END)
+                       OVER w AS last_qclick_us
+            FROM s1
+            WINDOW w AS (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN {CEP_STEP_US} PRECEDING
+                         AND CURRENT ROW))
+        SELECT user_id,
+               MIN(ts) AS first_match_ts,
+               COUNT(*) AS n_matches
+        FROM s2
+        WHERE event_type = 'purchase' AND last_qclick_us < us
+        GROUP BY user_id
+    """,
+    category="extension: CEP sequence pattern (view→click→purchase)",
+    doc="MATCH_RECOGNIZE-style strict-sequence pattern: purchases "
+        "preceded by a click within 6 hours that was itself preceded "
+        "by a view within 6 hours, per user — the 3-step CEP match "
+        "FlinkCEP expresses with Pattern.begin/followedBy/within, here "
+        "as TWO stacked range-frame window passes and ZERO joins: pass "
+        "1 attaches each row's latest in-window view, pass 2 attaches "
+        "the latest in-window QUALIFIED click, and a plain filter reads "
+        "off matched purchases.  Strict ordering via < on epoch "
+        "microseconds (both engines window over the same integer "
+        "column, so frame membership is exact — a seconds cast would "
+        "silently disagree with an interval frame on sub-second "
+        "timestamps).  All comparisons are integer max/min: no floats "
+        "anywhere.  Scale: both windows share one (user, us) sort — a "
+        "single Exchange — and state per row is two longs; contrast "
+        "with the naive triple self-join, which explodes on active "
+        "users.",
+)
+def events_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", F.unix_micros("ts").alias("us"))
+    w = (W.partitionBy("user_id").orderBy("us")
+         .rangeBetween(-CEP_STEP_US, 0))
+    s1 = ev.withColumn(
+        "last_view_us",
+        F.max(F.when(F.col("event_type") == "view", F.col("us")))
+        .over(w))
+    s2 = s1.withColumn(
+        "last_qclick_us",
+        F.max(F.when((F.col("event_type") == "click")
+                     & (F.col("last_view_us") < F.col("us")),
+                     F.col("us"))).over(w))
+    return (s2.filter((F.col("event_type") == "purchase")
+                      & (F.col("last_qclick_us") < F.col("us")))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("first_match_ts"),
+                 F.count("*").alias("n_matches")))

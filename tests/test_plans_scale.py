@@ -457,3 +457,12 @@ def test_hll_rolling_no_event_scale_sort(spark):
     plan = plan_of(spark, "sketch_hll_rolling7d")
     assert "Python" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cep_sequence_single_sort_no_join(spark):
+    """Both CEP window passes share one (user, us) sort: a single
+    Exchange, no join operator, no Python — the anti-triple-self-join."""
+    plan = plan_of(spark, "events_cep_sequence")
+    assert plan.count("Exchange") <= 2, plan   # window + final group agg
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
