@@ -57,7 +57,12 @@ def hll_registers(df: DataFrame, key_cols: list[str],
     h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")),
                            1, _HASH_HEX), 16, 10).cast("long")
     bucket = (h % HLL_M).alias("bucket")
-    w = F.floor(h / HLL_M).cast("long")
+    # shiftright, NOT floor(h / m): `/` is double division, and a 60-bit
+    # hash exceeds the 53-bit significand — h = 2^59 − 32 rounds UP to
+    # 2^59, flipping the bin length and breaking bit-for-bit register
+    # parity with the oracle's integer `//` (found in review, pinned by
+    # tests/test_engine_units.py::test_hll_rho_integer_division)
+    w = F.shiftright(h, HLL_P)
     rho = F.when(w == 0, F.lit(_RHO_MAX)) \
         .otherwise(F.lit(_RHO_MAX) - F.length(F.bin(w)))
     return (df.groupBy(*key_cols, bucket)
@@ -158,23 +163,6 @@ def kmv_hash(value_col: str):
                               1, _HASH_HEX), 16, 10).cast("long")
 
 
-def kmv_sample(df: DataFrame, key_cols: list[str],
-               value_col: str, k: int = KMV_K) -> DataFrame:
-    """(keys..., h): the k smallest DISTINCT hash values per key — the
-    Beyer et al. 2007 KMV synopsis / theta-sketch sample.  Exact and
-    deterministic (k-th smallest of a set is order-free), so unlike
-    DataSketches theta bytes it cross-engine value-hashes.  Scale: the
-    distinct pre-aggregates map-side; the rank window partitions by
-    key, and ANY partial top-k optimization (e.g. per-partition top-k
-    before the exchange) preserves the result exactly."""
-    hashes = (df.select(*key_cols, kmv_hash(value_col).alias("h"))
-              .distinct())
-    from pyspark.sql import Window
-    w = Window.partitionBy(*key_cols).orderBy("h")
-    return (hashes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k).select(*key_cols, "h"))
-
-
 def kmv_estimate(theta_h):
     """Distinct-count estimate (k−1)/U_(k) from the k-th smallest hash
     (normalized by the exact-power-of-two hash range: one division)."""
@@ -182,18 +170,6 @@ def kmv_estimate(theta_h):
             / (theta_h.cast("double") / F.lit(_HASH_RANGE)))
 
 
-def sql_kmv_sample(key: str, value: str, table: str, name: str,
-                   k: int = KMV_K) -> str:
-    """CTE producing ``{name}(k, h)`` — mirrors kmv_sample."""
-    return f"""
-        {name} AS (
-            SELECT k, h FROM (
-                SELECT {key} AS k, h,
-                       ROW_NUMBER() OVER (PARTITION BY {key}
-                                          ORDER BY h) AS rn
-                FROM (SELECT DISTINCT {key}, {sql_hll_hash(value)} AS h
-                      FROM {table}))
-            WHERE rn <= {k})"""
 
 
 # --------------------------------------------------------------------------

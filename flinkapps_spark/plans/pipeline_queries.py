@@ -2211,6 +2211,25 @@ def knn_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SCURVE_GRID = [round(0.05 * i, 2) for i in range(1, 20)]   # 0.05 .. 0.95
+_SCURVE_R = dedup.N_MINHASH // dedup.N_BANDS
+_SCURVE_B = dedup.N_BANDS
+
+
+def _pow_chain_sql(x: str, n: int) -> str:
+    """x^n as a left-associated product literal — the same IEEE
+    multiply sequence the Spark side builds, so both engines compute
+    bit-identical powers for ANY (r, b) without pow()/libm."""
+    e = x
+    for _ in range(n - 1):
+        e = f"({e} * {x})"
+    return e
+
+
+def _pow_chain(col, n: int):
+    e = col
+    for _ in range(n - 1):
+        e = e * col
+    return e
 
 
 @query(
@@ -2219,19 +2238,16 @@ SCURVE_GRID = [round(0.05 * i, 2) for i in range(1, 20)]   # 0.05 .. 0.95
         WITH g AS (
             SELECT CAST(unnest([{", ".join(map(repr, SCURVE_GRID))}])
                         AS DOUBLE) AS jaccard),
-        s AS (
-            SELECT jaccard,
-                   jaccard * jaccard AS j2
-            FROM g),
-        s4 AS (SELECT jaccard, j2 * j2 AS j4 FROM s),
-        y AS (SELECT jaccard, 1.0 - j4 AS y1 FROM s4),
-        y2 AS (SELECT jaccard, y1 * y1 AS y2 FROM y)
+        y AS (SELECT jaccard,
+                     1.0 - {_pow_chain_sql("jaccard", _SCURVE_R)} AS y1
+              FROM g)
         SELECT jaccard,
-               {dedup.N_BANDS} AS n_bands,
-               {dedup.N_MINHASH // dedup.N_BANDS} AS rows_per_band,
-               1.0 - y2 * y2 AS p_candidate,
-               1.0 - y2 * y2 >= 0.5 AS above_half
-        FROM y2
+               {_SCURVE_B} AS n_bands,
+               {_SCURVE_R} AS rows_per_band,
+               1.0 - {_pow_chain_sql("y1", _SCURVE_B)} AS p_candidate,
+               1.0 - {_pow_chain_sql("y1", _SCURVE_B)} >= 0.5
+                   AS above_half
+        FROM y
     """,
     category="extension: dedup (LSH S-curve calibration)",
     doc="The banding S-curve for the engine's OWN MinHash-LSH "
@@ -2241,30 +2257,28 @@ SCURVE_GRID = [round(0.05 * i, 2) for i in range(1, 20)]   # 0.05 .. 0.95
         "— the table a pipeline reads to pick its banding before "
         "trusting LSH at full scale (where the curve crosses 0.5 is the "
         "effective threshold; mass below it at the target J is the "
-        "false-negative rate).  Determinism: with integer b and r the "
-        "powers expand to a fixed multiplication chain (j2=J*J, j4=j2*j2, "
-        "y=1-j4, y2=y*y, p=1-y2*y2) evaluated in the same association "
-        "order on both engines — no pow(), no libm.  The grid literals "
+        "false-negative rate).  Determinism: the powers expand to "
+        "left-associated multiplication chains GENERATED from the "
+        "imported r and b on both sides (no pow(), no libm) — change "
+        "the dedup constants and both curve and oracle follow.  The "
+        "grid literals "
         "are CAST to DOUBLE in the oracle (DuckDB types a bare numeric "
         "list DECIMAL, which would silently switch the arithmetic).  "
         "Zero data touched: this is the sketch-parameter audit "
         "complement to dedup_minhash_estimate's per-pair audit.",
 )
 def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = dedup.N_MINHASH // dedup.N_BANDS
     grid = spark.createDataFrame([(j,) for j in SCURVE_GRID],
                                  "jaccard double")
-    j2 = F.col("jaccard") * F.col("jaccard")
-    j4 = (j2 * j2).alias("j4")
-    base = grid.select("jaccard", j4)
-    y1 = (F.lit(1.0) - F.col("j4"))
-    y2 = (y1 * y1).alias("y2")
-    curved = base.select("jaccard", y2)
-    p = F.lit(1.0) - F.col("y2") * F.col("y2")
-    return curved.select(
+    y = grid.select(
         "jaccard",
-        F.lit(dedup.N_BANDS).alias("n_bands"),
-        F.lit(r).alias("rows_per_band"),
+        (F.lit(1.0) - _pow_chain(F.col("jaccard"), _SCURVE_R))
+        .alias("y1"))
+    p = F.lit(1.0) - _pow_chain(F.col("y1"), _SCURVE_B)
+    return y.select(
+        "jaccard",
+        F.lit(_SCURVE_B).alias("n_bands"),
+        F.lit(_SCURVE_R).alias("rows_per_band"),
         p.alias("p_candidate"),
         (p >= 0.5).alias("above_half"))
 
@@ -2312,10 +2326,11 @@ _PRI_HASH_HEX = 10     # 40-bit hash: h/w stays exact in a double
     category="extension: deterministic weighted sampling",
     doc="Weighted sampling WITHOUT replacement per language, fully "
         "deterministic: priority = hash40(doc_id)/weight, keep the "
-        "{PRIORITY_SAMPLE_K} smallest per lang — the uniform-clock "
-        "variant of Efraimidis-Spirakis priority sampling "
-        "(P(a beats b) = w_a/(w_a+w_b) exactly for uniform clocks; the "
-        "exponential-clock form is exact for all orders but needs ln(), "
+        "50 smallest per lang (PRIORITY_SAMPLE_K) — uniform-clock "
+        "priority sampling with a monotone weight bias: P(a beats b) "
+        "grows with w_a/w_b (w_a/(2*w_b) for w_a <= w_b; the EXACT "
+        "w/(w_a+w_b) proportionality is what exponential clocks give "
+        "and would need ln(), "
         "traded away so the key is ONE IEEE division of a 40-bit "
         "integer by an int — bit-identical on any engine, reruns and "
         "backfills select the same rows).  bias_ok pins the mechanism: "

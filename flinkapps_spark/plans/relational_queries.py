@@ -2878,6 +2878,27 @@ HLL_PORTABLE_ORACLE = f"""
     """
 
 
+def hll_portable_report(regs, ev_base) -> DataFrame:
+    """Shared tail of sketch_hll_portable and stream_hll_distinct: merge
+    the register-level 'ALL' row, finalize, attach batch-side exact
+    counts and the 0.15-band booleans.  ONE implementation so the two
+    queries can never drift from the verbatim-shared oracle."""
+    all_regs = _sk.hll_merge(
+        regs.withColumn("k", F.lit("ALL")), ["k"])
+    fin = _sk.hll_finalize(regs.unionByName(all_regs), ["k"])
+    ex = ev_base.groupBy("k").agg(
+        F.countDistinct("user_id").alias("n_exact")).unionByName(
+        ev_base.agg(F.lit("ALL").alias("k"),
+                    F.countDistinct("user_id").alias("n_exact")))
+    return (ex.join(fin, "k")
+            .select(F.col("k").alias("event_type"), "n_exact",
+                    "hll_est", "reg_checksum",
+                    (F.abs(F.col("hll_est").cast("double")
+                           - F.col("n_exact").cast("double"))
+                     <= 0.15 * F.col("n_exact").cast("double"))
+                    .alias("within_tol")))
+
+
 @query(
     "sketch_hll_portable",
     oracle=HLL_PORTABLE_ORACLE,
@@ -2898,21 +2919,8 @@ HLL_PORTABLE_ORACLE = f"""
 def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("k"), "user_id")
-    regs = _sk.hll_registers(ev, ["k"], "user_id")
-    all_regs = _sk.hll_merge(
-        regs.withColumn("k", F.lit("ALL")), ["k"])
-    fin = _sk.hll_finalize(regs.unionByName(all_regs), ["k"])
-    ex = ev.groupBy("k").agg(
-        F.countDistinct("user_id").alias("n_exact")).unionByName(
-        ev.agg(F.lit("ALL").alias("k"),
-               F.countDistinct("user_id").alias("n_exact")))
-    return (ex.join(fin, "k")
-            .select(F.col("k").alias("event_type"), "n_exact",
-                    "hll_est", "reg_checksum",
-                    (F.abs(F.col("hll_est").cast("double")
-                           - F.col("n_exact").cast("double"))
-                     <= 0.15 * F.col("n_exact").cast("double"))
-                    .alias("within_tol")))
+    return hll_portable_report(_sk.hll_registers(ev, ["k"], "user_id"),
+                               ev)
 
 
 # ---------------------------------------------------------------------------
@@ -3023,8 +3031,7 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count("*").alias("n_exact_inter")))
     est_union = F.when(
         F.col("k_eff") < K, F.col("k_eff").cast("double")).otherwise(
-        F.lit(float(K - 1))
-        / (F.col("theta_h").cast("double") / F.lit(_sk._HASH_RANGE)))
+        _sk.kmv_estimate(F.col("theta_h")))
     jac = F.col("n_both").cast("double") / F.col("k_eff").cast("double")
     out = (m.crossJoin(F.broadcast(n_a)).crossJoin(F.broadcast(n_b))
            .crossJoin(F.broadcast(n_u)).crossJoin(F.broadcast(n_i)))
@@ -3079,28 +3086,11 @@ CMS_FREQ_ORACLE = f"""
     """
 
 
-@query(
-    "sketch_cms_freq",
-    oracle=CMS_FREQ_ORACLE,
-    category="extension: mergeable sketches (Count-Min frequency)",
-    doc="Count-Min sketch (Cormode & Muthukrishnan 2005): per-key "
-        "frequency estimates for 8 deterministic probe users from a "
-        "d=4 × w=1024 counter matrix, next to exact counts and the two "
-        "CMS guarantees as booleans — NEVER-underestimates (structural: "
-        "every cell counts a superset of the key's rows, so the oracle "
-        "asserts it as a hard invariant) and est ≤ exact + ceil(e/w · N) "
-        "(holds per key with prob ≥ 1−e⁻⁴; deterministic per fixture, "
-        "verified green on all of them).  Counters are exact integers "
-        "from the shared salted md5-prefix hash, so cells AND estimates "
-        "value-hash across engines.  Scale: each input row increments d "
-        "cells map-side (partial agg → ≤ d·w cells per task cross the "
-        "wire); cell tables merge by addition — the same rollup algebra "
-        "as the HLL registers; probes join the 4096-cell table, which "
-        "broadcasts at any corpus size.",
-)
-def sketch_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    cells = _sk.cms_cells(ev, "user_id")
+def cms_freq_report(cells, ev) -> DataFrame:
+    """Shared tail of sketch_cms_freq and stream_cms_freq: probe the
+    cell matrix for the deterministic probe users, attach exact counts
+    and both CMS guarantee booleans.  ONE implementation so the batch
+    and streaming queries can never drift from the shared oracle."""
     n = ev.agg(F.count("*").alias("n_total"))
     ex = (ev.filter(F.col("user_id") < CMS_PROBE_MAX_ID)
           .groupBy("user_id").agg(F.count("*").alias("n_exact")))
@@ -3122,6 +3112,30 @@ def sketch_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("never_under"),
                     (F.col("cms_est") <= F.col("n_exact") + slack)
                     .alias("within_eps")))
+
+
+@query(
+    "sketch_cms_freq",
+    oracle=CMS_FREQ_ORACLE,
+    category="extension: mergeable sketches (Count-Min frequency)",
+    doc="Count-Min sketch (Cormode & Muthukrishnan 2005): per-key "
+        "frequency estimates for 8 deterministic probe users from a "
+        "d=4 × w=1024 counter matrix, next to exact counts and the two "
+        "CMS guarantees as booleans — NEVER-underestimates (structural: "
+        "every cell counts a superset of the key's rows, so the oracle "
+        "asserts it as a hard invariant) and est ≤ exact + ceil(e/w · N) "
+        "(holds per key with prob ≥ 1−e⁻⁴; deterministic per fixture, "
+        "verified green on all of them).  Counters are exact integers "
+        "from the shared salted md5-prefix hash, so cells AND estimates "
+        "value-hash across engines.  Scale: each input row increments d "
+        "cells map-side (partial agg → ≤ d·w cells per task cross the "
+        "wire); cell tables merge by addition — the same rollup algebra "
+        "as the HLL registers; probes join the 4096-cell table, which "
+        "broadcasts at any corpus size.",
+)
+def sketch_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return cms_freq_report(_sk.cms_cells(ev, "user_id"), ev)
 
 
 # ---------------------------------------------------------------------------

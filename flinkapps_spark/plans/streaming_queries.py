@@ -694,26 +694,16 @@ from flinkapps_spark.plans.relational_queries import (  # noqa: E402
 )
 def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flinkapps_spark.sources.batch import load_table
+    from flinkapps_spark.plans.relational_queries import (
+        hll_portable_report,
+    )
     ev = file_stream_source(spark, sf_dir, "events").select(
         F.col("event_type").alias("k"), "user_id")
     regs_stream = _sk.hll_registers(ev, ["k"], "user_id")
     converged = run_stream_to_memory(regs_stream, output_mode="complete")
-    all_regs = _sk.hll_merge(
-        converged.withColumn("k", F.lit("ALL")), ["k"])
-    fin = _sk.hll_finalize(converged.unionByName(all_regs), ["k"])
     ev_b = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("k"), "user_id")
-    ex = ev_b.groupBy("k").agg(
-        F.countDistinct("user_id").alias("n_exact")).unionByName(
-        ev_b.agg(F.lit("ALL").alias("k"),
-                 F.countDistinct("user_id").alias("n_exact")))
-    return (ex.join(fin, "k")
-            .select(F.col("k").alias("event_type"), "n_exact",
-                    "hll_est", "reg_checksum",
-                    (F.abs(F.col("hll_est").cast("double")
-                           - F.col("n_exact").cast("double"))
-                     <= 0.15 * F.col("n_exact").cast("double"))
-                    .alias("within_tol")))
+    return hll_portable_report(converged, ev_b)
 
 
 from flinkapps_spark.plans.relational_queries import (  # noqa: E402
@@ -738,38 +728,15 @@ from flinkapps_spark.plans.relational_queries import (  # noqa: E402
 )
 def stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flinkapps_spark.sources.batch import load_table
+    from flinkapps_spark.plans.relational_queries import cms_freq_report
     ev_s = file_stream_source(spark, sf_dir, "events")
-    rows = ev_s.select(F.explode(F.array(*[
-        F.struct(F.lit(i).alias("row"),
-                 _sk.cms_bucket("user_id", i).alias("bucket"))
-        for i in range(_sk.CMS_D)])).alias("c"))
-    cells_stream = (rows.select("c.row", "c.bucket")
-                    .groupBy("row", "bucket")
-                    .agg(F.count("*").alias("cnt")))
+    # the incremental fold: per micro-batch, each row's d cell
+    # increments add into the state-store counters (cms_cells works on
+    # a streaming frame as-is — counter addition IS the CMS merge)
+    cells_stream = _sk.cms_cells(ev_s, "user_id")
     cells = run_stream_to_memory(cells_stream, output_mode="complete")
-
     ev = load_table(spark, sf_dir, "events")
-    n = ev.agg(F.count("*").alias("n_total"))
-    ex = (ev.filter(F.col("user_id") < CMS_PROBE_MAX_ID)
-          .groupBy("user_id").agg(F.count("*").alias("n_exact")))
-    pb = ex.select(
-        "user_id", "n_exact",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("row"),
-                     _sk.cms_bucket("user_id", i).alias("bucket"))
-            for i in range(_sk.CMS_D)])).alias("c")) \
-        .select("user_id", "n_exact", "c.row", "c.bucket")
-    est = (pb.join(F.broadcast(cells), ["row", "bucket"])
-           .groupBy("user_id", "n_exact")
-           .agg(F.min("cnt").cast("long").alias("cms_est")))
-    slack = F.ceil(F.lit(_sk.CMS_EPS)
-                   * F.col("n_total").cast("double")).cast("long")
-    return (est.crossJoin(F.broadcast(n))
-            .select("user_id", "n_exact", "cms_est",
-                    (F.col("cms_est") >= F.col("n_exact"))
-                    .alias("never_under"),
-                    (F.col("cms_est") <= F.col("n_exact") + slack)
-                    .alias("within_eps")))
+    return cms_freq_report(cells, ev)
 
 
 @query(
@@ -811,10 +778,16 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_ts = batch.agg(F.max("ts")).first()[0]
 
     staged = tempfile.mkdtemp(prefix="lj_replay_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                os.path.join(staged, "00_events.parquet"))
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")).schema
+    src_pq = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src_pq):      # directory-style parquet fixture
+        parts = sorted(f for f in os.listdir(src_pq)
+                       if f.endswith(".parquet"))
+        for i, f in enumerate(parts):
+            shutil.copy(os.path.join(src_pq, f),
+                        os.path.join(staged, f"00_{i:04d}.parquet"))
+    else:
+        shutil.copy(src_pq, os.path.join(staged, "00_events.parquet"))
+    raw_schema = spark.read.parquet(src_pq).schema
     ts_is_nanos = dict((f.name, f.dataType.simpleString())
                        for f in raw_schema).get("ts") == "bigint"
     import datetime as _dt
@@ -838,9 +811,10 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             raw_schema)
         part = tempfile.mkdtemp(prefix=f"lj_sent{i}_")
         sdf.coalesce(1).write.mode("overwrite").parquet(part)
-        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
-        shutil.copy(os.path.join(part, src),
+        pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(part, pf),
                     os.path.join(staged, f"zz_sentinel_{i}.parquet"))
+        shutil.rmtree(part, ignore_errors=True)
 
     stream = (spark.readStream.schema(raw_schema)
               .option("maxFilesPerTrigger", 1)
@@ -868,8 +842,17 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter")
     out = joined.select("signup_id", F.col("s_user").alias("user_id"),
                         "purchase_id", "purchase_value")
-    converged = run_stream_to_memory(out, output_mode="append")
-    return converged.filter(F.col("signup_id") >= 0)
+    try:
+        converged = run_stream_to_memory(out, output_mode="append")
+        # force the memory sink to materialize fully before the staged
+        # replay files disappear (the sink table itself is in memory)
+        converged = converged.filter(F.col("signup_id") >= 0)
+        converged.count()
+        return converged
+    finally:
+        # a sweep re-runs this query many times; leaked staged copies of
+        # the fixture would accumulate gigabytes under /tmp
+        shutil.rmtree(staged, ignore_errors=True)
 
 
 @query(

@@ -729,3 +729,27 @@ def test_insert_overwrite_partitions_touches_only_written(spark, tmp_path):
     got = {(r["id"], r["day"])
            for r in spark.read.parquet(path).collect()}
     assert got == {(1, "d1"), (2, "d1"), (30, "d2"), (31, "d2"), (4, "d3")}
+
+
+def test_hll_rho_integer_division(spark):
+    """The HLL rho domain must come from an integer shift, not double
+    division: a 60-bit hash exceeds the 53-bit double significand, so
+    floor(h / 1024) rounds h = 2^59 − 32 UP to 2^59 and flips the bin
+    length — breaking bit-for-bit register parity with the oracle's
+    integer `//`.  Pins the shiftright form against exact python `>>`
+    on adversarial values around the rounding boundary."""
+    from pyspark.sql import functions as F
+    from flinkapps_spark.operators.sketches import HLL_P
+    hs = [2 ** 59 - 32, 2 ** 59 - 1, 2 ** 59, 2 ** 60 - 1,
+          2 ** 53 + 1, 12345, 0, 1023, 1024]
+    df = spark.createDataFrame([(h,) for h in hs], "h long")
+    got = [r["w"] for r in
+           df.select(F.shiftright("h", HLL_P).alias("w"))
+           .orderBy("h").collect()]
+    expected = [h >> HLL_P for h in sorted(hs)]
+    assert got == expected
+    # and the double-division form really IS wrong on the boundary —
+    # the regression this test exists to prevent coming back
+    bad = df.select(F.floor(F.col("h") / (1 << HLL_P)).cast("long")
+                    .alias("w")).orderBy("h").collect()
+    assert [r["w"] for r in bad] != expected
