@@ -3341,9 +3341,7 @@ _BLOOM_POS_LIST = ", ".join(
 _BPW = _sk.BLOOM_BITS_PER_WORD
 
 
-@query(
-    "sketch_bloom_filter",
-    oracle=f"""
+BLOOM_FILTER_ORACLE = f"""
         WITH mem AS (
             SELECT DISTINCT user_id FROM events
             WHERE event_type = 'purchase'),
@@ -3392,28 +3390,15 @@ _BPW = _sk.BLOOM_BITS_PER_WORD
                    / (SELECT CAST(COUNT(*) AS DOUBLE)
                       FROM hits WHERE NOT is_member) <= 0.01 AS fpr_ok
         FROM wstats
-    """,
-    category="extension: mergeable sketches (Bloom membership)",
-    doc="Portable Bloom filter (k=6 salted md5-prefix hashes over "
-        "253,952 bits packed 62-per-int64 — DuckDB's << rejects the "
-        "sign bit, so both engines stay in defined-behavior territory): "
-        "purchase-user membership, probed with every member (the "
-        "NO-FALSE-NEGATIVES structural guarantee, emitted as a boolean "
-        "the oracle pins) and an equal-sized guaranteed-non-member set "
-        "(ids shifted out of domain) for a measured false-positive "
-        "rate, gated at 1% (theory ≈0.06% at sf1 occupancy).  The "
-        "packed words value-hash exactly via the set-bit count.  "
-        "Scale: bit masks partial-aggregate by bit_or (≤4096 words per "
-        "task cross the wire); the filter broadcasts to probes at any "
-        "corpus size; two filters merge by bit_or — the semi-join-"
-        "reduction sketch (ship the filter, not the set) that cuts "
-        "shuffle before an expensive join.",
-)
-def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    mem = (ev.filter(F.col("event_type") == "purchase")
-           .select("user_id").distinct())
-    filt = _sk.bloom_build(mem, "user_id")
+    """
+
+
+def bloom_membership_report(filt, mem) -> DataFrame:
+    """Shared tail of sketch_bloom_filter and stream_bloom_filter:
+    probe every member (no-FN guarantee) plus an equal-sized
+    guaranteed-non-member set, emit the measured-FPR audit row.  ONE
+    implementation so the two queries cannot drift from the shared
+    oracle."""
     probes = mem.withColumn("is_member", F.lit(True)).unionByName(
         mem.select((F.col("user_id") + 1000000).alias("user_id"))
         .withColumn("is_member", F.lit(False)))
@@ -3437,6 +3422,32 @@ def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_nonmember_probes", "n_false_positives",
                     F.round(fpr_raw, 6).alias("fpr"),
                     (fpr_raw <= 0.01).alias("fpr_ok")))
+
+
+@query(
+    "sketch_bloom_filter",
+    oracle=BLOOM_FILTER_ORACLE,
+    category="extension: mergeable sketches (Bloom membership)",
+    doc="Portable Bloom filter (k=6 salted md5-prefix hashes over "
+        "253,952 bits packed 62-per-int64 — DuckDB's << rejects the "
+        "sign bit, so both engines stay in defined-behavior territory): "
+        "purchase-user membership, probed with every member (the "
+        "NO-FALSE-NEGATIVES structural guarantee, emitted as a boolean "
+        "the oracle pins) and an equal-sized guaranteed-non-member set "
+        "(ids shifted out of domain) for a measured false-positive "
+        "rate, gated at 1% (theory ≈0.06% at sf1 occupancy).  The "
+        "packed words value-hash exactly via the set-bit count.  "
+        "Scale: bit masks partial-aggregate by bit_or (≤4096 words per "
+        "task cross the wire); the filter broadcasts to probes at any "
+        "corpus size; two filters merge by bit_or — the semi-join-"
+        "reduction sketch (ship the filter, not the set) that cuts "
+        "shuffle before an expensive join.",
+)
+def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mem = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id").distinct())
+    return bloom_membership_report(_sk.bloom_build(mem, "user_id"), mem)
 
 
 # ---------------------------------------------------------------------------
@@ -3567,3 +3578,101 @@ def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_orders"),
                  F.sum(F.round(F.col("o_totalprice") * 100, 0)
                        .cast("long")).cast("long").alias("price_units")))
+
+
+# ---------------------------------------------------------------------------
+# exact_quantiles_selection — ALL quantiles from one histogram + one rank pass
+# ---------------------------------------------------------------------------
+
+SELECTION_PCTS = (25, 50, 75, 95, 99)
+
+
+@query(
+    "exact_quantiles_selection",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events WHERE value IS NOT NULL),
+        tgt AS (
+            SELECT event_type, n, p,
+                   greatest(CAST(ceil(p * n / 100.0) AS BIGINT), 1) AS k
+            FROM (SELECT DISTINCT event_type, n FROM ranked)
+            CROSS JOIN (SELECT unnest([{", ".join(
+                str(p) for p in SELECTION_PCTS)}]) AS p))
+        SELECT t.event_type, t.p, t.n, t.k,
+               r.value AS quantile_value
+        FROM tgt t JOIN ranked r
+          ON r.event_type = t.event_type AND r.rn = t.k
+    """,
+    category="extension: distributed selection (all quantiles, one scan)",
+    doc="EXACT p25/p50/p75/p95/p99 per event_type (k-th smallest, "
+        "k = max(ceil(p·n/100), 1)) — the generalization of "
+        "exact_median_selection that amortizes ONE histogram over every "
+        "requested quantile: pass 1 builds the per-group 1024-bin "
+        "histogram once; the driver walks cumulative counts to place "
+        "ALL five ranks in their bins (a (type, bin, k-within-bin, p) "
+        "target list of ≤ |groups|·|ps| rows); pass 2 filters to the "
+        "union of target bins and ranks each once per (type, bin), "
+        "serving every quantile that landed in that bin from the same "
+        "sort.  The oracle sorts everything per group — parity proves "
+        "the narrowing exact for every percentile including the p99 "
+        "tail.  Adding more quantiles costs nothing but target rows: "
+        "the expensive passes stay TWO scans regardless.",
+)
+def exact_quantiles_selection(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    import math
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "value"))
+    ext = {r["event_type"]: r for r in
+           ev.groupBy("event_type")
+           .agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
+                F.count("*").alias("n")).collect()}
+
+    def bin_of(t):
+        lo, hi = ext[t]["lo"], ext[t]["hi"]
+        w = (hi - lo) / MEDIAN_BINS or 1.0
+        return F.least(F.floor((F.col("value") - F.lit(lo)) / F.lit(w)),
+                       F.lit(MEDIAN_BINS - 1)).cast("long")
+
+    binned = ev.withColumn("bin", F.coalesce(*[
+        F.when(F.col("event_type") == t, bin_of(t)) for t in ext]))
+    hist = {(r["event_type"], r["bin"]): r["cnt"] for r in
+            binned.groupBy("event_type", "bin")
+            .agg(F.count("*").alias("cnt")).collect()}
+    # place every (type, p) rank in its bin from ONE cumulative walk
+    targets = []          # (type, bin, k_within_bin, p, n, k)
+    for t, info in ext.items():
+        n = info["n"]
+        ks = {p: max(math.ceil(p * n / 100.0), 1)
+              for p in SELECTION_PCTS}
+        cum = 0
+        pending = sorted(ks.items(), key=lambda kv: kv[1])
+        i = 0
+        for b in range(MEDIAN_BINS):
+            c = hist.get((t, b), 0)
+            while i < len(pending) and cum + c >= pending[i][1]:
+                p, k = pending[i]
+                targets.append((t, b, k - cum, p, n, k))
+                i += 1
+            cum += c
+            if i == len(pending):
+                break
+    tgt = F.broadcast(spark.createDataFrame(
+        targets, "event_type string, bin long, k_in long, p int, "
+                 "n long, k long"))
+    from pyspark.sql import Window as W
+    survivors = binned.join(
+        tgt.select("event_type", "bin").distinct(),
+        ["event_type", "bin"])
+    ranked = survivors.withColumn(
+        "rn", F.row_number().over(
+            W.partitionBy("event_type", "bin").orderBy("value")))
+    return (ranked.join(tgt, ["event_type", "bin"])
+            .filter(F.col("rn") == F.col("k_in"))
+            .select("event_type", "p", "n", "k",
+                    F.col("value").alias("quantile_value")))

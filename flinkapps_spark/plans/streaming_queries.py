@@ -905,3 +905,39 @@ def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.count("*").alias("n_attributed"))
          .select(F.col("window.start").alias("ws"), "n_attributed"))
     return run_stream_to_memory(w, output_mode="append")
+
+
+from flinkapps_spark.plans.relational_queries import (  # noqa: E402
+    BLOOM_FILTER_ORACLE as _BLOOM_ORACLE,
+)
+
+
+@query(
+    "stream_bloom_filter",
+    oracle=_BLOOM_ORACLE,  # shared verbatim with the batch sketch
+    category="streaming: incremental Bloom filter (complete)",
+    doc="The Bloom bit array maintained INCREMENTALLY by the streaming "
+        "state store: each micro-batch bit_or's its members' masks into "
+        "the per-word counters (complete output mode = the converged "
+        "filter), then the same probe/FPR audit as batch "
+        "sketch_bloom_filter runs against it — shared report code and "
+        "verbatim-shared oracle, the fourth sketch family (after grid "
+        "quantiles, HLL, CMS) whose state-store fold is proven "
+        "identical to the batch partial-agg.  Scale: streaming state "
+        "is <= 4096 words total, unbounded input; bit_or per batch IS "
+        "the Bloom merge.",
+)
+def stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.sources.batch import load_table
+    from flinkapps_spark.plans.relational_queries import (
+        bloom_membership_report,
+    )
+    ev_s = file_stream_source(spark, sf_dir, "events")
+    mem_s = (ev_s.filter(F.col("event_type") == "purchase")
+             .select("user_id"))
+    filt_stream = _sk.bloom_build(mem_s, "user_id")
+    filt = run_stream_to_memory(filt_stream, output_mode="complete")
+    ev = load_table(spark, sf_dir, "events")
+    mem = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id").distinct())
+    return bloom_membership_report(filt, mem)
