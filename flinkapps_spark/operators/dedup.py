@@ -746,8 +746,18 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     large-graph connected-components algorithm: per round, every node takes
     min(own label, neighbors' labels); converges in O(diameter) rounds.
     localCheckpoint per round truncates the lineage (an iterative loop
-    otherwise re-executes the whole history each round).  Scale: each round
-    is one shuffle join keyed by node; diameters of dedup graphs are tiny.
+    otherwise re-executes the whole history each round).
+
+    Scale design: the loop runs ONLY over nodes incident to at least one
+    edge.  An isolated node can never receive a neighbor label, so its
+    component label is its own id by definition — it is appended after the
+    loop with one anti-join instead of being dragged through every
+    iteration's shuffle.  For dedup graphs this contracts the iterated
+    frame from corpus-sized to pair-touched-sized (typically orders of
+    magnitude smaller), making each round's join near-free; diameters of
+    dedup graphs are tiny, so few rounds run.  The convergence check rides
+    the update join (old label carried alongside the new one) rather than
+    costing a second corpus-wide join per round.
 
     Returns DataFrame[node, label].
     """
@@ -756,8 +766,9 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"),
                      F.col("src").alias("dst"))).persist()
-    labels = nodes.select(F.col(nodes.columns[0]).alias("node")) \
-        .withColumn("label", F.col("node")).localCheckpoint()
+    touched = edges.select(F.col("src").alias("node")).distinct() \
+        .localCheckpoint()
+    labels = touched.withColumn("label", F.col("node"))
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -765,18 +776,21 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "node", "left")
             .select("node",
+                    F.col("label").alias("old_label"),
                     F.least("label", F.coalesce("nbr_label", F.col("label")))
                     .alias("label"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label")).count()
-        )
-        labels = new_labels
+        changed = stepped.filter(
+            F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
 
-    return labels
+    edges.unpersist()
+    isolated = (nodes.select(F.col(nodes.columns[0]).alias("node"))
+                .join(touched, "node", "left_anti")
+                .withColumn("label", F.col("node")))
+    return labels.union(isolated)

@@ -328,3 +328,36 @@ def test_kmv_union_of_samples_is_sample_of_union(spark, xs, ys):
                     .orderBy("h").limit(k).collect()}
     from_union = {r["h"] for r in top(a.unionByName(b)).collect()}
     assert from_samples == from_union
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 24), st.integers(0, 24)),
+                min_size=0, max_size=40),
+       st.integers(25, 40))
+def test_connected_components_matches_union_find(spark, edges, n_nodes):
+    """dedup_clusters' labeler vs a driver-side union-find: every node —
+    including isolated ones, which the contracted implementation routes
+    around the iteration loop entirely — gets the minimum reachable id."""
+    from flinkapps_spark.operators.dedup import connected_components
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in range(n_nodes)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "node long")
+    pairs = spark.createDataFrame(edges or [(0, 0)], "doc_a long, doc_b long")
+    if not edges:  # degenerate frame above only to satisfy createDataFrame
+        pairs = pairs.filter(F.lit(False))
+    got = {r["node"]: r["label"]
+           for r in connected_components(nodes, pairs).collect()}
+    assert got == expected
