@@ -2373,3 +2373,53 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "doc_id", "weight", "rank",
                     (F.col("ssw") * F.col("pn")
                      >= F.col("psw") * F.col("sn")).alias("bias_ok")))
+
+
+# ---------------------------------------------------------------------------
+# sample_group_holdout — leakage-safe train/test split by group hash
+# ---------------------------------------------------------------------------
+
+HOLDOUT_BUCKETS = 10   # hash buckets over the group key
+HOLDOUT_TRAIN = 8      # buckets [0, 8) -> train, [8, 10) -> test
+
+
+@query(
+    "sample_group_holdout",
+    oracle=f"""
+        WITH coded AS (
+            SELECT doc_id, lang, source,
+                   CASE WHEN {_sql_word_code('source')} % {HOLDOUT_BUCKETS}
+                             < {HOLDOUT_TRAIN}
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents)
+        SELECT split, COUNT(*) AS n_docs,
+               COUNT(DISTINCT source) AS n_sources,
+               COUNT(DISTINCT lang) AS n_langs,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM coded GROUP BY split
+    """,
+    category="extension: deterministic group-holdout split",
+    doc="Leakage-safe train/test split: the split is decided by a "
+        "deterministic content hash of the GROUP key (source domain), "
+        "never per-document, so near-duplicate documents from the same "
+        "domain can never straddle the boundary — the standard guard "
+        "against train/test contamination that per-row sampling "
+        "(sample_hash_stratified) cannot give. Reruns and other engines "
+        "reproduce the identical membership (the oracle proves it). "
+        "Scale: a stateless map-side hash + one partial-aggregated "
+        "shuffle on the 2-value split key; the distinct counts are "
+        "bounded by group/lang cardinality.",
+)
+def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.functions.text import word_code
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        word_code(F.col("source")) % HOLDOUT_BUCKETS < HOLDOUT_TRAIN,
+        F.lit("train")).otherwise(F.lit("test"))
+    return (docs.withColumn("split", split)
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("source").alias("n_sources"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))

@@ -3676,3 +3676,125 @@ def exact_quantiles_selection(spark: SparkSession,
             .filter(F.col("rn") == F.col("k_in"))
             .select("event_type", "p", "n", "k",
                     F.col("value").alias("quantile_value")))
+
+
+# ---------------------------------------------------------------------------
+# events_attribution — last-touch marketing attribution
+# ---------------------------------------------------------------------------
+
+ATTR_TOUCH_TYPES = ("click", "view")   # attributable touch events
+ATTR_WINDOW_US = 86_400 * 1_000_000    # 24 h lookback, microseconds
+
+
+@query(
+    "events_attribution",
+    oracle=f"""
+        WITH seq AS (
+            SELECT event_id, user_id, ts, event_type,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN epoch_us(ts) END IGNORE NULLS)
+                       OVER w AS touch_us,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN event_type END IGNORE NULLS)
+                       OVER w AS touch_raw
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN touch_us IS NOT NULL
+                         AND epoch_us(ts) - touch_us <= {ATTR_WINDOW_US}
+                    THEN touch_raw ELSE 'direct' END AS touch_type,
+               CASE WHEN touch_us IS NOT NULL
+                         AND epoch_us(ts) - touch_us <= {ATTR_WINDOW_US}
+                    THEN epoch_us(ts) - touch_us END AS delay_us
+        FROM seq WHERE event_type = 'purchase'
+    """,
+    category="extension: funnel / sequence analytics (attribution)",
+    doc="Last-touch conversion attribution: every purchase is credited "
+        "to the most recent click/view by the same user within a 24 h "
+        "lookback, else 'direct' — the product-analytics revenue- "
+        "attribution staple. One window over (user_id, ts, event_id): "
+        "both last_value(... IGNORE NULLS) expressions share the same "
+        "frame, so Catalyst plans a single Window node over one shuffle "
+        "on user_id — no self-join, no per-user iteration. The (ts, "
+        "event_id) order key makes same-timestamp ties deterministic on "
+        "both engines; delays are exact integer microseconds "
+        "(unix_micros / epoch_us), so no float enters the comparison. "
+        "Scale: per-user event sequences are bounded; the plan is one "
+        "hash exchange + sort regardless of corpus size.",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_touch = F.col("event_type").isin(*ATTR_TOUCH_TYPES)
+    seq = ev.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.last(F.when(is_touch, F.unix_micros("ts")), ignorenulls=True)
+        .over(w).alias("touch_us"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w).alias("touch_raw"))
+    delay = F.unix_micros("ts") - F.col("touch_us")
+    in_win = F.col("touch_us").isNotNull() & (delay <= ATTR_WINDOW_US)
+    return (seq.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts",
+                    F.when(in_win, F.col("touch_raw")).otherwise("direct")
+                    .alias("touch_type"),
+                    F.when(in_win, delay).alias("delay_us")))
+
+
+# ---------------------------------------------------------------------------
+# stats_category_lift — association lift between two categoricals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_category_lift",
+    oracle="""
+        WITH pc AS (
+            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_xy
+            FROM orders GROUP BY o_orderpriority, o_orderstatus)
+        SELECT o_orderpriority, o_orderstatus, n_xy,
+               CAST(SUM(n_xy) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS n_x,
+               CAST(SUM(n_xy) OVER (PARTITION BY o_orderstatus)
+                    AS BIGINT) AS n_y,
+               CAST(SUM(n_xy) OVER () AS BIGINT) AS n_total,
+               CAST(n_xy * CAST(SUM(n_xy) OVER () AS BIGINT) AS DOUBLE)
+                   / (CAST(SUM(n_xy) OVER (PARTITION BY o_orderpriority)
+                           AS BIGINT)
+                      * CAST(SUM(n_xy) OVER (PARTITION BY o_orderstatus)
+                             AS BIGINT)) AS lift
+        FROM pc
+    """,
+    category="extension: statistics (categorical association)",
+    doc="Association lift matrix between two categorical columns "
+        "(order priority x order status): lift = P(x,y)/(P(x)P(y)) "
+        "computed as n_xy*N / (n_x*n_y) — the market-basket / feature- "
+        "correlation screen, the ratio form of pointwise mutual "
+        "information (log-free so the division of exact int64 counts is "
+        "the ONLY float op, bit-deterministic across engines; ln() "
+        "would not be). Scale: the fact table collapses to a "
+        "|X|x|Y|-cardinality frame in one partial-aggregated shuffle; "
+        "the marginal/global window sums then run over that tiny frame, "
+        "so the single-task global window is bounded by category "
+        "cardinality, never by data size (same justification as "
+        "orders_pareto_share).",
+)
+def stats_category_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    pc = (od.groupBy("o_orderpriority", "o_orderstatus")
+          .agg(F.count("*").alias("n_xy")))
+    wx = Window.partitionBy("o_orderpriority")
+    wy = Window.partitionBy("o_orderstatus")
+    wall = Window.partitionBy()
+    r = pc.select(
+        "o_orderpriority", "o_orderstatus", "n_xy",
+        F.sum("n_xy").over(wx).alias("n_x"),
+        F.sum("n_xy").over(wy).alias("n_y"),
+        F.sum("n_xy").over(wall).alias("n_total"))
+    return r.select(
+        "o_orderpriority", "o_orderstatus", "n_xy", "n_x", "n_y", "n_total",
+        ((F.col("n_xy") * F.col("n_total")).cast("double")
+         / (F.col("n_x") * F.col("n_y"))).alias("lift"))

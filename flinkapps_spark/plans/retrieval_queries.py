@@ -184,3 +184,46 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_bigrams"),
                  exact_avg(nll, NLL2_SCALE).alias("avg_nll2")))
+
+
+# ---------------------------------------------------------------------------
+# text_phrase_search — positional inverted-index phrase matching
+# ---------------------------------------------------------------------------
+
+PHRASE = ("hash", "value")   # adjacent-token phrase query
+
+
+@query(
+    "text_phrase_search",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        p AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+              FROM w WHERE len(ws) > 1)
+        SELECT doc_id, COUNT(*) AS n_occurrences
+        FROM p WHERE ws[i] = '{PHRASE[0]}' AND ws[i + 1] = '{PHRASE[1]}'
+        GROUP BY doc_id
+    """,
+    category="extension: retrieval (phrase search)",
+    doc="Exact phrase search ('hash value') via a positional inverted "
+        "index: tokenize, posexplode to (doc, pos, term) postings, then "
+        "equi-join the two terms' posting lists on (doc_id, pos+1) — "
+        "the Lucene phrase-query shape expressed relationally. Scale: "
+        "the postings for NON-QUERY terms are filtered out before the "
+        "join (predicate pushdown under the generate), so the join "
+        "touches only the two terms' lists, keyed by (doc, pos) — "
+        "uniform, skew-free, and proportional to term frequency, not "
+        "corpus size. Single-space split (not \\s+) on both engines so "
+        "empty tokens agree bit-for-bit.",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ", -1)).alias("pos", "w"))
+    first = (toks.filter(F.col("w") == PHRASE[0])
+             .select("doc_id", "pos"))
+    second = (toks.filter(F.col("w") == PHRASE[1])
+              .select("doc_id", (F.col("pos") - 1).alias("pos")))
+    return (first.join(second, ["doc_id", "pos"])
+            .groupBy("doc_id").agg(F.count("*").alias("n_occurrences")))
