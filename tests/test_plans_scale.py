@@ -466,3 +466,46 @@ def test_cep_sequence_single_sort_no_join(spark):
     assert plan.count("Exchange") <= 2, plan   # window + final group agg
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_attribution_single_window_no_join(spark):
+    """Last-touch attribution is ONE shuffle on user_id feeding ONE
+    Window node (both IGNORE-NULLS last_value exprs share the frame) —
+    no self-join, no Python in the plan."""
+    plan = plan_of(spark, "events_attribution")
+    assert plan.count("Exchange") <= 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_category_lift_no_join_no_python(spark):
+    """Lift matrix: the fact scan collapses in one partial-aggregated
+    shuffle; the marginal windows run over the tiny category frame with
+    no join and no Python."""
+    plan = plan_of(spark, "stats_category_lift")
+    assert "partial_count" in plan or "partial" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_phrase_search_filters_below_join(spark):
+    """Phrase search joins only the two query terms' posting lists: the
+    term filters sit BELOW the join (postings for other terms never
+    shuffle), and the join keys on (doc_id, pos)."""
+    plan = plan_of(spark, "text_phrase_search")
+    assert plan.count("Join") == 1, plan
+    join_at = plan.index("Join")
+    # both term-equality filters appear in the subtree under the join
+    below = plan[join_at:]
+    assert below.count("= hash") >= 1 and below.count("= value") >= 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_group_holdout_map_side_hash(spark):
+    """The split decision is a stateless map-side hash: no join, no
+    Python, and only aggregation exchanges in the plan."""
+    plan = plan_of(spark, "sample_group_holdout")
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
