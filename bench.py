@@ -86,6 +86,10 @@ HEADLINE = [
     "events_concurrency_peaks",
     "text_line_dedup",
     "sketch_hll_portable",
+    "events_attribution",
+    "stats_category_lift",
+    "text_phrase_search",
+    "sample_group_holdout",
 ]
 
 
