@@ -90,6 +90,8 @@ HEADLINE = [
     "stats_category_lift",
     "text_phrase_search",
     "sample_group_holdout",
+    "events_top_paths",
+    "events_changepoint_cusum",
 ]
 
 

@@ -3798,3 +3798,76 @@ def stats_category_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "o_orderstatus", "n_xy", "n_x", "n_y", "n_total",
         ((F.col("n_xy") * F.col("n_total")).cast("double")
          / (F.col("n_x") * F.col("n_y"))).alias("lift"))
+
+
+# ---------------------------------------------------------------------------
+# events_top_paths — session path analysis (top-k event-type sequences)
+# ---------------------------------------------------------------------------
+
+PATH_GAP_US = 30 * 60 * 1_000_000   # 30-min inactivity gap (sessionize)
+PATH_LEN = 5                        # path prefix length
+PATH_TOPK = 20                      # top-k paths reported
+
+
+@query(
+    "events_top_paths",
+    oracle=f"""
+        WITH m AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > {PATH_GAP_US}
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m),
+        p AS (
+            SELECT user_id, sid,
+                   array_to_string(
+                       list(event_type ORDER BY ts, event_id)[1:{PATH_LEN}],
+                       '>') AS path
+            FROM s GROUP BY user_id, sid)
+        SELECT path, COUNT(*) AS n_sessions
+        FROM p GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT {PATH_TOPK}
+    """,
+    category="extension: funnel / sequence analytics (path analysis)",
+    doc="Top-20 session paths: gap-sessionize (30-min inactivity, same "
+        "semantics as events_sessionize), build each session's first-5 "
+        "event-type sequence, count sessions per path — the user-flow / "
+        "Sankey primitive (ClickHouse sequenceMatch territory). The "
+        "sequence is collected per session and array_sort'ed on the "
+        "total order struct(ts, event_id, type), so same-timestamp ties "
+        "cannot reorder the path on either engine; top-k orders by "
+        "(count DESC, path) so the cut is tie-stable. Scale: one "
+        "user_id window pass, one (user, session) partial agg over "
+        "bounded per-session arrays, then a TakeOrdered over the "
+        "path-cardinality frame — no global sort of the data.",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    brk = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev))
+           > PATH_GAP_US), 1).otherwise(0)
+    marked = ev.select("user_id", "ts", "event_id", "event_type",
+                       brk.alias("brk"))
+    sess = marked.withColumn(
+        "sid", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    paths = (sess.groupBy("user_id", "sid")
+             .agg(F.array_sort(
+                 F.collect_list(F.struct("ts", "event_id", "event_type")))
+                 .alias("evs"))
+             .select(F.concat_ws(
+                 ">", F.slice(F.transform(
+                     "evs", lambda x: x["event_type"]), 1, PATH_LEN))
+                 .alias("path")))
+    return (paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), "path").limit(PATH_TOPK))

@@ -781,3 +781,72 @@ def events_concurrency_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (offset + F.col("peak_in")).cast("long").alias("peak_concurrency"),
         F.col("n_starts").cast("long").alias("n_starts"),
         F.col("n_ends").cast("long").alias("n_ends"))
+
+
+# ---------------------------------------------------------------------------
+# events_changepoint_cusum — integer-exact CUSUM drift detection
+# ---------------------------------------------------------------------------
+
+CUSUM_SCALE = 100   # fixed-point scale for hourly value sums
+CUSUM_K = 2         # flag when |cusum| exceeds K average-hours of drift
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   CAST(SUM({sql_units('value', CUSUM_SCALE)}) AS BIGINT)
+                       AS s_units
+            FROM events GROUP BY event_type, hr),
+        c AS (
+            SELECT event_type, hr, s_units,
+                   CAST(SUM(s_units) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS stot,
+                   COUNT(*) OVER (PARTITION BY event_type) AS nh,
+                   CAST(SUM(s_units) OVER (PARTITION BY event_type
+                                           ORDER BY hr
+                                           ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS pref,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)
+                       AS t_idx
+            FROM h)
+        SELECT event_type, hr, s_units,
+               nh * pref - t_idx * stot AS cusum_units,
+               abs(nh * pref - t_idx * stot) > {CUSUM_K} * abs(stot)
+                   AS drift_flag
+        FROM c
+    """,
+    category="extension: time series (changepoint detection)",
+    doc="CUSUM changepoint/drift screen per event type over hourly "
+        "value sums: cusum_t = nh*prefix_t - t*total is the cumulative "
+        "deviation from the per-type mean hourly sum, scaled by nh so "
+        "the WHOLE statistic stays in exact int64 fixed-point units — "
+        "no mean division, no float, so the drift flag compares "
+        "bit-identically on both engines (flag when the accumulated "
+        "deviation exceeds K=2 average-hours — chosen so the flag splits both ways at sf0.01 AND sf1: the random-walk cusum grows ~sqrt while the total grows linearly, so any fixed multiple gets harder to cross at scale). The page-view/telemetry "
+        "monitoring primitive (Page 1954). Scale: one partial-agg "
+        "shuffle events->hourly (bounded hours x types rows), then "
+        "windows over the tiny hourly frame share one (type, hr) "
+        "sort; int64 holds through nh*pref at any realistic horizon "
+        "(~1e14 at 1e5 hours of 1e9-unit sums).",
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = (ev.groupBy("event_type",
+                    F.date_trunc("hour", F.col("ts")).alias("hr"))
+         .agg(F.sum(units_col("value", CUSUM_SCALE)).alias("s_units")))
+    wt = Window.partitionBy("event_type")
+    wo = (wt.orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = h.select(
+        "event_type", "hr", "s_units",
+        F.sum("s_units").over(wt).alias("stot"),
+        F.count("*").over(wt).alias("nh"),
+        F.sum("s_units").over(wo).alias("pref"),
+        F.row_number().over(wt.orderBy("hr")).alias("t_idx"))
+    cusum = F.col("nh") * F.col("pref") - F.col("t_idx") * F.col("stot")
+    return c.select(
+        "event_type", "hr", "s_units",
+        cusum.alias("cusum_units"),
+        (F.abs(cusum) > CUSUM_K * F.abs(F.col("stot"))).alias("drift_flag"))

@@ -509,3 +509,25 @@ def test_group_holdout_map_side_hash(spark):
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_top_paths_shared_sort_take_ordered(spark):
+    """Path analysis: the lag/cumsum windows share one (user, ts) sort;
+    the top-k is TakeOrdered (k rows per partition to the driver), not a
+    global Sort; no join, no Python."""
+    plan = plan_of(spark, "events_top_paths")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_cusum_partial_agg_no_join(spark):
+    """CUSUM: events collapse to the hourly frame in one partial-agg
+    shuffle; the marginal/prefix windows run over that tiny frame with
+    no join and no Python."""
+    plan = plan_of(spark, "events_changepoint_cusum")
+    assert "partial" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
