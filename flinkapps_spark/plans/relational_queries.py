@@ -3685,10 +3685,9 @@ def exact_quantiles_selection(spark: SparkSession,
 ATTR_TOUCH_TYPES = ("click", "view")   # attributable touch events
 ATTR_WINDOW_US = 86_400 * 1_000_000    # 24 h lookback, microseconds
 
-
-@query(
-    "events_attribution",
-    oracle=f"""
+# Shared by events_attribution and the streaming variant
+# (streaming_queries.stream_attribution) so the two oracles can't drift.
+ATTRIBUTION_ORACLE = f"""
         WITH seq AS (
             SELECT event_id, user_id, ts, event_type,
                    last_value(CASE WHEN event_type IN ('click', 'view')
@@ -3709,7 +3708,12 @@ ATTR_WINDOW_US = 86_400 * 1_000_000    # 24 h lookback, microseconds
                          AND epoch_us(ts) - touch_us <= {ATTR_WINDOW_US}
                     THEN epoch_us(ts) - touch_us END AS delay_us
         FROM seq WHERE event_type = 'purchase'
-    """,
+    """
+
+
+@query(
+    "events_attribution",
+    oracle=ATTRIBUTION_ORACLE,
     category="extension: funnel / sequence analytics (attribution)",
     doc="Last-touch conversion attribution: every purchase is credited "
         "to the most recent click/view by the same user within a 24 h "
