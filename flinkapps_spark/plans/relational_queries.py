@@ -3459,9 +3459,9 @@ CEP_STEP_US = 6 * 3600 * 1_000_000    # 6 hours, in microseconds
 #    step made the pattern near-vacuous — 0 matches below sf0.1)
 
 
-@query(
-    "events_cep_sequence",
-    oracle=f"""
+# Shared by events_cep_sequence and the streaming variant
+# (streaming_queries.stream_cep_sequence) so the two oracles can't drift.
+CEP_ORACLE = f"""
         WITH t AS (
             SELECT user_id, event_type, ts, epoch_us(ts) AS us
             FROM events),
@@ -3488,7 +3488,12 @@ CEP_STEP_US = 6 * 3600 * 1_000_000    # 6 hours, in microseconds
         FROM s2
         WHERE event_type = 'purchase' AND last_qclick_us < us
         GROUP BY user_id
-    """,
+    """
+
+
+@query(
+    "events_cep_sequence",
+    oracle=CEP_ORACLE,
     category="extension: CEP sequence pattern (view→click→purchase)",
     doc="MATCH_RECOGNIZE-style strict-sequence pattern: purchases "
         "preceded by a click within 6 hours that was itself preceded "

@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from flinkapps_spark.functions.text import tokenize
 from flinkapps_spark.plans.catalog import query
 from flinkapps_spark.plans.exact import exact_sum, sql_sum, units_col
-from flinkapps_spark.plans.relational_queries import ATTRIBUTION_ORACLE
+from flinkapps_spark.plans.relational_queries import (
+    ATTRIBUTION_ORACLE, CEP_ORACLE,
+)
 from flinkapps_spark.streaming.jobs import (
     file_stream_source, run_stream_to_memory,
 )
@@ -973,9 +975,7 @@ def stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "collected to the driver.",
 )
 def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
-    import tempfile
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -983,34 +983,12 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flinkapps_spark.plans.relational_queries import (
         ATTR_TOUCH_TYPES, ATTR_WINDOW_US,
     )
-    from flinkapps_spark.sources.batch import load_table
+    from flinkapps_spark.streaming.jobs import time_split_replay
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "event_type")
-
-    # --- stage the fixture as 3 time-contiguous replay files -------------
-    lo, hi = ev.agg(F.min(F.unix_micros("ts")),
-                    F.max(F.unix_micros("ts"))).first()
-    cuts = [lo + (hi - lo) * i // 3 for i in (1, 2)]
-    us = F.unix_micros("ts")
-    chunks = [ev.filter(us < cuts[0]),
-              ev.filter((us >= cuts[0]) & (us < cuts[1])),
-              ev.filter(us >= cuts[1])]
-    staged = tempfile.mkdtemp(prefix="attr_replay_")
+    stream, staged = time_split_replay(
+        spark, sf_dir, "events",
+        ["event_id", "user_id", "ts", "event_type"])
     try:
-        for i, chunk in enumerate(chunks):
-            part = tempfile.mkdtemp(prefix=f"attr_chunk{i}_")
-            chunk.coalesce(1).write.mode("overwrite").parquet(part)
-            pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
-            dst = os.path.join(staged, f"{i:02d}_chunk.parquet")
-            shutil.copy(os.path.join(part, pf), dst)
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-            shutil.rmtree(part, ignore_errors=True)
-
-        stream = (spark.readStream.schema(chunks[0].schema)
-                  .option("maxFilesPerTrigger", 1)
-                  .parquet(os.path.join(staged, "*.parquet")))
-
         out_schema = ("event_id bigint, user_id bigint, "
                       "touch_type string, delay_us bigint")
         state_schema = "last_us bigint, last_ty string"
@@ -1064,6 +1042,106 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             stateStructType=state_schema, outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout)
         converged = run_stream_to_memory(attributed, output_mode="append")
+        converged.count()   # materialize before the staged files vanish
+        return converged
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# stream_cep_sequence — stateful 3-step CEP pattern across micro-batches
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_cep_sequence",
+    # identical question to the batch stacked-window query — the oracle IS
+    # that query's oracle (shared constant, cannot drift)
+    oracle=CEP_ORACLE,
+    category="streaming: stateful CEP sequence (view->click->purchase)",
+    doc="The 3-step strict-order CEP pattern (view -> click within 6 h -> "
+        "purchase within 6 h) as a STATEFUL STREAMING OPERATOR — the "
+        "FlinkCEP Pattern.begin/followedBy/within shape the reference's "
+        "ecosystem delegates to FlinkCEP, here as applyInPandasWithState "
+        "with O(1) per-user state: (last_view_us, last_qualified_click_us, "
+        "first_match_us, n_matches). A click qualifies iff a view "
+        "precedes it strictly within the step window AT THE TIME IT "
+        "ARRIVES (later views cannot re-qualify it — exactly the frame "
+        "semantics of the batch query's stacked range windows); a "
+        "purchase matches iff a qualified click precedes it strictly "
+        "within the window. Replayed as three time-contiguous "
+        "micro-batches so sequences SPANNING batch boundaries match "
+        "through carried state. Update-mode emission per batch; the "
+        "converged per-user (first_match_ts, n_matches) equals the "
+        "batch events_cep_sequence. Scale: four scalars of state per "
+        "user, Arrow-batched, nothing on the driver.",
+)
+def stream_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from flinkapps_spark.plans.relational_queries import CEP_STEP_US
+    from flinkapps_spark.streaming.jobs import time_split_replay
+
+    stream, staged = time_split_replay(
+        spark, sf_dir, "events",
+        ["event_id", "user_id", "ts", "event_type"])
+    try:
+        out_schema = ("user_id bigint, first_match_ts timestamp, "
+                      "n_matches bigint")
+        state_schema = ("last_view bigint, last_qclick bigint, "
+                        "first_us bigint, n bigint")
+        step_us = CEP_STEP_US
+
+        def update(key, pdfs, state: GroupState):
+            last_view, last_qclick, first_us, n = (
+                state.get if state.exists else (None, None, None, 0))
+            # concat-then-sort: see stream_attribution — a group straddling
+            # Arrow chunks arrives as multiple unordered pdfs
+            batch = [p for p in pdfs if len(p)]
+            if batch:
+                pdf = pd.concat(batch, ignore_index=True) \
+                    .sort_values(["ts", "event_id"])
+                ts = pd.to_datetime(pdf["ts"])
+                if ts.dt.tz is not None:
+                    ts = ts.dt.tz_localize(None)
+                row_us = ts.astype("datetime64[ns]").astype("int64") // 1000
+                for ety, t_us in zip(pdf["event_type"], row_us):
+                    t_us = int(t_us)
+                    if ety == "view":
+                        last_view = t_us
+                    elif ety == "click":
+                        if (last_view is not None
+                                and last_view < t_us <= last_view + step_us):
+                            last_qclick = t_us
+                    elif ety == "purchase":
+                        if (last_qclick is not None
+                                and last_qclick < t_us
+                                <= last_qclick + step_us):
+                            n += 1
+                            if first_us is None:
+                                first_us = t_us
+            state.update((last_view, last_qclick, first_us, n))
+            if n > 0:
+                yield pd.DataFrame({
+                    "user_id": [key[0]],
+                    "first_match_ts": [pd.Timestamp(first_us, unit="us")],
+                    "n_matches": [n]})
+
+        matched = stream.groupBy("user_id").applyInPandasWithState(
+            update, outputStructType=out_schema,
+            stateStructType=state_schema, outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+        mem = run_stream_to_memory(matched, output_mode="update")
+        # update mode re-emits a key's running totals each batch it
+        # changes in; the converged answer is the LAST emission per key
+        from pyspark.sql import Window
+        w = Window.partitionBy("user_id").orderBy(
+            F.monotonically_increasing_id().desc())
+        converged = (mem.withColumn("_rn", F.row_number().over(w))
+                     .filter(F.col("_rn") == 1).drop("_rn"))
         converged.count()   # materialize before the staged files vanish
         return converged
     finally:

@@ -121,3 +121,48 @@ def run_stream_to_memory(transformed: DataFrame, *, output_mode: str,
          .start())
     q.awaitTermination()
     return spark.table(qname)
+
+
+def time_split_replay(spark: SparkSession, sf_dir: str, table: str,
+                      columns, n_chunks: int = 3,
+                      ts_col: str = "ts"):
+    """Stage a fixture table as ``n_chunks`` TIME-CONTIGUOUS parquet files
+    and open them as a ``maxFilesPerTrigger=1`` file stream: a
+    deterministic multi-micro-batch replay in event-time order, so
+    stateful operators genuinely exercise cross-batch state carry (a
+    single-file availableNow replay collapses to one batch and proves
+    nothing about state).  File order is pinned twice — lexicographic
+    names AND ascending mtimes (the file source sorts by modification
+    time).  Returns ``(stream_df, staged_dir)``; the caller removes
+    ``staged_dir`` after the sink is materialized.
+    """
+    import shutil
+    import tempfile
+
+    from flinkapps_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, table).select(*columns)
+    us = F.unix_micros(ts_col)
+    lo, hi = df.agg(F.min(us), F.max(us)).first()
+    cuts = [lo + (hi - lo) * i // n_chunks for i in range(1, n_chunks)]
+    staged = tempfile.mkdtemp(prefix=f"replay_{table}_")
+    for i in range(n_chunks):
+        cond = None
+        if i > 0:
+            cond = us >= cuts[i - 1]
+        if i < n_chunks - 1:
+            c = us < cuts[i]
+            cond = c if cond is None else (cond & c)
+        chunk = df if cond is None else df.filter(cond)
+        part = tempfile.mkdtemp(prefix=f"replay_chunk{i}_")
+        chunk.coalesce(1).write.mode("overwrite").parquet(part)
+        pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = os.path.join(staged, f"{i:02d}_chunk.parquet")
+        shutil.copy(os.path.join(part, pf), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(part, ignore_errors=True)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(staged, "*.parquet")))
+    return stream, staged
