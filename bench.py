@@ -92,6 +92,7 @@ HEADLINE = [
     "sample_group_holdout",
     "events_top_paths",
     "events_changepoint_cusum",
+    "events_attribution_skewsafe",
 ]
 
 

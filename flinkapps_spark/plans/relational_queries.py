@@ -3880,3 +3880,72 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("path")))
     return (paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
             .orderBy(F.desc("n_sessions"), "path").limit(PATH_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_skewsafe — two-phase sliced last-touch attribution
+# ---------------------------------------------------------------------------
+
+ATTR_SLICE_US = ATTR_WINDOW_US   # slice width; any width is correct
+
+
+@query(
+    "events_attribution_skewsafe",
+    oracle=ATTRIBUTION_ORACLE,   # identical semantics, skew-safe plan
+    category="extension: funnel / sequence analytics (attribution)",
+    doc="Last-touch attribution with a SKEW-SAFE two-phase plan (same "
+        "oracle as events_attribution — the answers are provably "
+        "identical): phase 1 windows within (user, 24 h time slice), so "
+        "no task ever holds more than one slice of one user — a "
+        "celebrity user with 10^8 events splits across slices instead "
+        "of pinning one task (the same discipline as "
+        "join_asof_skew_split). Phase 2 carries the last touch across "
+        "slice boundaries with an IGNORE-NULLS window over the tiny "
+        "per-(user, slice) summary frame, and each purchase takes "
+        "coalesce(in-slice touch, carried touch). Correctness does not "
+        "depend on the slice width: the carried touch is the most "
+        "recent across ALL earlier slices, and the 24 h window check "
+        "drops it if stale. Touch selection keys on struct(us, "
+        "event_id) so same-microsecond ties resolve by the same total "
+        "order as the single-window form on both engines.",
+)
+def events_attribution_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type",
+        F.unix_micros("ts").alias("us"))
+    ev = ev.withColumn("slice", F.expr(f"us div {ATTR_SLICE_US}"))
+    is_touch = F.col("event_type").isin(*ATTR_TOUCH_TYPES)
+
+    # phase 1: within-slice last touch strictly before each row
+    w_in = (Window.partitionBy("user_id", "slice")
+            .orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    touch_struct = F.when(
+        is_touch, F.struct("us", "event_id", "event_type"))
+    sliced = ev.withColumn(
+        "t_in", F.last(touch_struct, ignorenulls=True).over(w_in))
+
+    # phase 2: per-(user, slice) last-touch summary, carried forward with
+    # an ignore-nulls window over the slice-cardinality frame
+    summ = (ev.filter(is_touch)
+            .groupBy("user_id", "slice")
+            .agg(F.max(F.struct("us", "event_id", "event_type"))
+                 .alias("t_last")))
+    slices = ev.select("user_id", "slice").distinct()
+    w_sl = (Window.partitionBy("user_id").orderBy("slice")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (slices.join(summ, ["user_id", "slice"], "left")
+             .select("user_id", "slice",
+                     F.last("t_last", ignorenulls=True).over(w_sl)
+                     .alias("t_prev")))
+
+    att = (sliced.filter(F.col("event_type") == "purchase")
+           .join(carry, ["user_id", "slice"], "left"))
+    eff = F.coalesce(F.col("t_in"), F.col("t_prev"))
+    delay = F.col("us") - eff["us"]
+    in_win = eff.isNotNull() & (delay <= ATTR_WINDOW_US)
+    return att.select(
+        "event_id", "user_id", "ts",
+        F.when(in_win, eff["event_type"]).otherwise("direct")
+        .alias("touch_type"),
+        F.when(in_win, delay).alias("delay_us"))

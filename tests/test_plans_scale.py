@@ -531,3 +531,15 @@ def test_cusum_partial_agg_no_join(spark):
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_attribution_skewsafe_slices_the_user_key(spark):
+    """The skew-safe attribution's event-scale window partitions by
+    (user_id, slice) — never by user_id alone; only the tiny per-slice
+    summary frame uses the bare user key. No Python anywhere."""
+    plan = plan_of(spark, "events_attribution_skewsafe")
+    assert "Python" not in plan, plan
+    import re
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    sliced = [p for p in parts if "slice" in p]
+    assert sliced, plan   # the event-scale exchanges carry the slice key

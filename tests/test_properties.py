@@ -361,3 +361,37 @@ def test_connected_components_matches_union_find(spark, edges, n_nodes):
     got = {r["node"]: r["label"]
            for r in connected_components(nodes, pairs).collect()}
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 50),              # user
+                          st.integers(0, 3_600 * 200),     # ts offset s
+                          st.sampled_from(["view", "click",
+                                           "purchase", "error"])),
+                min_size=1, max_size=60))
+def test_attribution_engines_agree(spark, rows):
+    """events_attribution (one per-user window) and
+    events_attribution_skewsafe (two-phase sliced) give identical
+    answers on random event streams, including same-timestamp ties —
+    the slicing decomposition is lossless."""
+    import tempfile
+
+    from flinkapps_spark.plans import catalog
+
+    df = spark.createDataFrame(
+        [(i, u, s, t) for i, (u, s, t) in enumerate(rows)],
+        "event_id long, user_id long, off long, event_type string")
+    ev = df.select(
+        "event_id", "user_id",
+        F.expr("timestamp_micros(1704067200000000 + off * 1000000)")
+        .alias("ts"),
+        "event_type", F.lit("{}").alias("props"),
+        F.lit(0.0).alias("value"))
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        reg = catalog.registry()
+        a = sorted(map(tuple, reg["events_attribution"]
+                       .build(spark, d).collect()))
+        b = sorted(map(tuple, reg["events_attribution_skewsafe"]
+                       .build(spark, d).collect()))
+        assert a == b
