@@ -1146,3 +1146,88 @@ def stream_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         return converged
     finally:
         shutil.rmtree(staged, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# stream_dynamic_rules — per-micro-batch rule updates (broadcast-state idiom)
+# ---------------------------------------------------------------------------
+
+# rule thresholds: base per event type, tightened by 15 per rules version
+RULES_BASE = {"click": 30, "view": 40, "purchase": 60,
+              "signup": 20, "error": 80}
+RULES_STEP = 15
+
+_RULES_VALUES = ", ".join(
+    f"({v}, '{t}', {base + RULES_STEP * v})"
+    for v in range(3) for t, base in sorted(RULES_BASE.items()))
+
+
+@query(
+    "stream_dynamic_rules",
+    oracle=f"""
+        WITH b AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+                   FROM events),
+        v AS (SELECT e.*,
+                     CASE WHEN epoch_us(ts) < lo + (hi - lo) * 1 // 3 THEN 0
+                          WHEN epoch_us(ts) < lo + (hi - lo) * 2 // 3 THEN 1
+                          ELSE 2 END AS rule_version
+              FROM events e, b),
+        r AS (SELECT * FROM (VALUES {_RULES_VALUES})
+              AS t(rv, rtype, threshold))
+        SELECT event_id, user_id, event_type, value, rule_version
+        FROM v JOIN r ON r.rv = v.rule_version AND r.rtype = v.event_type
+        WHERE v.value >= r.threshold
+    """,
+    category="streaming: dynamic rules (broadcast-state idiom)",
+    doc="Dynamic rule evaluation — Flink's broadcast-state pattern "
+        "(a control stream updates rules that every event sees) in its "
+        "Spark translation: foreachBatch resolves the CURRENT rule set "
+        "per micro-batch and broadcast-joins it to the batch — rules "
+        "change BETWEEN batches without restarting the query, which is "
+        "exactly the operational contract broadcast state gives Flink. "
+        "The replay feeds three time-contiguous micro-batches; rules "
+        "version i applies to batch i, so the oracle reproduces the "
+        "version assignment from the same integer epoch arithmetic the "
+        "splitter uses and joins the identical VALUES rule table. "
+        "Scale: the rules table broadcasts (it is tiny by nature); the "
+        "event stream is map-side only — no shuffle at all per batch.",
+)
+def stream_dynamic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from flinkapps_spark.streaming.jobs import time_split_replay
+
+    stream, staged = time_split_replay(
+        spark, sf_dir, "events",
+        ["event_id", "user_id", "ts", "event_type", "value"])
+    out_dir = tempfile.mkdtemp(prefix="rules_out_")
+    ckpt = tempfile.mkdtemp(prefix="rules_ckpt_")
+    try:
+        def handle(batch_df, batch_id):
+            v = min(int(batch_id), 2)
+            rules = spark.createDataFrame(
+                [(v, t, RULES_BASE[t] + RULES_STEP * v)
+                 for t in sorted(RULES_BASE)],
+                "rv int, rtype string, threshold int")
+            out = (batch_df.join(
+                F.broadcast(rules),
+                (batch_df.event_type == rules.rtype)
+                & (batch_df.value >= rules.threshold))
+                .select("event_id", "user_id", "event_type", "value",
+                        F.col("rv").cast("int").alias("rule_version")))
+            out.write.mode("append").parquet(out_dir)
+
+        q = (stream.writeStream.foreachBatch(handle)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        # materialize on the driver before the temp output dir is removed
+        # (the memory sink would hold the same rows on the driver anyway)
+        res = spark.read.parquet(out_dir)
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
