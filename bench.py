@@ -93,6 +93,7 @@ HEADLINE = [
     "events_top_paths",
     "events_changepoint_cusum",
     "events_attribution_skewsafe",
+    "hybrid_rrf_fusion",
 ]
 
 

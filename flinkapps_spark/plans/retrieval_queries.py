@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flinkapps_spark.functions.text import tokenize
 from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.plans.pipeline_queries import SQL_EMB_D, _sql_cos
 from flinkapps_spark.plans.exact import exact_avg, sql_avg, sql_units, units_col
 from flinkapps_spark.sources.batch import load_table
 
@@ -39,10 +40,36 @@ _SQL_CONTRIB = (f"({_SQL_IDF} * (tf * {BM25_K1 + 1.0!r}) "
                 f"/ (tf + {BM25_K1!r} * {_SQL_DLNORM}))")
 
 
-@query(
-    "bm25_topk_docs",
-    oracle=f"""
-        WITH toks AS (
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 fixed-point score_units for Q_TERMS (the Spark mirror
+    of the BM25_CTES oracle chain) — shared by bm25_topk_docs and
+    hybrid_rrf_fusion."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    scal = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("tot"))
+    tf = (toks.filter(F.col("term").isin(*Q_TERMS))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    j = (tf.join(F.broadcast(dfreq), "term")
+         .join(dl, "doc_id")
+         .crossJoin(F.broadcast(scal)))
+    avgdl = F.col("tot").cast("double") / F.col("n_docs")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    dlnorm = F.lit(1.0) - BM25_B + BM25_B * (F.col("dl") / avgdl)
+    contrib = (idf * (F.col("tf") * (BM25_K1 + 1.0))
+               / (F.col("tf") + BM25_K1 * dlnorm))
+    return (j.groupBy("doc_id")
+            .agg(F.sum(units_col(contrib, BM25_SCALE)).alias("score_units"),
+                 F.count("*").alias("n_terms_matched")))
+
+
+
+# the per-doc BM25 scoring CTE chain, shared by bm25_topk_docs and
+# hybrid_rrf_fusion so the two rankings cannot drift
+BM25_CTES = f"""toks AS (
             SELECT doc_id, unnest({SQL_WORDS}) AS term FROM documents
         ),
         dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
@@ -63,7 +90,13 @@ _SQL_CONTRIB = (f"({_SQL_IDF} * (tf * {BM25_K1 + 1.0!r}) "
             JOIN dl USING (doc_id)
             CROSS JOIN scal
             GROUP BY t.doc_id
-        )
+        )"""
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+        WITH {BM25_CTES}
         SELECT doc_id,
                (score_units / CAST({BM25_SCALE} AS DOUBLE)) AS bm25,
                n_terms_matched,
@@ -87,26 +120,7 @@ _SQL_CONTRIB = (f"({_SQL_IDF} * (tf * {BM25_K1 + 1.0!r}) "
         "so the k-cut is stable on both engines.",
 )
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    scal = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("tot"))
-    tf = (toks.filter(F.col("term").isin(*Q_TERMS))
-          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    j = (tf.join(F.broadcast(dfreq), "term")
-         .join(dl, "doc_id")
-         .crossJoin(F.broadcast(scal)))
-    avgdl = F.col("tot").cast("double") / F.col("n_docs")
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5) + 1.0)
-    dlnorm = F.lit(1.0) - BM25_B + BM25_B * (F.col("dl") / avgdl)
-    contrib = (idf * (F.col("tf") * (BM25_K1 + 1.0))
-               / (F.col("tf") + BM25_K1 * dlnorm))
-    per = (j.groupBy("doc_id")
-           .agg(F.sum(units_col(contrib, BM25_SCALE)).alias("score_units"),
-                F.count("*").alias("n_terms_matched")))
+    per = _bm25_per_doc(spark, sf_dir)
     top = per.orderBy(F.col("score_units").desc(), "doc_id").limit(BM25_TOPK)
     return top.select(
         "doc_id",
@@ -227,3 +241,90 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("doc_id", (F.col("pos") - 1).alias("pos")))
     return (first.join(second, ["doc_id", "pos"])
             .groupBy("doc_id").agg(F.count("*").alias("n_occurrences")))
+
+
+# ---------------------------------------------------------------------------
+# hybrid_rrf_fusion — reciprocal-rank fusion of BM25 and embedding cosine
+# ---------------------------------------------------------------------------
+
+RRF_K = 60        # the standard RRF dampening constant (Cormack 2009)
+RRF_POOL = 20     # candidates taken from each ranker
+RRF_TOPK = 10     # fused results returned
+RRF_QUERY_VEC = 0  # vec_id whose embedding is the dense query
+
+
+def _hybrid_oracle() -> str:
+    return f"""
+        WITH {BM25_CTES},
+        bmtop AS (
+            SELECT doc_id, score_units FROM per
+            ORDER BY score_units DESC, doc_id LIMIT {RRF_POOL}),
+        bmr AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score_units DESC,
+                                           doc_id) AS INT) AS bm25_rank
+            FROM bmtop),
+        emb AS (SELECT vec_id, {SQL_EMB_D} AS v FROM embeddings),
+        qv AS (SELECT v AS qv FROM emb WHERE vec_id = {RRF_QUERY_VEC}),
+        knr AS (
+            SELECT vec_id AS doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY ROUND({_sql_cos('qv', 'v')}, 6) DESC,
+                       vec_id) AS INT) AS cosine_rank
+            FROM emb CROSS JOIN qv
+            WHERE vec_id <> {RRF_QUERY_VEC}
+            QUALIFY cosine_rank <= {RRF_POOL})
+        SELECT COALESCE(b.doc_id, k.doc_id) AS doc_id,
+               b.bm25_rank, k.cosine_rank,
+               COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + b.bm25_rank), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + k.cosine_rank), 0)
+                   AS rrf
+        FROM bmr b FULL OUTER JOIN knr k ON b.doc_id = k.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}
+    """
+
+
+@query(
+    "hybrid_rrf_fusion",
+    oracle=_hybrid_oracle(),
+    category="extension: retrieval (hybrid search, RRF)",
+    doc="Hybrid search: BM25 lexical top-20 (shared scoring chain with "
+        "bm25_topk_docs) fused with embedding-cosine top-20 (the exact "
+        "knn engine, query = doc 0's vector) by reciprocal-rank fusion "
+        "score(d) = sum 1/(60+rank_i) — the standard lexical+dense "
+        "combiner in RAG / hard-negative-mining stacks (Cormack et al. "
+        "2009). Determinism: both input ranks are integer positions on "
+        "total orders (int score units / 6dp-rounded cosine, doc id "
+        "tiebreak); the RRF score is a sum of two exact small-integer "
+        "reciprocals — the same two IEEE divisions and one addition on "
+        "both engines. Scale: each ranker's pool is TakeOrdered top-k; "
+        "the fusion joins two 20-row frames — free at any corpus size; "
+        "the rankers themselves carry the scale story (partial-agg "
+        "BM25, broadcast-query kNN).",
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.operators import similarity
+
+    per = _bm25_per_doc(spark, sf_dir)
+    top = (per.orderBy(F.col("score_units").desc(), "doc_id")
+           .limit(RRF_POOL))
+    bmr = top.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("score_units").desc(), "doc_id"))
+        .alias("bm25_rank"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC)
+    knr = (similarity.knn_bruteforce(emb, q, k=RRF_POOL)
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.col("rank").alias("cosine_rank")))
+
+    fused = bmr.join(knr, "doc_id", "full_outer")
+    one = F.lit(1).cast("double")
+    rrf = (F.coalesce(one / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0))
+           + F.coalesce(one / (F.lit(RRF_K) + F.col("cosine_rank")),
+                        F.lit(0.0)))
+    return (fused.select("doc_id", "bm25_rank", "cosine_rank",
+                         rrf.alias("rrf"))
+            .orderBy(F.desc("rrf"), "doc_id").limit(RRF_TOPK))

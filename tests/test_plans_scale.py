@@ -543,3 +543,11 @@ def test_attribution_skewsafe_slices_the_user_key(spark):
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     sliced = [p for p in parts if "slice" in p]
     assert sliced, plan   # the event-scale exchanges carry the slice key
+
+
+def test_hybrid_rrf_pools_are_take_ordered(spark):
+    """Both ranker pools reach the fusion as TakeOrdered top-k (never a
+    global sort of the corpus); the fusion join runs over two
+    pool-sized frames."""
+    plan = plan_of(spark, "hybrid_rrf_fusion")
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
