@@ -94,6 +94,7 @@ HEADLINE = [
     "events_changepoint_cusum",
     "events_attribution_skewsafe",
     "hybrid_rrf_fusion",
+    "events_time_weighted_avg",
 ]
 
 

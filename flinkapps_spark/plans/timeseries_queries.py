@@ -850,3 +850,66 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "hr", "s_units",
         cusum.alias("cusum_units"),
         (F.abs(cusum) > CUSUM_K * F.abs(F.col("stot"))).alias("drift_flag"))
+
+
+# ---------------------------------------------------------------------------
+# events_time_weighted_avg — TWAP via exact integer gap weighting
+# ---------------------------------------------------------------------------
+
+TWAP_SCALE = 100   # fixed-point value units (matches OHLC volume scale)
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle=f"""
+        WITH t AS (
+            SELECT event_type, epoch_us(ts) AS us, event_id,
+                   {sql_units('value', TWAP_SCALE)} AS units
+            FROM events),
+        g AS (
+            SELECT event_type, units,
+                   (lead(us) OVER (PARTITION BY event_type
+                                   ORDER BY us, event_id) - us) // 1000
+                       AS gap_ms
+            FROM t)
+        SELECT event_type,
+               CAST(SUM(units * gap_ms) AS BIGINT) AS weighted_units_ms,
+               CAST(SUM(gap_ms) AS BIGINT) AS total_ms,
+               CAST(SUM(units * gap_ms) AS BIGINT)
+                   / (CAST(SUM(gap_ms) AS BIGINT)
+                      * CAST({TWAP_SCALE} AS DOUBLE)) AS twap
+        FROM g WHERE gap_ms IS NOT NULL
+        GROUP BY event_type
+    """,
+    category="extension: time series (time-weighted average)",
+    doc="Time-weighted average per event type (TimescaleDB time_weight / "
+        "the last-observation-carried-forward TWAP): each value is "
+        "weighted by how long it remained current (the integer "
+        "millisecond gap to the next observation of the same type), so "
+        "irregular sampling cannot bias the mean the way a plain AVG "
+        "does. The whole statistic is exact int64 — fixed-point value "
+        "units x integer ms gaps, one final division — so it is "
+        "bit-deterministic across engines; int64 holds to ~10-year "
+        "streams at this scale (units*gap sums ~1e16 < 2^63). Plan: one "
+        "(type, time) window sort shared with a partial-agg reduce — "
+        "two exchanges, no joins, no Python.",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us"), "event_id",
+        units_col("value", TWAP_SCALE).alias("units"))
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    g = ev.select(
+        "event_type", "units",
+        (F.lead("us").over(w) - F.col("us")).alias("gap_us"))
+    g = g.withColumn("gap_ms", F.expr("gap_us div 1000"))
+    agg = (g.filter(F.col("gap_ms").isNotNull())
+           .groupBy("event_type")
+           .agg(F.sum(F.col("units") * F.col("gap_ms"))
+                .alias("weighted_units_ms"),
+                F.sum("gap_ms").alias("total_ms")))
+    return agg.select(
+        "event_type", "weighted_units_ms", "total_ms",
+        (F.col("weighted_units_ms")
+         / (F.col("total_ms") * F.lit(TWAP_SCALE).cast("double")))
+        .alias("twap"))
