@@ -3690,15 +3690,18 @@ def exact_quantiles_selection(spark: SparkSession,
 ATTR_TOUCH_TYPES = ("click", "view")   # attributable touch events
 ATTR_WINDOW_US = 86_400 * 1_000_000    # 24 h lookback, microseconds
 
-# Shared by events_attribution and the streaming variant
-# (streaming_queries.stream_attribution) so the two oracles can't drift.
+_ATTR_TOUCH_SQL = ", ".join(f"'{t}'" for t in ATTR_TOUCH_TYPES)
+
+# Shared by events_attribution, events_attribution_skewsafe and the
+# streaming variant (streaming_queries.stream_attribution) so the oracles
+# can't drift; every constant is interpolated from the same source.
 ATTRIBUTION_ORACLE = f"""
         WITH seq AS (
             SELECT event_id, user_id, ts, event_type,
-                   last_value(CASE WHEN event_type IN ('click', 'view')
+                   last_value(CASE WHEN event_type IN ({_ATTR_TOUCH_SQL})
                                    THEN epoch_us(ts) END IGNORE NULLS)
                        OVER w AS touch_us,
-                   last_value(CASE WHEN event_type IN ('click', 'view')
+                   last_value(CASE WHEN event_type IN ({_ATTR_TOUCH_SQL})
                                    THEN event_type END IGNORE NULLS)
                        OVER w AS touch_raw
             FROM events

@@ -303,6 +303,7 @@ def _hybrid_oracle() -> str:
         "BM25, broadcast-query kNN).",
 )
 def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.functions.vectors import cosine_similarity
     from flinkapps_spark.operators import similarity
 
     per = _bm25_per_doc(spark, sf_dir)
@@ -316,9 +317,23 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC)
-    knr = (similarity.knn_bruteforce(emb, q, k=RRF_POOL)
-           .select(F.col("vec_id").alias("doc_id"),
-                   F.col("rank").alias("cosine_rank")))
+    # score like knn_bruteforce (same cosine, 6dp round, id tiebreak) but
+    # take the pool with TakeOrdered — a single-query row_number window
+    # would sort the whole corpus in ONE task; orderBy().limit() keeps a
+    # per-partition heap and merges k rows on the driver
+    qv = q.select(similarity._as_double(F.col("embedding")).alias("qv"))
+    scored = (emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
+              .crossJoin(F.broadcast(qv))
+              .select(F.col("vec_id").alias("doc_id"),
+                      F.round(cosine_similarity(
+                          F.col("qv"),
+                          similarity._as_double(F.col("embedding"))), 6)
+                      .alias("cosine")))
+    pool = scored.orderBy(F.desc("cosine"), "doc_id").limit(RRF_POOL)
+    knr = pool.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("cosine"), "doc_id"))
+        .alias("cosine_rank"))
 
     fused = bmr.join(knr, "doc_id", "full_outer")
     one = F.lit(1).cast("double")

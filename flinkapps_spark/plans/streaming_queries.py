@@ -1108,21 +1108,35 @@ def stream_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if ts.dt.tz is not None:
                     ts = ts.dt.tz_localize(None)
                 row_us = ts.astype("datetime64[ns]").astype("int64") // 1000
-                for ety, t_us in zip(pdf["event_type"], row_us):
+                # process per DISTINCT microsecond, not per row: the batch
+                # query's RANGE frames include same-us peers regardless of
+                # event_id, so a view at the same us as a click MASKS the
+                # click's qualification (MAX picks us, strict '<' fails) —
+                # and a qualified click at the same us as a purchase masks
+                # the purchase. Same-us rows can never split across replay
+                # chunks (the splitter cuts on us), so grouping here sees
+                # every tie.
+                pdf = pdf.assign(_us=row_us)
+                for t_us, grp in pdf.groupby("_us", sort=True):
                     t_us = int(t_us)
-                    if ety == "view":
+                    types = grp["event_type"]
+                    has_view = (types == "view").any()
+                    qclick_here = (
+                        (types == "click").any() and not has_view
+                        and last_view is not None
+                        and last_view < t_us <= last_view + step_us)
+                    n_purch = int((types == "purchase").sum())
+                    if (n_purch and not qclick_here
+                            and last_qclick is not None
+                            and last_qclick < t_us
+                            <= last_qclick + step_us):
+                        n += n_purch
+                        if first_us is None:
+                            first_us = t_us
+                    if has_view:
                         last_view = t_us
-                    elif ety == "click":
-                        if (last_view is not None
-                                and last_view < t_us <= last_view + step_us):
-                            last_qclick = t_us
-                    elif ety == "purchase":
-                        if (last_qclick is not None
-                                and last_qclick < t_us
-                                <= last_qclick + step_us):
-                            n += 1
-                            if first_us is None:
-                                first_us = t_us
+                    if qclick_here:
+                        last_qclick = t_us
             state.update((last_view, last_qclick, first_us, n))
             if n > 0:
                 yield pd.DataFrame({

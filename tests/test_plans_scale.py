@@ -546,8 +546,9 @@ def test_attribution_skewsafe_slices_the_user_key(spark):
 
 
 def test_hybrid_rrf_pools_are_take_ordered(spark):
-    """Both ranker pools reach the fusion as TakeOrdered top-k (never a
-    global sort of the corpus); the fusion join runs over two
-    pool-sized frames."""
+    """BOTH ranker pools and the final fused cut are TakeOrdered top-k
+    (3 nodes: bm25 pool, cosine pool, fused top-10) — never a global
+    sort of the corpus; a regression of either pool to a corpus-wide
+    Sort/window drops the count below 3."""
     plan = plan_of(spark, "hybrid_rrf_fusion")
-    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert plan.count("TakeOrderedAndProject") >= 3, plan

@@ -395,3 +395,67 @@ def test_attribution_engines_agree(spark, rows):
         b = sorted(map(tuple, reg["events_attribution_skewsafe"]
                        .build(spark, d).collect()))
         assert a == b
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 30-hop path needs 30 synchronous min-propagation rounds but only
+    ~log2(30) with pointer jumping — pins the shortcut (the pre-fix code
+    silently returned unconverged labels past max_iter hops) and the
+    conduct-but-exclude contract for endpoints absent from `nodes`."""
+    from flinkapps_spark.operators.dedup import connected_components
+
+    n = 31
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n) if i != 15], "node long")  # 15 conducts only
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    got = {r["node"]: r["label"]
+           for r in connected_components(nodes, pairs).collect()}
+    assert got == {i: 0 for i in range(n) if i != 15}
+
+
+def test_cep_stream_matches_batch_on_same_us_ties(spark):
+    """The batch CEP's RANGE frames include same-microsecond peers, so a
+    view at the same us as a click MASKS the click (and a qualified
+    click masks a same-us purchase). Pins that the streaming state walk
+    reproduces exactly that on constructed ties — a per-row walk in
+    (ts, event_id) order does not (the click would qualify off the
+    older view before seeing its same-us masking peer)."""
+    import tempfile
+
+    from flinkapps_spark.plans import catalog
+
+    H = 3_600
+    base = 1_704_067_200  # 2024-01-01 UTC, seconds
+    rows = [
+        # user 1: click at T1 masked by same-us view -> purchase unmatched
+        (1, 1, base + 0 * H, "view"),
+        (5, 1, base + 1 * H, "click"),
+        (10, 1, base + 1 * H, "view"),
+        (20, 1, base + 2 * H, "purchase"),
+        # user 2: qualified click at same us as purchase masks it
+        (31, 2, base + 0 * H, "view"),
+        (32, 2, base + 1 * H, "click"),
+        (33, 2, base + 2 * H, "click"),
+        (34, 2, base + 2 * H, "purchase"),
+        # user 3: clean view -> click -> purchase control (matches)
+        (41, 3, base + 0 * H, "view"),
+        (42, 3, base + 1 * H, "click"),
+        (43, 3, base + 2 * H, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, s, t) for i, u, s, t in rows],
+        "event_id long, user_id long, sec long, event_type string").select(
+        "event_id", "user_id",
+        F.expr("timestamp_micros(sec * 1000000)").alias("ts"),
+        "event_type", F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"))
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        reg = catalog.registry()
+        batch = sorted(map(tuple, reg["events_cep_sequence"]
+                           .build(spark, d).collect()))
+        stream = sorted(map(tuple, reg["stream_cep_sequence"]
+                            .build(spark, d).collect()))
+        assert batch == stream
+        assert [r[0] for r in batch] == [3]   # only the control user
