@@ -95,6 +95,7 @@ HEADLINE = [
     "events_attribution_skewsafe",
     "hybrid_rrf_fusion",
     "events_time_weighted_avg",
+    "events_trend_theilsen",
 ]
 
 

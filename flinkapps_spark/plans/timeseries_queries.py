@@ -913,3 +913,75 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("weighted_units_ms")
          / (F.col("total_ms") * F.lit(TWAP_SCALE).cast("double")))
         .alias("twap"))
+
+
+# ---------------------------------------------------------------------------
+# events_trend_theilsen — robust trend via the median of pairwise slopes
+# ---------------------------------------------------------------------------
+
+TS_SCALE = 100   # fixed-point scale for hourly value sums
+
+
+@query(
+    "events_trend_theilsen",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type,
+                   epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+                   CAST(SUM({sql_units('value', TS_SCALE)}) AS BIGINT)
+                       AS u
+            FROM events GROUP BY event_type, hr),
+        p AS (
+            SELECT a.event_type,
+                   (b.u - a.u) / CAST(b.hr - a.hr AS DOUBLE) AS slope
+            FROM h a JOIN h b
+              ON a.event_type = b.event_type AND a.hr < b.hr),
+        r AS (
+            SELECT event_type, slope,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY slope) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+            FROM p)
+        SELECT event_type, n_pairs,
+               slope / {TS_SCALE} AS theilsen_slope
+        FROM r WHERE rn = (n_pairs + 1) // 2
+    """,
+    category="extension: time series (robust trend, Theil-Sen)",
+    doc="Theil-Sen trend per event type: the LOWER MEDIAN of all pairwise "
+        "slopes between hourly sums — the robust regression slope that "
+        "tolerates up to ~29% outliers where OLS (stats_corr_regression) "
+        "breaks (Sen 1968). Every slope is one division of exact int64 "
+        "deltas (fixed-point units over integer hour indices), so the "
+        "slope multiset is bit-identical across engines and the median "
+        "pick cannot drift; the lower median avoids averaging two "
+        "doubles. Scale: events collapse to the hourly frame in one "
+        "partial-agg shuffle; the pair self-join is bounded by "
+        "HOURS^2 per type (~260k pairs per type-month), never by event "
+        "volume — for decade-long spans switch the selection to the "
+        "two-pass histogram narrowing used by exact_median_selection.",
+)
+def events_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = (ev.groupBy(
+            "event_type",
+            (F.unix_micros(F.date_trunc("hour", F.col("ts")))
+             / F.lit(3_600_000_000)).cast("long").alias("hr"))
+         .agg(F.sum(units_col("value", TS_SCALE)).alias("u")))
+    a = h.select(F.col("event_type"), F.col("hr").alias("ha"),
+                 F.col("u").alias("ua"))
+    b = h.select(F.col("event_type"), F.col("hr").alias("hb"),
+                 F.col("u").alias("ub"))
+    p = (a.join(b, "event_type")
+         .filter(F.col("ha") < F.col("hb"))
+         .select("event_type",
+                 ((F.col("ub") - F.col("ua"))
+                  / (F.col("hb") - F.col("ha")).cast("double"))
+                 .alias("slope")))
+    wt = Window.partitionBy("event_type")
+    r = p.select(
+        "event_type", "slope",
+        F.row_number().over(wt.orderBy("slope")).alias("rn"),
+        F.count("*").over(wt).alias("n_pairs"))
+    return (r.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+            .select("event_type", "n_pairs",
+                    (F.col("slope") / TS_SCALE).alias("theilsen_slope")))
