@@ -695,3 +695,56 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("n_units") - F.col("n_distinct_units"))
                      .cast("double") / F.col("n_units").cast("double"))
                     .alias("intra_dup_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# vocab_oov_rate — per-document out-of-vocabulary rate against a top-k vocab
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_K = 20   # top-k cut; the synthetic corpus has 31 distinct tokens
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({SQL_WORDS}) AS token FROM documents),
+        v AS (
+            SELECT token FROM (
+                SELECT token, COUNT(*) AS tf FROM toks GROUP BY token
+                ORDER BY tf DESC, token LIMIT {OOV_VOCAB_K}))
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov,
+               COUNT(CASE WHEN v.token IS NULL THEN 1 END)
+                   / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        FROM toks LEFT JOIN v USING (token)
+        GROUP BY doc_id
+    """,
+    category="extension: curation (OOV-rate tokenizer evaluation)",
+    doc="Per-document out-of-vocabulary rate against the corpus's own "
+        "top-20 token vocabulary (same deterministic (term_freq DESC, "
+        "token) cut as vocab_build) — the tokenizer-coverage diagnostic "
+        "that decides whether a vocab size fits a corpus before an "
+        "expensive BPE train, and a quality screen (high OOV = junk or "
+        "out-of-domain text). The rate is one exact int/int division. "
+        "Scale: vocab is TakeOrdered top-k and then BROADCAST to the "
+        "token stream (k rows by construction); the per-doc agg is one "
+        "partial-agg shuffle on doc_id — no corpus-sized join side.",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.functions.text import tokenize
+    from flinkapps_spark.sources.batch import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.explode(tokenize(F.col("text"))).alias("token"))
+    vocab = (toks.groupBy("token").agg(F.count("*").alias("tf"))
+             .orderBy(F.desc("tf"), "token").limit(OOV_VOCAB_K)
+             .select("token", F.lit(1).alias("in_v")))
+    flagged = toks.join(F.broadcast(vocab), "token", "left")
+    return (flagged.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.count(F.when(F.col("in_v").isNull(), 1))
+                 .alias("n_oov"))
+            .select("doc_id", "n_tokens", "n_oov",
+                    (F.col("n_oov") / F.col("n_tokens").cast("double"))
+                    .alias("oov_rate")))
