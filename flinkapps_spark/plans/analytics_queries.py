@@ -1,0 +1,418 @@
+"""Statistical-analysis & profiling queries: two-sample distribution
+tests, A/B experiment readouts, audience overlap, activity streaks,
+item-item collaborative filtering, and one-pass column profiling.
+
+Beyond-reference extensions (the reference has no statistics surface);
+each follows the catalog conventions (catalog.py module docstring):
+identical column aliases on both sides, fixed-point int64 sums for any
+float aggregate, and one final division so the derived double is
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.plans.exact import sql_units, units_col
+from flinkapps_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# stats_ks_twosample
+# ---------------------------------------------------------------------------
+
+KS_SEG_A, KS_SEG_B = "BUILDING", "MACHINERY"
+KS_BUCKET = 100_000        # price-cent units per prefix bucket (1000 currency)
+
+
+@query(
+    "stats_ks_twosample",
+    oracle=f"""
+        WITH t AS (
+            SELECT {sql_units('o_totalprice', 100)} AS u,
+                   CASE WHEN c_mktsegment = '{KS_SEG_A}' THEN 1 ELSE 0 END AS ga
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')),
+        n AS (
+            SELECT CAST(SUM(ga) AS BIGINT) AS n1,
+                   CAST(SUM(1 - ga) AS BIGINT) AS n2
+            FROM t),
+        c AS (
+            SELECT u,
+                   CAST(SUM(ga) AS BIGINT) AS a,
+                   CAST(SUM(1 - ga) AS BIGINT) AS b
+            FROM t GROUP BY u),
+        cum AS (
+            SELECT CAST(SUM(a) OVER (ORDER BY u) AS BIGINT) AS ca,
+                   CAST(SUM(b) OVER (ORDER BY u) AS BIGINT) AS cb
+            FROM c)
+        SELECT n1, n2,
+               MAX(ABS(ca * n2 - cb * n1)) AS d_num,
+               MAX(ABS(ca * n2 - cb * n1)) / CAST(n1 * n2 AS DOUBLE) AS ks_d
+        FROM cum, n GROUP BY n1, n2
+    """,
+    category="extension: two-sample distribution test",
+    doc="Exact two-sample Kolmogorov-Smirnov statistic between the "
+        "order-price distributions of two customer segments — the "
+        "drift-detection complement to drift_psi_features (PSI bins "
+        "coarsely; KS is the sup-norm over the full empirical CDFs). "
+        "Entirely integer until one final division: prices become cent "
+        "units, D's numerator is max|ca*n2 - cb*n1| over cumulative "
+        "counts, so both engines agree bit-for-bit. Scale: the "
+        "cumulative scan is TWO-PHASE — per-u counts are bucketed into "
+        "1000-currency bands, bucket totals (bounded, a few hundred "
+        "rows) get a tiny global-window prefix, and the wide per-u "
+        "window runs PARTITIONED by bucket with the bucket offset added "
+        "back — no single-partition pass over the value grid, so the "
+        "plan holds when the distinct-price grid has millions of "
+        "entries. int64 headroom: ca*n2 <= n1*n2, overflow needs both "
+        "samples past ~3e9 rows; past that divide counts by a common "
+        "power of two first.",
+)
+def stats_ks_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+            .select("c_custkey",
+                    F.when(F.col("c_mktsegment") == KS_SEG_A, 1)
+                    .otherwise(0).alias("ga")))
+    t = (load_table(spark, sf_dir, "orders")
+         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+         .select(units_col("o_totalprice", 100).alias("u"), "ga"))
+    per_u = t.groupBy("u").agg(
+        F.sum("ga").alias("a"), F.sum(1 - F.col("ga")).alias("b"))
+    # Two-phase prefix sum: bucket totals -> tiny global prefix of
+    # offsets; per-u cumulative stays partitioned by bucket.
+    bucketed = per_u.withColumn("bkt", F.floor(F.col("u") / KS_BUCKET))
+    totals = bucketed.groupBy("bkt").agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    w_off = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = totals.select(
+        "bkt",
+        F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("off_a"),
+        F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("off_b"))
+    w_in = (Window.partitionBy("bkt").orderBy("u")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (bucketed.join(F.broadcast(offs), "bkt")
+           .select((F.col("off_a") + F.sum("a").over(w_in)).alias("ca"),
+                   (F.col("off_b") + F.sum("b").over(w_in)).alias("cb")))
+    n = t.groupBy().agg(F.sum("ga").alias("n1"),
+                        F.sum(1 - F.col("ga")).alias("n2"))
+    d = (cum.crossJoin(F.broadcast(n))
+         .groupBy("n1", "n2")
+         .agg(F.max(F.abs(F.col("ca") * F.col("n2")
+                          - F.col("cb") * F.col("n1"))).alias("d_num")))
+    return d.select(
+        "n1", "n2", "d_num",
+        (F.col("d_num")
+         / (F.col("n1") * F.col("n2")).cast("double")).alias("ks_d"))
+
+
+# ---------------------------------------------------------------------------
+# events_audience_overlap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+        WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS overlap
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2),
+        sizes AS (
+            SELECT event_type, COUNT(*) AS n FROM d GROUP BY event_type)
+        SELECT type_a, type_b, overlap,
+               sa.n AS n_a, sb.n AS n_b,
+               overlap / CAST(sa.n + sb.n - overlap AS DOUBLE) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.event_type = type_a
+        JOIN sizes sb ON sb.event_type = type_b
+    """,
+    category="extension: audience overlap matrix",
+    doc="Pairwise audience overlap between event types: distinct "
+        "(type, user) pairs self-joined on user with type_a < type_b, "
+        "plus per-type audience sizes and the exact Jaccard (one "
+        "integer-derived division). The segment-overlap report every "
+        "ads/analytics stack ships. Scale: one shuffle on user_id; "
+        "per-user fan-out is C(types-touched, 2), bounded by the "
+        "event-type cardinality squared, NOT by user activity — a user "
+        "with 1e6 events still contributes at most C(|types|,2) pairs "
+        "because the input is distinct (type,user). The size lookup "
+        "joins a |types|-row table, broadcast.",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (load_table(spark, sf_dir, "events")
+         .select("event_type", "user_id").distinct())
+    a = d.select(F.col("event_type").alias("type_a"),
+                 F.col("user_id").alias("ua"))
+    b = d.select(F.col("event_type").alias("type_b"),
+                 F.col("user_id").alias("ub"))
+    pairs = (a.join(b, (F.col("ua") == F.col("ub"))
+                    & (F.col("type_a") < F.col("type_b")))
+             .groupBy("type_a", "type_b")
+             .agg(F.count("*").alias("overlap")))
+    sizes = d.groupBy("event_type").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("n_b"))
+    return (pairs.join(F.broadcast(sa), "type_a")
+            .join(F.broadcast(sb), "type_b")
+            .select("type_a", "type_b", "overlap", "n_a", "n_b",
+                    (F.col("overlap")
+                     / (F.col("n_a") + F.col("n_b") - F.col("overlap"))
+                     .cast("double")).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# orders_active_streaks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_active_streaks",
+    oracle="""
+        WITH m AS (
+            SELECT DISTINCT o_custkey,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                        AS BIGINT) AS mo
+            FROM orders),
+        isl AS (
+            SELECT o_custkey,
+                   mo - ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                           ORDER BY mo) AS grp
+            FROM m),
+        runs AS (
+            SELECT o_custkey, grp, COUNT(*) AS run_len
+            FROM isl GROUP BY o_custkey, grp)
+        SELECT o_custkey,
+               MAX(run_len) AS longest_streak,
+               CAST(SUM(run_len) AS BIGINT) AS active_months,
+               COUNT(*) AS n_streaks
+        FROM runs GROUP BY o_custkey
+    """,
+    category="extension: gaps-and-islands streaks",
+    doc="Longest consecutive-month ordering streak per customer — the "
+        "classic gaps-and-islands shape (island id = month-index minus "
+        "row_number, constant within a consecutive run). Exact integer "
+        "month arithmetic; no floats anywhere. Scale: the window and "
+        "both aggregations partition on o_custkey, so this is one "
+        "shuffle on the customer key reused across all three steps; "
+        "distinct-months first keeps the windowed frame at months, not "
+        "orders.",
+)
+def orders_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mo = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    m = (load_table(spark, sf_dir, "orders")
+         .select("o_custkey", mo.alias("mo")).distinct())
+    w = Window.partitionBy("o_custkey").orderBy("mo")
+    isl = m.select("o_custkey",
+                   (F.col("mo") - F.row_number().over(w)).alias("grp"))
+    runs = isl.groupBy("o_custkey", "grp").agg(F.count("*").alias("run_len"))
+    return runs.groupBy("o_custkey").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.sum("run_len").alias("active_months"),
+        F.count("*").alias("n_streaks"))
+
+
+# ---------------------------------------------------------------------------
+# recsys_item_cosine
+# ---------------------------------------------------------------------------
+
+COSINE_MIN_CO = 2     # minimum co-occurrence support before scoring
+COSINE_TOPK = 50
+
+
+@query(
+    "recsys_item_cosine",
+    oracle=f"""
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        co AS (
+            SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+                   COUNT(*) AS co_cnt
+            FROM b a JOIN b b2
+              ON a.l_orderkey = b2.l_orderkey
+             AND a.l_partkey < b2.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {COSINE_MIN_CO}),
+        cnt AS (SELECT l_partkey, COUNT(*) AS n FROM b GROUP BY l_partkey)
+        SELECT part_a, part_b, co_cnt, ca.n AS n_a, cb.n AS n_b,
+               co_cnt / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS cosine
+        FROM co
+        JOIN cnt ca ON ca.l_partkey = part_a
+        JOIN cnt cb ON cb.l_partkey = part_b
+        ORDER BY cosine DESC, part_a, part_b
+        LIMIT {COSINE_TOPK}
+    """,
+    category="extension: item-item collaborative filtering",
+    doc="Item-item cosine similarity from order co-occurrence (the "
+        "classic implicit-feedback CF neighborhood model): baskets are "
+        "distinct (order, part) pairs, co-occurrence counts come from a "
+        "within-order self-join with part_a < part_b, and cosine = "
+        "co / sqrt(n_a * n_b) — one sqrt+division on identical integers, "
+        "so ordering agrees across engines; the top-k sort carries "
+        "(part_a, part_b) as a total-order tiebreaker. Scale: the "
+        "self-join shuffles on orderkey and fans out C(items-per-order, "
+        "2) per order — bounded by basket size, not catalog size. At "
+        "100 TB add a frequency cap on ultra-popular items before the "
+        "self-join (they dominate pair volume but carry no signal), the "
+        "standard Amazon-CF mitigation. The count lookup joins "
+        "aggregated part counts on partkey (no broadcast — the part "
+        "dimension scales with the catalog). TakeOrdered top-k: "
+        "per-partition heaps, no global sort.",
+)
+def recsys_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (load_table(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_partkey").distinct())
+    l = b.select(F.col("l_orderkey").alias("ok_a"),
+                 F.col("l_partkey").alias("part_a"))
+    r = b.select(F.col("l_orderkey").alias("ok_b"),
+                 F.col("l_partkey").alias("part_b"))
+    co = (l.join(r, (F.col("ok_a") == F.col("ok_b"))
+                 & (F.col("part_a") < F.col("part_b")))
+          .groupBy("part_a", "part_b")
+          .agg(F.count("*").alias("co_cnt"))
+          .filter(F.col("co_cnt") >= COSINE_MIN_CO))
+    cnt = b.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    ca = cnt.select(F.col("l_partkey").alias("part_a"),
+                    F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("l_partkey").alias("part_b"),
+                    F.col("n").alias("n_b"))
+    scored = (co.join(ca, "part_a").join(cb, "part_b")
+              .select("part_a", "part_b", "co_cnt", "n_a", "n_b",
+                      (F.col("co_cnt")
+                       / F.sqrt((F.col("n_a") * F.col("n_b"))
+                                .cast("double"))).alias("cosine")))
+    return (scored
+            .orderBy(F.desc("cosine"), "part_a", "part_b")
+            .limit(COSINE_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# profile_table_columns
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+@query(
+    "profile_table_columns",
+    oracle="\n        UNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+                   COUNT(*) - COUNT({c}) AS n_null,
+                   COUNT(DISTINCT {c}) AS n_distinct
+            FROM orders"""
+        for c in _PROFILE_COLS),
+    category="extension: one-pass column profiling",
+    doc="Table profiling — per-column null count and exact distinct "
+        "count over orders, computed in ONE scan (a single multi-"
+        "aggregate, then the 1-row result exploded to long format "
+        "driver-free). The schema-quality report every ingestion "
+        "pipeline runs before accepting a drop. Scale: Spark rewrites "
+        "N count-distincts into one Expand (xN row multiplier) + "
+        "partial aggs — still a single pass over the data; at 100 TB "
+        "swap countDistinct for approx_count_distinct (HLL, no Expand) "
+        "and keep the same shape. Oracle is the equivalent UNION ALL "
+        "of per-column profiles.",
+)
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long"))
+                    .alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    row = o.agg(*aggs)
+    structs = [F.struct(F.lit(c).alias("col_name"),
+                        F.col(f"null_{c}").alias("n_null"),
+                        F.col(f"nd_{c}").alias("n_distinct"))
+               for c in _PROFILE_COLS]
+    return (row.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.*"))
+
+
+# ---------------------------------------------------------------------------
+# stats_ab_conversion
+# ---------------------------------------------------------------------------
+
+
+AB_VALUE_MIN = 350.0      # a "conversion" = purchase with value >= this
+
+
+@query(
+    "stats_ab_conversion",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   user_id % 2 AS variant,
+                   MAX(CASE WHEN event_type = 'purchase'
+                             AND value >= {AB_VALUE_MIN!r}
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id),
+        agg AS (
+            SELECT
+                CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                     AS BIGINT) AS x_a,
+                CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_b,
+                CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                     AS BIGINT) AS x_b
+            FROM per_user)
+        SELECT n_a, x_a, n_b, x_b,
+               x_a * n_b - x_b * n_a AS lift_num,
+               ((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                * (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b))
+               / ((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b)) AS z_squared
+        FROM agg
+    """,
+    category="extension: A/B test readout",
+    doc="Two-proportion z-test readout for a deterministic experiment "
+        "split (variant = user_id % 2, conversion = user ever fired a "
+        "'purchase' with value >= 350): per-variant user and converter "
+        "counts are exact "
+        "integers; lift_num = x_a*n_b - x_b*n_a is the pure-integer "
+        "sign/magnitude of the lift (cross-multiplied, division-free); "
+        "z_squared is the pooled-variance z-statistic squared, derived "
+        "from those integers by an identical IEEE op sequence on both "
+        "engines. Scale: one shuffle to per-user flags (partial-agg "
+        "combines the MAX map-side), then a scalar global aggregate — "
+        "the same two-phase shape at any data size.",
+)
+def stats_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.max(((F.col("event_type") == "purchase")
+                            & (F.col("value") >= AB_VALUE_MIN))
+                           .cast("int")).alias("converted"))
+                .select((F.col("user_id") % 2).alias("variant"),
+                        "converted"))
+    agg = per_user.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted"))
+              .otherwise(0)).alias("x_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted"))
+              .otherwise(0)).alias("x_b"))
+    pa = F.col("x_a").cast("double") / F.col("n_a")
+    pb = F.col("x_b").cast("double") / F.col("n_b")
+    p = ((F.col("x_a") + F.col("x_b")).cast("double")
+         / (F.col("n_a") + F.col("n_b")))
+    return agg.select(
+        "n_a", "x_a", "n_b", "x_b",
+        (F.col("x_a") * F.col("n_b")
+         - F.col("x_b") * F.col("n_a")).alias("lift_num"),
+        (((pa - pb) * (pa - pb))
+         / (p * (F.lit(1.0) - p)
+            * (F.lit(1.0) / F.col("n_a")
+               + F.lit(1.0) / F.col("n_b")))).alias("z_squared"))

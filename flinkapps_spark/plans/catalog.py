@@ -62,6 +62,7 @@ def _load_all() -> None:
         governance_queries,
         retrieval_queries,
         graph_queries,
+        analytics_queries,
         timeseries_queries,
         ml_queries,
         streaming_queries,
