@@ -748,3 +748,89 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_tokens", "n_oov",
                     (F.col("n_oov") / F.col("n_tokens").cast("double"))
                     .alias("oov_rate")))
+
+
+# ---------------------------------------------------------------------------
+# text_keyword_rake — stopword-delimited phrase extraction + RAKE scoring
+# ---------------------------------------------------------------------------
+
+RAKE_TOPK = 30
+RAKE_SCALE = 10 ** 6        # fixed-point units for the deg/freq word score
+_RAKE_STOP_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+
+@query(
+    "text_keyword_rake",
+    oracle=f"""
+        WITH ph0 AS (
+            SELECT trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase
+            FROM documents,
+                 unnest(string_split(regexp_replace(lower(text),
+                        '{_RAKE_STOP_RE}', '|', 'g'), '|')) AS t(p)),
+        ph AS (
+            SELECT phrase, len(string_split(phrase, ' ')) AS nw
+            FROM ph0 WHERE phrase <> ''),
+        w AS (SELECT unnest(string_split(phrase, ' ')) AS wd, nw FROM ph),
+        wstat AS (
+            SELECT wd, COUNT(*) AS freq, CAST(SUM(nw) AS BIGINT) AS deg
+            FROM w GROUP BY wd),
+        su AS (SELECT wd, (deg * {RAKE_SCALE}) // freq AS su FROM wstat),
+        pd AS (
+            SELECT phrase, nw, COUNT(*) AS n_occ
+            FROM ph GROUP BY phrase, nw),
+        psc AS (
+            SELECT pw.phrase, CAST(SUM(su.su) AS BIGINT) AS score_units
+            FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS wd
+                  FROM pd) pw
+            JOIN su USING (wd)
+            GROUP BY pw.phrase)
+        SELECT pd.phrase, pd.nw AS n_words, pd.n_occ,
+               psc.score_units / {float(RAKE_SCALE)!r} AS rake_score
+        FROM pd JOIN psc ON psc.phrase = pd.phrase
+        ORDER BY psc.score_units DESC, pd.phrase
+        LIMIT {RAKE_TOPK}
+    """,
+    category="extension: keyword extraction (RAKE)",
+    doc="RAKE keyword extraction (Rose et al. 2010): candidate phrases "
+        "are maximal runs of non-stopword tokens (text split on the "
+        "shared STOPWORDS list), each word scores degree/frequency "
+        "(degree = summed length of phrases it appears in), and a "
+        "phrase scores the sum of its words' scores. The word score is "
+        "kept EXACT as integer units — floor(deg*1e6/freq) via integral "
+        "division, identical on both engines — so phrase scores are "
+        "integer sums (order-independent) divided once at the end. "
+        "Scale: two shuffles (word stats; per-phrase aggregation), both "
+        "partial-agg combinable; phrase explosion is map-side; top-k is "
+        "TakeOrdered with the phrase string as a total-order tiebreak. "
+        "int64 headroom: deg*1e6 <= total-corpus-words * 1e6 — "
+        "overflows past ~9e12 corpus words; shard the word-stat join "
+        "or drop the scale at that point.",
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.split(
+        F.regexp_replace(F.lower("text"), _RAKE_STOP_RE, "|"), r"\|")
+    phrase = F.trim(F.regexp_replace(F.col("p"), " +", " "))
+    ph = (docs.select(F.explode(raw).alias("p"))
+          .select(phrase.alias("phrase"))
+          .filter(F.col("phrase") != "")
+          .select("phrase",
+                  F.size(F.split("phrase", " ")).cast("long").alias("nw")))
+    w = ph.select(F.explode(F.split("phrase", " ")).alias("wd"), "nw")
+    wstat = w.groupBy("wd").agg(F.count("*").alias("freq"),
+                                F.sum("nw").alias("deg"))
+    su = wstat.select(
+        "wd",
+        F.expr(f"(deg * {RAKE_SCALE}) div freq").alias("su"))
+    pd_ = ph.groupBy("phrase", "nw").agg(F.count("*").alias("n_occ"))
+    pw = pd_.select("phrase", F.explode(F.split("phrase", " ")).alias("wd"))
+    psc = (pw.join(su, "wd")
+           .groupBy("phrase").agg(F.sum("su").alias("score_units")))
+    return (pd_.join(psc, "phrase")
+            .select("phrase", F.col("nw").alias("n_words"), "n_occ",
+                    (F.col("score_units") / float(RAKE_SCALE))
+                    .alias("rake_score"),
+                    "score_units")
+            .orderBy(F.desc("score_units"), "phrase")
+            .limit(RAKE_TOPK)
+            .drop("score_units"))

@@ -1245,3 +1245,118 @@ def stream_dynamic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(staged, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# stream_zscore_alerts — stateful running-moments anomaly flags
+# ---------------------------------------------------------------------------
+
+ZS_MIN_N = 30         # warm-up: alerts only after this many prior samples
+ZS_K2 = 9             # threshold z² (3 sigma), integer
+
+
+@query(
+    "stream_zscore_alerts",
+    oracle=f"""
+        WITH u AS (
+            SELECT event_id, event_type, ts,
+                   CAST(CASE WHEN value * 100 >= 0
+                        THEN floor(value * 100 + 0.5)
+                        ELSE ceil(value * 100 - 0.5) END AS BIGINT) AS xu
+            FROM events),
+        w AS (
+            SELECT event_id, event_type, xu,
+                   COUNT(*) OVER win AS n,
+                   CAST(COALESCE(SUM(xu) OVER win, 0) AS HUGEINT) AS s1,
+                   CAST(COALESCE(SUM(xu * xu) OVER win, 0) AS HUGEINT) AS s2
+            FROM u
+            WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING))
+        SELECT event_id, event_type, n AS n_prior
+        FROM w
+        WHERE n >= {ZS_MIN_N}
+          AND (CAST(n AS HUGEINT) * xu - s1)
+              * (CAST(n AS HUGEINT) * xu - s1)
+              > {ZS_K2} * (CAST(n AS HUGEINT) * s2 - s1 * s1)
+    """,
+    category="streaming: stateful z-score anomaly alerts",
+    doc="Streaming anomaly detection as a CUSTOM STATEFUL OPERATOR "
+        "(applyInPandasWithState keyed by event_type): state is the "
+        "running moment triple (n, Σxu, Σxu²) over PRIOR events only — "
+        "O(1) per key — and an event alerts when its z-score against "
+        "the prior distribution exceeds 3σ after a 30-sample warm-up. "
+        "The test is EXACT: cross-multiplied to (n·x−S)² > 9(nQ−S²) in "
+        "arbitrary-precision Python ints (the squared terms exceed "
+        "int64), matched by a HUGEINT window oracle — no float "
+        "boundary anywhere, so batch and stream agree bit-for-bit. "
+        "Replay stages three time-contiguous files so moments genuinely "
+        "carry across micro-batches (chunk cuts are on event time: "
+        "same-timestamp rows never straddle a batch, and within-batch "
+        "rows are sorted by the oracle's exact (ts, event_id) order). "
+        "Scale: three scalars of state per key; Arrow-batched; nothing "
+        "collected to the driver. The same moments are the mergeable "
+        "partial-agg form of variance, so the operator doubles as the "
+        "incremental feed of stats_corr_regression's moment table.",
+)
+def stream_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from flinkapps_spark.streaming.jobs import time_split_replay
+
+    stream, staged = time_split_replay(
+        spark, sf_dir, "events",
+        ["event_id", "event_type", "ts", "value"])
+    try:
+        out_schema = "event_id bigint, event_type string, n_prior bigint"
+        state_schema = "n bigint, s1 bigint, s2m bigint, s2r bigint"
+        # s2 can exceed int64 at extreme scale; state splits it as
+        # s2 = s2m * 2^62 + s2r so the stored pieces stay in bigint.
+        chunk = 1 << 62
+
+        def update(key, pdfs, state: GroupState):
+            import numpy as np
+            if state.exists:
+                n, s1, s2m, s2r = state.get
+                s2 = int(s2m) * chunk + int(s2r)
+                n, s1 = int(n), int(s1)
+            else:
+                n, s1, s2 = 0, 0, 0
+            batch = [p for p in pdfs if len(p)]
+            if batch:
+                pdf = pd.concat(batch, ignore_index=True) \
+                    .sort_values(["ts", "event_id"])
+                v = pdf["value"].to_numpy(dtype="float64") * 100.0
+                xu = np.where(v >= 0, np.floor(v + 0.5),
+                              np.ceil(v - 0.5)).astype("int64")
+                out_ids, out_n = [], []
+                for eid, x in zip(pdf["event_id"], xu):
+                    x = int(x)
+                    if n >= ZS_MIN_N:
+                        lhs = (n * x - s1) ** 2
+                        rhs = ZS_K2 * (n * s2 - s1 * s1)
+                        if lhs > rhs:
+                            out_ids.append(int(eid))
+                            out_n.append(n)
+                    n += 1
+                    s1 += x
+                    s2 += x * x
+                if out_ids:
+                    yield pd.DataFrame({
+                        "event_id": np.asarray(out_ids, dtype="int64"),
+                        "event_type": [key[0]] * len(out_ids),
+                        "n_prior": np.asarray(out_n, dtype="int64")})
+            state.update((n, s1, s2 // chunk, s2 % chunk))
+
+        alerts = stream.groupBy("event_type").applyInPandasWithState(
+            update, outputStructType=out_schema,
+            stateStructType=state_schema, outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+        converged = run_stream_to_memory(alerts, output_mode="append")
+        converged.count()   # materialize before the staged files vanish
+        return converged
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
