@@ -589,19 +589,29 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = (emb.mapInPandas(gram, schema="i int, j int, s long")
          .groupBy("i", "j").agg(F.sum("s").alias("s")))
-    n = (m.filter(F.col("i") == -1)
-         .select(F.col("s").alias("n")))
-    sx = m.filter((F.col("j") == -1) & (F.col("i") >= 0))
-    sxa = sx.select("i", F.col("s").alias("sx_i"))
-    sxb = sx.select(F.col("i").alias("j"), F.col("s").alias("sx_j"))
-    pairs = m.filter(F.col("j") >= 0)
-    scale2 = float(COV_SCALE) ** 2
-    return (pairs.join(F.broadcast(sxa), "i")
-            .join(F.broadcast(sxb), "j")
-            .crossJoin(F.broadcast(n))
-            .select("i", "j",
-                    ((F.col("n") * (F.col("s") / scale2)
-                      - (F.col("sx_i") / float(COV_SCALE))
-                      * (F.col("sx_j") / float(COV_SCALE)))
-                     / (F.col("n").cast("double") * F.col("n")))
-                    .alias("cov")))
+
+    # Assemble cov from the d²-bounded moment table in ONE partition —
+    # joining the sentinel rows back instead would fan the plan into
+    # multiple branches, and Spark re-executes the un-reused ones (3
+    # full corpus scans observed); this keeps the corpus scan single by
+    # construction. 2145 rows at d=64 — bounded by the model, not data.
+    scale1, scale2 = float(COV_SCALE), float(COV_SCALE) ** 2
+
+    def assemble(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if not len(pdf):
+            return
+        n = int(pdf.loc[pdf["i"] == -1, "s"].iloc[0])
+        sx = dict(zip(pdf.loc[(pdf["j"] == -1) & (pdf["i"] >= 0), "i"],
+                      pdf.loc[(pdf["j"] == -1) & (pdf["i"] >= 0), "s"]))
+        pairs = pdf[pdf["j"] >= 0]
+        cov = [(n * (int(s) / scale2)
+                - (int(sx[i]) / scale1) * (int(sx[j]) / scale1))
+               / (float(n) * n)
+               for i, j, s in zip(pairs["i"], pairs["j"], pairs["s"])]
+        yield pd.DataFrame({"i": pairs["i"].to_numpy(),
+                            "j": pairs["j"].to_numpy(),
+                            "cov": np.asarray(cov, dtype="float64")})
+
+    return m.repartition(1).mapInPandas(
+        assemble, schema="i int, j int, cov double")

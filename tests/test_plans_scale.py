@@ -552,3 +552,88 @@ def test_hybrid_rrf_pools_are_take_ordered(spark):
     Sort/window drops the count below 3."""
     plan = plan_of(spark, "hybrid_rrf_fusion")
     assert plan.count("TakeOrderedAndProject") >= 3, plan
+
+
+def test_ks_wide_window_partitioned_by_bucket(spark):
+    """The KS cumulative scan must be the two-phase form: the per-value
+    window runs PARTITIONED by the price bucket (never one global sort
+    over the value grid), with the bucket offsets broadcast back. No
+    Python anywhere."""
+    plan = plan_of(spark, "stats_ks_twosample")
+    assert "windowspecdefinition(bkt" in plan, plan
+    # single-partition passes only over scalar/bounded frames (the
+    # bucket-offset prefix and the global n1/n2 count) — never the data
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+    assert "Python" not in plan, plan
+
+
+def test_audience_overlap_broadcast_sizes(spark):
+    """Audience sizes (|event types| rows) attach via broadcast joins;
+    the user-key self-join is an equi-join, not a cartesian."""
+    plan = plan_of(spark, "events_audience_overlap")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_streaks_single_customer_shuffle(spark):
+    """Gaps-and-islands: the distinct, the window, and both aggregations
+    all share the customer-key partitioning — at most two exchanges
+    (distinct on (cust, month), then the cust-only window), no join."""
+    plan = plan_of(spark, "orders_active_streaks")
+    assert plan.count("Exchange") <= 2, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_recsys_topk_take_ordered(spark):
+    """Item-item CF: the top-k is TakeOrdered (per-partition heaps), not
+    a global sort; all joins keep their conditions."""
+    plan = plan_of(spark, "recsys_item_cosine")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_profile_single_pass_expand(spark):
+    """Column profiling is ONE scan: the multi-countDistinct plans as a
+    single Expand + aggregate, no join, no union of per-column scans."""
+    plan = plan_of(spark, "profile_table_columns")
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_ab_conversion_two_phase_agg(spark):
+    """A/B readout: per-user flags from one user-key shuffle with map-side
+    partial MAX, then a scalar global aggregate — two exchanges, no join,
+    no Python."""
+    plan = plan_of(spark, "stats_ab_conversion")
+    assert plan.count("Exchange") <= 2, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_covariance_shuffles_partials_only(spark):
+    """Covariance: exactly one Arrow-batched Python stage (the int64 Gram
+    matmul); every exchange AFTER it carries only (i, j, s) partials —
+    the embedding column never crosses a shuffle."""
+    plan = plan_of(spark, "embedding_covariance")
+    # exactly two Python stages (Gram partials; d²-row assembly) and ONE
+    # corpus scan — the join-based assembly re-executed the scan 3x
+    assert plan.count("MapInPandas") == 2, plan
+    assert plan.count("FileScan") == 1, plan
+    # no exchange carries the embedding column: only (i, j, s) partials
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "embedding" not in ln, ln
+
+
+def test_rake_take_ordered_no_python(spark):
+    """RAKE: pure built-in expressions (split/explode/agg) — no Python
+    UDFs; top-k phrases via TakeOrdered, not a global sort."""
+    plan = plan_of(spark, "text_keyword_rake")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan, plan
