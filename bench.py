@@ -96,6 +96,17 @@ HEADLINE = [
     "hybrid_rrf_fusion",
     "events_time_weighted_avg",
     "events_trend_theilsen",
+    # round-5 continuation additions
+    "stats_ks_twosample",
+    "events_audience_overlap",
+    "orders_active_streaks",
+    "recsys_item_cosine",
+    "profile_table_columns",
+    "stats_ab_conversion",
+    "embedding_covariance",
+    "text_keyword_rake",
+    "embedding_mmr_diversify",
+    "dq_benford_digits",
 ]
 
 

@@ -519,3 +519,67 @@ def drift_psi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("psi_contrib"),
         (F.sum("contrib_u").over(wt) / F.lit(1_000_000).cast("double"))
             .alias("psi_total"))
+
+
+# ---------------------------------------------------------------------------
+# dq_benford_digits — first-significant-digit distribution audit
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_SQL_CASE = ("CAST(CASE digit " + " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items())
+    + " END AS DOUBLE)")
+
+
+@query(
+    "dq_benford_digits",
+    oracle=f"""
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+            FROM orders),
+        c AS (SELECT digit, COUNT(*) AS observed FROM d GROUP BY digit),
+        n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM c)
+        SELECT digit, observed,
+               n * {_BENFORD_SQL_CASE} AS expected,
+               (observed - n * {_BENFORD_SQL_CASE})
+               * (observed - n * {_BENFORD_SQL_CASE})
+               / (n * {_BENFORD_SQL_CASE}) AS chi2_contrib
+        FROM c, n
+    """,
+    category="extension: Benford digit audit",
+    doc="Benford first-significant-digit audit over order totals — the "
+        "classic fabricated-data / ingestion-corruption screen (Benford "
+        "1938; Nigrini 2012). Digit = first character of the floored "
+        "integer value (floor BEFORE the bigint cast: DuckDB's "
+        "double->bigint cast rounds while Spark's truncates — floor "
+        "makes both exact). Expected shares log10(1+1/d) are injected "
+        "as the same Python-repr'd doubles into both engines, and the "
+        "chi-squared contribution is emitted PER DIGIT rather than "
+        "globally summed, so no cross-row float accumulation exists "
+        "anywhere. Scale: one partial-agg shuffle on 9 digit keys plus "
+        "a scalar total — the two-phase counting shape at any size. "
+        "(Uniform TPC-H prices are far from Benford — the audit's "
+        "point is the deviation report, not conformance.)",
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    digit = (F.substring(F.floor("o_totalprice").cast("string"), 1, 1)
+             .cast("int").alias("digit"))
+    c = o.select(digit).groupBy("digit").agg(F.count("*").alias("observed"))
+    # grand total over the 9-row digit frame via a window — a second
+    # aggregation branch would re-execute the scan (plan fan-out)
+    n = F.sum("observed").over(Window.partitionBy())
+    p = F.col("digit")
+    case = F.when(p == 1, _BENFORD_P[1])
+    for d in range(2, 10):
+        case = case.when(p == d, _BENFORD_P[d])
+    exp = n * case
+    return c.select("digit", "observed",
+                    exp.alias("expected"),
+                    ((F.col("observed") - exp) * (F.col("observed") - exp)
+                     / exp).alias("chi2_contrib"))

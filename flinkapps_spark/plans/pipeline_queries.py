@@ -2423,3 +2423,157 @@ def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("lang").alias("n_langs"),
                  F.min("doc_id").alias("min_id"),
                  F.max("doc_id").alias("max_id")))
+
+
+# ---------------------------------------------------------------------------
+# embedding_mmr_diversify — maximal marginal relevance re-ranking
+# ---------------------------------------------------------------------------
+
+MMR_QUERY_ID = 0
+MMR_POOL = 20
+MMR_K = 8
+MMR_LAM = 0.7
+_MMR_OML = 1.0 - MMR_LAM     # 0.30000000000000004 — shared exactly
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR (no recursion): pick k is an argmax over the
+    remaining pool against the union of picks 1..k-1 — the same 8 fixed
+    stages the Spark-side greedy walks (cf. _kmeans_oracle's unrolled
+    Lloyd iterations)."""
+    # MATERIALIZED throughout: DuckDB inlines plain CTEs, and the pick
+    # chain references pool/sims/picks many times — inlined, the corpus
+    # cosine scan would re-run per reference (observed: minutes at
+    # sf0.01; materialized: milliseconds).
+    score1 = f"{MMR_LAM!r} * rel - {_MMR_OML!r} * 0.0"
+    parts = [f"""
+        emb AS MATERIALIZED (
+            SELECT vec_id, {SQL_EMB_D} AS v FROM embeddings),
+        q AS MATERIALIZED (
+            SELECT v AS qv FROM emb WHERE vec_id = {MMR_QUERY_ID}),
+        pool AS MATERIALIZED (
+            SELECT vec_id, ROUND({_sql_cos('qv', 'v')}, 6) AS rel, v
+            FROM emb, q WHERE vec_id <> {MMR_QUERY_ID}
+            ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}),
+        sims AS MATERIALIZED (
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND({_sql_cos('a.v', 'b.v')}, 6) AS sim
+            FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+        p1 AS MATERIALIZED (
+            SELECT vec_id, rel, CAST(1 AS INT) AS rank,
+                   {score1} AS mmr_score
+            FROM pool ORDER BY {score1} DESC, vec_id LIMIT 1),
+        s1 AS MATERIALIZED (SELECT vec_id FROM p1)"""]
+    for k in range(2, MMR_K + 1):
+        parts.append(f"""
+        p{k} AS MATERIALIZED (
+            SELECT c.vec_id, c.rel, CAST({k} AS INT) AS rank,
+                   {MMR_LAM!r} * c.rel - {_MMR_OML!r} * ms.m AS mmr_score
+            FROM pool c
+            JOIN (SELECT a, MAX(sim) AS m FROM sims
+                  WHERE b IN (SELECT vec_id FROM s{k - 1}) GROUP BY a) ms
+              ON ms.a = c.vec_id
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM s{k - 1})
+            ORDER BY mmr_score DESC, c.vec_id LIMIT 1),
+        s{k} AS MATERIALIZED (
+            SELECT vec_id FROM s{k - 1}
+            UNION ALL SELECT vec_id FROM p{k})""")
+    union = " UNION ALL ".join(
+        f"SELECT rank, vec_id, rel, mmr_score FROM p{k}"
+        for k in range(1, MMR_K + 1))
+    return "WITH " + ",".join(parts) + "\n" + union
+
+
+@query(
+    "embedding_mmr_diversify",
+    oracle=_mmr_oracle(),
+    category="extension: diversified retrieval (MMR)",
+    doc="Maximal-marginal-relevance re-ranking (Carbonell & Goldstein "
+        "1998): the top-20 cosine pool for one query is greedily "
+        "re-ranked, each pick maximizing lam*relevance - (1-lam)*max-"
+        "similarity-to-already-picked — the standard diversified "
+        "retrieval layer over a kNN pool. All similarities are the same "
+        "6dp-rounded cosines the kNN family uses, so the greedy walks "
+        "identical doubles on both engines (the oracle unrolls the 8 "
+        "picks as fixed SQL stages; ties break on vec_id). Scale: the "
+        "corpus-sized work is exactly the brute-force kNN scan (swap in "
+        "the LSH/IVF variants for the pool at 100 TB); the greedy runs "
+        "over a pool-squared frame (400 rows) in one Arrow stage on one "
+        "partition — bounded by the re-rank window, not the corpus.",
+)
+def embedding_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from flinkapps_spark.functions.vectors import cosine_similarity
+    from flinkapps_spark.operators.similarity import _as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") == MMR_QUERY_ID)
+         .select(_as_double(F.col("embedding")).alias("qv")))
+    # pool carries its vectors through the top-k (knn_bruteforce drops
+    # them; re-joining the corpus would add a second corpus scan), and
+    # the trailing 1-partition exchange is what both self-join sides
+    # reference — AQE reuses it, keeping the corpus scan single.
+    scored = (emb.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != MMR_QUERY_ID)
+              .select("vec_id",
+                      F.round(cosine_similarity(
+                          F.col("qv"),
+                          _as_double(F.col("embedding"))), 6).alias("rel"),
+                      _as_double(F.col("embedding")).alias("v")))
+    pool = (scored.orderBy(F.desc("rel"), "vec_id").limit(MMR_POOL)
+            .repartition(1))
+
+    # Pairwise pool sims + greedy both happen inside ONE Arrow stage on
+    # the 1-partition pool: a Spark-side self-join would put the pool
+    # behind an AQE broadcast stage that re-materializes the corpus scan
+    # (observed; same failure mode as embedding_covariance's joins).
+    # The Python cosine replicates the SQL one op-for-op: sequential
+    # left-fold dot/norms (F.aggregate / list_sum order) and HALF_UP
+    # 6dp rounding on the exact decimal expansion of the double —
+    # Decimal(x).quantize == Spark's BigDecimal ROUND semantics.
+    def greedy(batches):
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+
+        def cos6(a, b):
+            s, na, nb = 0.0, 0.0, 0.0
+            for x, y in zip(a, b):
+                s += x * y
+            for x in a:
+                na += x * x
+            for y in b:
+                nb += y * y
+            c = s / (math.sqrt(na) * math.sqrt(nb))
+            return float(Decimal(c).quantize(q6, rounding=ROUND_HALF_UP))
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if not len(pdf):
+            return
+        rel = {int(r.vec_id): float(r.rel) for r in pdf.itertuples()}
+        vec = {int(r.vec_id): list(r.v) for r in pdf.itertuples()}
+        sim = {(i, j): cos6(vec[i], vec[j])
+               for i in vec for j in vec if i != j}
+        remaining = sorted(rel)
+        sel, out = [], []
+        for rank in range(1, MMR_K + 1):
+            best = None
+            for c in remaining:
+                ms = max((sim[(c, s)] for s in sel), default=0.0)
+                score = MMR_LAM * rel[c] - _MMR_OML * ms
+                # max score; ties break on the smaller vec_id (remaining
+                # is sorted ascending, so strict > keeps the first)
+                if best is None or score > best[0]:
+                    best = (score, c)
+            score, c = best
+            sel.append(c)
+            remaining.remove(c)
+            out.append((rank, c, rel[c], score))
+        yield pd.DataFrame(out, columns=["rank", "vec_id", "rel",
+                                         "mmr_score"])
+
+    return pool.mapInPandas(
+        greedy, schema="rank int, vec_id bigint, rel double, "
+                       "mmr_score double")

@@ -637,3 +637,31 @@ def test_rake_take_ordered_no_python(spark):
     plan = plan_of(spark, "text_keyword_rake")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Python" not in plan, plan
+
+
+def _final_plan_of(spark, name: str) -> str:
+    """Executed-and-finalized AQE plan (node counts on the raw string
+    double-count: toString appends the '== Initial Plan ==' section)."""
+    df = REG[name].build(spark, SF_ORACLE)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan() \
+        .toString().split("Initial Plan")[0]
+
+
+def test_benford_single_scan_windowed_total(spark):
+    """Benford audit: one scan of orders; the grand total comes from a
+    window over the 9-row digit frame, not a second aggregation branch."""
+    plan = _final_plan_of(spark, "dq_benford_digits")
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_mmr_single_corpus_scan_one_arrow_stage(spark):
+    """MMR: exactly one corpus scan (plus the 1-row query-vector scan)
+    and ONE Arrow stage over the pool — a Spark-side pool self-join
+    re-materialized the corpus behind an AQE broadcast stage."""
+    plan = _final_plan_of(spark, "embedding_mmr_diversify")
+    assert plan.count("FileScan") == 2, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
