@@ -107,6 +107,8 @@ HEADLINE = [
     "text_keyword_rake",
     "embedding_mmr_diversify",
     "dq_benford_digits",
+    "events_autocorrelation",
+    "text_zipf_fit",
 ]
 
 

@@ -22,7 +22,9 @@ from flinkapps_spark.operators.curation import (
 from flinkapps_spark.operators.dedup import SHINGLE_BASE
 from flinkapps_spark.operators.textstats import STOPWORDS
 from flinkapps_spark.plans.catalog import query
-from flinkapps_spark.plans.exact import exact_sum, sql_sum
+from flinkapps_spark.plans.exact import (
+    exact_sum, sql_sum, sql_units, units_col,
+)
 from flinkapps_spark.sources.batch import load_table
 
 # ---------------------------------------------------------------------------
@@ -834,3 +836,99 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score_units"), "phrase")
             .limit(RAKE_TOPK)
             .drop("score_units"))
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_fit — rank-frequency power-law fit of the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+ZIPF_TOPR = 100            # fit over the top-R vocabulary
+ZIPF_SCALE = 10 ** 9       # fixed-point units for ln-term sums
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+        WITH w AS (SELECT unnest({{words}}) AS wd FROM documents),
+        v AS (SELECT wd, COUNT(*) AS f FROM w GROUP BY wd),
+        top AS (
+            SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, wd) AS r
+            FROM v ORDER BY f DESC, wd LIMIT {ZIPF_TOPR}),
+        t AS (
+            SELECT
+                {{ux}} AS ux, {{uy}} AS uy,
+                {{uxx}} AS uxx, {{uxy}} AS uxy
+            FROM top),
+        s AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(ux) AS BIGINT) AS sux,
+                   CAST(SUM(uy) AS BIGINT) AS suy,
+                   CAST(SUM(uxx) AS BIGINT) AS suxx,
+                   CAST(SUM(uxy) AS BIGINT) AS suxy
+            FROM t)
+        SELECT n AS n_words,
+               (n * (suxy / {float(ZIPF_SCALE)!r})
+                - (sux / {float(ZIPF_SCALE)!r})
+                  * (suy / {float(ZIPF_SCALE)!r}))
+               / (n * (suxx / {float(ZIPF_SCALE)!r})
+                  - (sux / {float(ZIPF_SCALE)!r})
+                    * (sux / {float(ZIPF_SCALE)!r})) AS slope_zipf,
+               ((suy / {float(ZIPF_SCALE)!r})
+                - ((n * (suxy / {float(ZIPF_SCALE)!r})
+                    - (sux / {float(ZIPF_SCALE)!r})
+                      * (suy / {float(ZIPF_SCALE)!r}))
+                   / (n * (suxx / {float(ZIPF_SCALE)!r})
+                      - (sux / {float(ZIPF_SCALE)!r})
+                        * (sux / {float(ZIPF_SCALE)!r})))
+                  * (sux / {float(ZIPF_SCALE)!r})) / n AS intercept
+        FROM s
+    """.format(
+        words=SQL_WORDS,
+        ux=sql_units("ln(CAST(r AS DOUBLE))", ZIPF_SCALE),
+        uy=sql_units("ln(CAST(f AS DOUBLE))", ZIPF_SCALE),
+        uxx=sql_units("ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))",
+                      ZIPF_SCALE),
+        uxy=sql_units("ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE))",
+                      ZIPF_SCALE)),
+    category="extension: Zipf rank-frequency fit",
+    doc="Zipf's-law fit of the corpus vocabulary: OLS slope of ln(freq) "
+        "on ln(rank) over the top-100 words — the corpus-health number "
+        "(natural text ~ -1; templated/synthetic corpora flatten or "
+        "steepen it; cf. Piantadosi 2014). Determinism follows "
+        "source_entropy_diversity's ln discipline: each ln term (and "
+        "product) is rounded to fixed-point 1e-9 units BEFORE summing, "
+        "so term order can't flip a bit, and the closed-form slope/"
+        "intercept is one identical IEEE sequence from the integer "
+        "sums. Ranks come from (count DESC, word) — a total order. "
+        "Scale: one shuffle to vocabulary counts (partial-agg "
+        "combines), TakeOrdered top-100, then a scalar aggregate over "
+        "100 rows.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(tokenize("text")).alias("wd"))
+             .groupBy("wd").agg(F.count("*").alias("f")))
+    top = vocab.orderBy(F.desc("f"), "wd").limit(ZIPF_TOPR)
+    from pyspark.sql import Window
+    r = F.row_number().over(Window.orderBy(F.desc("f"), "wd"))
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("f").cast("double"))
+    t = top.select(F.col("f"), r.alias("r")).select(
+        units_col(lx, ZIPF_SCALE).alias("ux"),
+        units_col(ly, ZIPF_SCALE).alias("uy"),
+        units_col(lx * lx, ZIPF_SCALE).alias("uxx"),
+        units_col(lx * ly, ZIPF_SCALE).alias("uxy"))
+    s = t.groupBy().agg(
+        F.count("*").alias("n"), F.sum("ux").alias("sux"),
+        F.sum("uy").alias("suy"), F.sum("uxx").alias("suxx"),
+        F.sum("uxy").alias("suxy"))
+    sc = float(ZIPF_SCALE)
+    sx, sy = F.col("sux") / sc, F.col("suy") / sc
+    sxx, sxy = F.col("suxx") / sc, F.col("suxy") / sc
+    n = F.col("n")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(n.alias("n_words"),
+                    slope.alias("slope_zipf"),
+                    ((sy - slope * sx) / n).alias("intercept"))

@@ -985,3 +985,105 @@ def events_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (r.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
             .select("event_type", "n_pairs",
                     (F.col("slope") / TS_SCALE).alias("theilsen_slope")))
+
+
+# ---------------------------------------------------------------------------
+# events_autocorrelation — lag-k ACF of the hourly count series
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+def _acf_oracle() -> str:
+    lag_cols = ",\n                   ".join(
+        f"lag(c, {k}) OVER (PARTITION BY event_type ORDER BY t) AS b{k}"
+        for k in ACF_LAGS)
+    pair_union = "\n            UNION ALL ".join(
+        f"SELECT event_type, n, s, den, c, {k} AS lag, b{k} AS cb "
+        f"FROM lagged WHERE b{k} IS NOT NULL"
+        for k in ACF_LAGS)
+    return f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(epoch_us(date_trunc('hour', ts)) / 3600000000
+                        AS BIGINT) AS t,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2),
+        ann AS (
+            SELECT event_type, t, c,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n,
+                   CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS s
+            FROM hourly),
+        lagged AS MATERIALIZED (
+            SELECT event_type, n, s, c,
+                   CAST(SUM((n * c - s) * (n * c - s))
+                        OVER (PARTITION BY event_type) AS BIGINT) AS den,
+                   {lag_cols}
+            FROM ann),
+        pairs AS (
+            {pair_union})
+        SELECT event_type, CAST(lag AS INT) AS lag,
+               COUNT(*) AS n_pairs,
+               CAST(SUM((n * cb - s) * (n * c - s)) AS BIGINT)
+               / CAST(NULLIF(MAX(den), 0) AS DOUBLE) AS acf
+        FROM pairs GROUP BY event_type, lag
+    """
+
+
+@query(
+    "events_autocorrelation",
+    oracle=_acf_oracle(),
+    category="extension: autocorrelation",
+    doc="Lag-k autocorrelation of the hourly event-count series per "
+        "type (k in 1,2,3,6,12,24) — the seasonality/memory diagnostic "
+        "behind 'is this stream hourly-periodic?'. The estimator is "
+        "cross-multiplied to integers: with n hours and total S, "
+        "acf_k = Σ(n·c_t - S)(n·c_{{t-k}} - S) / Σ(n·c_t - S)² — both "
+        "sums exact int64 (the n² denominators cancel), one final "
+        "division. Lagged pairs are ROW lags over the observed hourly "
+        "sequence (one shared window sort; identical on both engines; "
+        "equivalent to time lags whenever the series is gap-free — "
+        "events_gap_fill is the densify step otherwise). Scale: events "
+        "collapse to the hourly frame in one partial-agg shuffle; ALL "
+        "windows (n, S, den, the six lags) share one (type)-partition "
+        "sort on that bounded frame — a single scan and no join "
+        "(a lag self-join re-executed the hourly aggregation per "
+        "branch). int64 headroom: |n·c - S| <= n·max(c); overflow "
+        "needs n·max(c) past 3e9 — years of hours times billions-per-"
+        "hour; aggregate to days first at that point.",
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", "ts")) / 3_600_000_000)
+        .cast("long").alias("t"))
+        .agg(F.count("*").alias("c")))
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("t")
+    ann = hourly.select(
+        "event_type", "t", "c",
+        F.count("*").over(wp).alias("n"),
+        F.sum("c").over(wp).alias("s"))
+    dev = F.col("n") * F.col("c") - F.col("s")
+    lagged = ann.select(
+        "event_type", "n", "s", "c",
+        F.sum(dev * dev).over(wp).alias("den"),
+        *[F.lag("c", k).over(wo).alias(f"b{k}") for k in ACF_LAGS])
+    pairs = (lagged.select(
+        "event_type", "n", "s", "den", "c",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("lag"), F.col(f"b{k}").alias("cb"))
+            for k in ACF_LAGS])).alias("p"))
+        .select("event_type", "n", "s", "den", "c",
+                F.col("p.lag").alias("lag"), F.col("p.cb").alias("cb"))
+        .filter(F.col("cb").isNotNull()))
+    return (pairs.groupBy("event_type", "lag")
+            .agg(F.count("*").alias("n_pairs"),
+                 (F.sum((F.col("n") * F.col("cb") - F.col("s"))
+                        * (F.col("n") * F.col("c") - F.col("s")))
+                  / F.nullif(F.max("den"), F.lit(0)).cast("double"))
+                 .alias("acf"))
+            .select("event_type", F.col("lag").cast("int").alias("lag"),
+                    "n_pairs", "acf"))

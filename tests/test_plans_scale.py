@@ -665,3 +665,22 @@ def test_mmr_single_corpus_scan_one_arrow_stage(spark):
     assert plan.count("FileScan") == 2, plan
     assert plan.count("MapInPandas") == 1, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_autocorrelation_hourly_collapse_first(spark):
+    """ACF: events collapse to the hourly frame in ONE partial-agg
+    shuffle; the lag joins and moment windows run on that bounded frame
+    — a single corpus scan, no Python."""
+    plan = _final_plan_of(spark, "events_autocorrelation")
+    assert plan.count("FileScan") == 1, plan
+    assert "Python" not in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_zipf_take_ordered_vocab(spark):
+    """Zipf fit: vocabulary counts partial-agg, top-100 via TakeOrdered
+    (never a global sort of the vocabulary), scalar OLS aggregate."""
+    plan = _final_plan_of(spark, "text_zipf_fit")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
