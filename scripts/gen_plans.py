@@ -84,6 +84,22 @@ SHOWCASE = [
      "positional phrase search: the two term filters sit BELOW the "
      "posting-list join, so only the query terms' postings shuffle, "
      "keyed by (doc_id, pos)."),
+    ("stats_ks_twosample",
+     "exact two-sample KS: TWO-PHASE prefix sum — per-value cumulative "
+     "window partitioned by price bucket, only the bounded bucket-"
+     "offset frame is single-partition; D's numerator stays integer."),
+    ("embedding_covariance",
+     "exact covariance: one int64 Gram matmul per Arrow batch; the "
+     "only shuffle carries (i, j, s) partials — d²-bounded, corpus-"
+     "size-independent; one corpus scan by construction."),
+    ("events_autocorrelation",
+     "lag-k ACF: events collapse to the hourly frame in one partial-"
+     "agg shuffle; moments and all six lags share ONE window sort "
+     "over that bounded frame — no join, no second scan."),
+    ("embedding_mmr_diversify",
+     "MMR re-rank: corpus scanned once (TakeOrdered pool carries its "
+     "vectors); pairwise sims + greedy in ONE Arrow stage on the "
+     "20-row pool partition."),
 ]
 
 
