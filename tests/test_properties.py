@@ -459,3 +459,88 @@ def test_cep_stream_matches_batch_on_same_us_ties(spark):
                             .build(spark, d).collect()))
         assert batch == stream
         assert [r[0] for r in batch] == [3]   # only the control user
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.floats(1.0, 5000.0, allow_nan=False), min_size=1,
+                max_size=40),
+       st.lists(st.floats(1.0, 5000.0, allow_nan=False), min_size=1,
+                max_size=40))
+def test_ks_two_phase_matches_naive(spark, pa, pb):
+    """The two-phase bucketed prefix scan in stats_ks_twosample equals
+    the naive pooled-CDF sup computed in Python for ANY two samples —
+    including value collisions within and across samples."""
+    import tempfile
+
+    from flinkapps_spark.plans.analytics_queries import (
+        KS_SEG_A, KS_SEG_B, stats_ks_twosample,
+    )
+
+    prices = [round(p, 2) for p in pa] + [round(p, 2) for p in pb]
+    segs = [KS_SEG_A] * len(pa) + [KS_SEG_B] * len(pb)
+    orders = spark.createDataFrame(
+        [(i, i, "O", p, None, "1-URGENT") for i, p in enumerate(prices)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string")
+    cust = spark.createDataFrame(
+        [(i, f"c{i}", 0, 0.0, s) for i, s in enumerate(segs)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string")
+    with tempfile.TemporaryDirectory() as tmp:
+        orders.coalesce(1).write.parquet(f"{tmp}/orders.parquet")
+        cust.coalesce(1).write.parquet(f"{tmp}/customer.parquet")
+        row = stats_ks_twosample(spark, tmp).collect()[0]
+
+    ua = sorted(int(round(p * 100)) for p in [round(x, 2) for x in pa])
+    ub = sorted(int(round(p * 100)) for p in [round(x, 2) for x in pb])
+    n1, n2 = len(ua), len(ub)
+    grid = sorted(set(ua) | set(ub))
+    import bisect
+    d_num = max(abs(bisect.bisect_right(ua, u) * n2
+                    - bisect.bisect_right(ub, u) * n1) for u in grid)
+    assert (row["n1"], row["n2"], row["d_num"]) == (n1, n2, d_num)
+    assert row["ks_d"] == d_num / float(n1 * n2)
+
+
+def test_mmr_greedy_invariants(spark):
+    """MMR output contract on the fixtures: exactly K distinct picks,
+    rank 1 is the relevance argmax, and scores are non-increasing
+    (each later pick maximized over a smaller set with larger
+    max-sim penalties)."""
+    from flinkapps_spark.plans.pipeline_queries import (
+        MMR_K, embedding_mmr_diversify,
+    )
+
+    rows = sorted(embedding_mmr_diversify(spark, SF_SMOKE).collect(),
+                  key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, MMR_K + 1))
+    assert len({r["vec_id"] for r in rows}) == MMR_K
+    assert rows[0]["rel"] == max(r["rel"] for r in rows)
+    scores = [r["mmr_score"] for r in rows]
+    assert all(a >= b for a, b in zip(scores, scores[1:])), scores
+
+
+def test_covariance_matches_numpy(spark):
+    """embedding_covariance against an independent numpy implementation
+    of the same fixed-point definition (not the DuckDB oracle)."""
+    import numpy as np
+
+    from flinkapps_spark.plans.ml_queries import (
+        COV_SCALE, embedding_covariance,
+    )
+
+    got = {(r["i"], r["j"]): r["cov"] for r in
+           embedding_covariance(spark, SF_SMOKE).collect()}
+    emb = load_table(spark, SF_SMOKE, "embeddings") \
+        .select("embedding").collect()
+    arr = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    v = arr * COV_SCALE
+    xu = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+    n = len(xu)
+    g = (xu.T @ xu) / float(COV_SCALE) ** 2
+    sx = xu.sum(axis=0) / float(COV_SCALE)
+    expect = (n * g - np.outer(sx, sx)) / (float(n) * n)
+    for (i, j), c in got.items():
+        assert abs(c - expect[i, j]) < 1e-9, (i, j, c, expect[i, j])
+    assert len(got) == 64 * 65 // 2
