@@ -109,6 +109,7 @@ HEADLINE = [
     "dq_benford_digits",
     "events_autocorrelation",
     "text_zipf_fit",
+    "orders_cohort_ltv",
 ]
 
 

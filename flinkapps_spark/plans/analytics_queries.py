@@ -416,3 +416,82 @@ def stats_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
          / (p * (F.lit(1.0) - p)
             * (F.lit(1.0) / F.col("n_a")
                + F.lit(1.0) / F.col("n_b")))).alias("z_squared"))
+
+
+# ---------------------------------------------------------------------------
+# orders_cohort_ltv — cumulative revenue curve per acquisition cohort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle=f"""
+        WITH o AS (
+            SELECT o_custkey,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                        AS BIGINT) AS m,
+                   {sql_units('o_totalprice', 100)} AS u
+            FROM orders),
+        ann AS (
+            SELECT o_custkey, m, u,
+                   MIN(m) OVER (PARTITION BY o_custkey) AS cohort
+            FROM o),
+        agg AS (
+            SELECT cohort, m - cohort AS age,
+                   COUNT(*) AS n_orders,
+                   COUNT(DISTINCT o_custkey) AS active_customers,
+                   CAST(SUM(u) AS BIGINT) AS su
+            FROM ann GROUP BY cohort, m - cohort),
+        cum AS (
+            SELECT cohort, age, n_orders, active_customers,
+                   CAST(SUM(su) OVER (PARTITION BY cohort ORDER BY age)
+                        AS BIGINT) AS cum_u,
+                   FIRST_VALUE(active_customers)
+                       OVER (PARTITION BY cohort ORDER BY age)
+                       AS cohort_size
+            FROM agg)
+        SELECT cohort, CAST(age AS INT) AS age, n_orders,
+               active_customers, cohort_size,
+               cum_u / CAST(100 AS DOUBLE) AS cum_revenue,
+               cum_u / CAST(100 AS DOUBLE) / cohort_size
+                   AS ltv_per_customer
+        FROM cum
+    """,
+    category="extension: cohort LTV curve",
+    doc="Customer-lifetime-value curves per acquisition cohort: cohort "
+        "= a customer's first order month, age = months since, and the "
+        "per-(cohort, age) revenue accumulates into the LTV curve — "
+        "the revenue-side complement of events_cohort_retention. "
+        "Revenue stays fixed-point int64 through the cumulative window "
+        "and divides once at the end; cohort_size reuses the age-0 "
+        "active count via FIRST_VALUE (every cohort member orders in "
+        "its cohort month BY DEFINITION of min — no second distinct "
+        "branch, keeping the plan one chain). Scale: one shuffle on "
+        "customer for the cohort window, one partial-agg shuffle to "
+        "the (cohort, age) frame, then windows over that bounded "
+        "frame.",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long").alias("m"),
+        units_col("o_totalprice", 100).alias("u"))
+    ann = o.select(
+        "o_custkey", "m", "u",
+        F.min("m").over(Window.partitionBy("o_custkey")).alias("cohort"))
+    agg = (ann.groupBy("cohort", (F.col("m") - F.col("cohort")).alias("age"))
+           .agg(F.count("*").alias("n_orders"),
+                F.countDistinct("o_custkey").alias("active_customers"),
+                F.sum("u").alias("su")))
+    w = Window.partitionBy("cohort").orderBy("age")
+    cum = agg.select(
+        "cohort", "age", "n_orders", "active_customers",
+        F.sum("su").over(w).alias("cum_u"),
+        F.first("active_customers").over(w).alias("cohort_size"))
+    return cum.select(
+        "cohort", F.col("age").cast("int").alias("age"), "n_orders",
+        "active_customers", "cohort_size",
+        (F.col("cum_u") / F.lit(100).cast("double")).alias("cum_revenue"),
+        (F.col("cum_u") / F.lit(100).cast("double") / F.col("cohort_size"))
+        .alias("ltv_per_customer"))
