@@ -65,7 +65,10 @@ KS_BUCKET = 100_000        # price-cent units per prefix bucket (1000 currency)
         "window runs PARTITIONED by bucket with the bucket offset added "
         "back — no single-partition pass over the value grid, so the "
         "plan holds when the distinct-price grid has millions of "
-        "entries. int64 headroom: ca*n2 <= n1*n2, overflow needs both "
+        "entries. The per-value frame is eagerly cached so the corpus "
+        "is scanned ONCE (offsets live on a broadcast stage that would "
+        "otherwise re-execute the chain); n1/n2 ride the same broadcast "
+        "frame. int64 headroom: ca*n2 <= n1*n2, overflow needs both "
         "samples past ~3e9 rows; past that divide counts by a common "
         "power of two first.",
 )
@@ -81,25 +84,42 @@ def stats_ks_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_u = t.groupBy("u").agg(
         F.sum("ga").alias("a"), F.sum(1 - F.col("ga")).alias("b"))
     # Two-phase prefix sum: bucket totals -> tiny global prefix of
-    # offsets; per-u cumulative stays partitioned by bucket.
-    bucketed = per_u.withColumn("bkt", F.floor(F.col("u") / KS_BUCKET))
+    # offsets; per-u cumulative stays partitioned by bucket.  The
+    # bucket-offset frame sits on the BROADCAST side of the join below,
+    # and AQE materializes broadcast stages independently — without the
+    # eager cache the corpus scan+join+agg re-executes inside that
+    # stage (observed: orders scanned twice).  per_u is bounded by the
+    # distinct-value grid, not the corpus; MEMORY_AND_DISK spills
+    # rather than pinning executor memory (dedup_keep_set precedent).
+    from pyspark import StorageLevel
+    bucketed = (per_u.withColumn("bkt", F.floor(F.col("u") / KS_BUCKET))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    bucketed.count()
     totals = bucketed.groupBy("bkt").agg(
         F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    # Offsets AND grand totals both ride the one broadcast bucket frame
+    # (bounded by the price-band grid, not the corpus): a separate
+    # n1/n2 aggregation branch re-executed the corpus scan+join
+    # (observed) — folding them into the same tiny frame keeps the
+    # whole query one linear chain over the data.
     w_off = (Window.orderBy("bkt")
              .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
     offs = totals.select(
         "bkt",
         F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("off_a"),
-        F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("off_b"))
+        F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("off_b"),
+        F.sum("ta").over(w_all).alias("n1"),
+        F.sum("tb").over(w_all).alias("n2"))
     w_in = (Window.partitionBy("bkt").orderBy("u")
             .rowsBetween(Window.unboundedPreceding, 0))
     cum = (bucketed.join(F.broadcast(offs), "bkt")
-           .select((F.col("off_a") + F.sum("a").over(w_in)).alias("ca"),
+           .select("n1", "n2",
+                   (F.col("off_a") + F.sum("a").over(w_in)).alias("ca"),
                    (F.col("off_b") + F.sum("b").over(w_in)).alias("cb")))
-    n = t.groupBy().agg(F.sum("ga").alias("n1"),
-                        F.sum(1 - F.col("ga")).alias("n2"))
-    d = (cum.crossJoin(F.broadcast(n))
-         .groupBy("n1", "n2")
+    d = (cum.groupBy("n1", "n2")
          .agg(F.max(F.abs(F.col("ca") * F.col("n2")
                           - F.col("cb") * F.col("n1"))).alias("d_num")))
     return d.select(
