@@ -110,6 +110,7 @@ HEADLINE = [
     "events_autocorrelation",
     "text_zipf_fit",
     "orders_cohort_ltv",
+    "events_power_users_gini",
 ]
 
 

@@ -515,3 +515,78 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_u") / F.lit(100).cast("double")).alias("cum_revenue"),
         (F.col("cum_u") / F.lit(100).cast("double") / F.col("cohort_size"))
         .alias("ltv_per_customer"))
+
+
+# ---------------------------------------------------------------------------
+# events_power_users_gini — activity-concentration coefficient
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_power_users_gini",
+    oracle="""
+        WITH ux AS (
+            SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id),
+        r AS (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS rk
+            FROM ux),
+        s AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s0,
+                   CAST(SUM(rk * x) AS BIGINT) AS s1
+            FROM r)
+        SELECT n AS n_users, s0 AS total_events,
+               2 * s1 - (n + 1) * s0 AS gini_num,
+               (2 * s1 - (n + 1) * s0) / CAST(n * s0 AS DOUBLE) AS gini
+        FROM s
+    """,
+    category="extension: concentration (Gini)",
+    doc="Gini coefficient of per-user event volume — the power-user "
+        "concentration number behind 'do 1% of users generate 90% of "
+        "traffic?' (and, over token counts, the corpus-balance check "
+        "of a training mix). Uses the rank identity G = (2Σrk·x - "
+        "(n+1)Σx)/(nΣx) with ranks ascending by (count, user): all "
+        "integer until one division, so both engines agree exactly. "
+        "Scale: the rank over users is TWO-PHASE like stats_ks_"
+        "twosample — row_number partitioned BY COUNT VALUE (plus a "
+        "user tiebreak) with cumulative offsets from the bounded "
+        "count-value grid; the per-user frame is eagerly cached so "
+        "the offsets' broadcast stage cannot re-execute the corpus "
+        "aggregation. int64 headroom: Σrk·x <= n·Σx — past ~1e19 "
+        "(1e9 users x 1e10 events) shift to per-stratum Gini or "
+        "divide counts by a common factor first.",
+)
+def events_power_users_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events")
+    ux = (ev.groupBy("user_id").agg(F.count("*").alias("x"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    ux.count()
+    # phase 1: per-count-value totals -> prefix offsets + grand totals
+    # (bounded by the distinct-count grid, broadcast back)
+    per_x = ux.groupBy("x").agg(F.count("*").alias("cnt"))
+    w_off = (Window.orderBy("x")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = (Window.orderBy("x")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    offs = per_x.select(
+        "x",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(w_all).alias("n"))
+    # phase 2: within-count rank by user id + offset = global rank
+    w_in = Window.partitionBy("x").orderBy("user_id")
+    ranked = (ux.join(F.broadcast(offs), "x")
+              .select("x", "n",
+                      (F.col("off") + F.row_number().over(w_in))
+                      .alias("rk")))
+    s = ranked.groupBy("n").agg(
+        F.sum("x").alias("s0"),
+        F.sum(F.col("rk") * F.col("x")).alias("s1"))
+    num = 2 * F.col("s1") - (F.col("n") + 1) * F.col("s0")
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("s0").alias("total_events"),
+        num.alias("gini_num"),
+        (num / (F.col("n") * F.col("s0")).cast("double")).alias("gini"))
