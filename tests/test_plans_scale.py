@@ -684,3 +684,26 @@ def test_zipf_take_ordered_vocab(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Python" not in plan, plan
     assert plan.count("FileScan") == 1, plan
+
+
+def test_cohort_ltv_single_chain(spark):
+    """Cohort LTV: one scan; cohort window, (cohort, age) aggregation,
+    and the cumulative/FIRST_VALUE windows chain without a join (the
+    cohort-size shortcut rides the age-0 active count)."""
+    plan = _final_plan_of(spark, "orders_cohort_ltv")
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_gini_two_phase_rank_cached_base(spark):
+    """Gini: the per-user frame is cached (InMemoryTableScan) so the
+    bounded count-grid offsets cannot re-execute the corpus
+    aggregation; the wide rank window is partitioned by count value."""
+    plan = _final_plan_of(spark, "events_power_users_gini")
+    # consumers read the cache; the only FileScan in the printed tree
+    # is the cached relation's STORED build plan (nested sub-plan
+    # printing truncates, so count the scans rather than the readers)
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("FileScan") <= 1, plan
+    assert "windowspecdefinition(x#" in plan, plan
