@@ -111,6 +111,7 @@ HEADLINE = [
     "text_zipf_fit",
     "orders_cohort_ltv",
     "events_power_users_gini",
+    "orders_skyline_pareto",
 ]
 
 

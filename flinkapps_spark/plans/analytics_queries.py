@@ -92,31 +92,18 @@ def stats_ks_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-value grid, not the corpus; MEMORY_AND_DISK spills
     # rather than pinning executor memory (dedup_keep_set precedent).
     from pyspark import StorageLevel
+
+    from flinkapps_spark.operators.prefix import bucket_offsets
+
     bucketed = (per_u.withColumn("bkt", F.floor(F.col("u") / KS_BUCKET))
                 .persist(StorageLevel.MEMORY_AND_DISK))
     bucketed.count()
-    totals = bucketed.groupBy("bkt").agg(
-        F.sum("a").alias("ta"), F.sum("b").alias("tb"))
-    # Offsets AND grand totals both ride the one broadcast bucket frame
-    # (bounded by the price-band grid, not the corpus): a separate
-    # n1/n2 aggregation branch re-executed the corpus scan+join
-    # (observed) — folding them into the same tiny frame keeps the
-    # whole query one linear chain over the data.
-    w_off = (Window.orderBy("bkt")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    w_all = (Window.orderBy("bkt")
-             .rowsBetween(Window.unboundedPreceding,
-                          Window.unboundedFollowing))
-    offs = totals.select(
-        "bkt",
-        F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("off_a"),
-        F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("off_b"),
-        F.sum("ta").over(w_all).alias("n1"),
-        F.sum("tb").over(w_all).alias("n2"))
+    # offsets AND the n1/n2 grand totals ride one broadcast bucket frame
+    offs = bucket_offsets(bucketed, "bkt", {"a": "a", "b": "b"})
     w_in = (Window.partitionBy("bkt").orderBy("u")
             .rowsBetween(Window.unboundedPreceding, 0))
     cum = (bucketed.join(F.broadcast(offs), "bkt")
-           .select("n1", "n2",
+           .select(F.col("tot_a").alias("n1"), F.col("tot_b").alias("n2"),
                    (F.col("off_a") + F.sum("a").over(w_in)).alias("ca"),
                    (F.col("off_b") + F.sum("b").over(w_in)).alias("cb")))
     d = (cum.groupBy("n1", "n2")
@@ -560,26 +547,19 @@ def events_power_users_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     ev = load_table(spark, sf_dir, "events")
+    from flinkapps_spark.operators.prefix import bucket_offsets
+
     ux = (ev.groupBy("user_id").agg(F.count("*").alias("x"))
           .persist(StorageLevel.MEMORY_AND_DISK))
     ux.count()
     # phase 1: per-count-value totals -> prefix offsets + grand totals
     # (bounded by the distinct-count grid, broadcast back)
-    per_x = ux.groupBy("x").agg(F.count("*").alias("cnt"))
-    w_off = (Window.orderBy("x")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    w_all = (Window.orderBy("x")
-             .rowsBetween(Window.unboundedPreceding,
-                          Window.unboundedFollowing))
-    offs = per_x.select(
-        "x",
-        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
-        F.sum("cnt").over(w_all).alias("n"))
+    offs = bucket_offsets(ux, "x", {"cnt": F.lit(1)})
     # phase 2: within-count rank by user id + offset = global rank
     w_in = Window.partitionBy("x").orderBy("user_id")
     ranked = (ux.join(F.broadcast(offs), "x")
-              .select("x", "n",
-                      (F.col("off") + F.row_number().over(w_in))
+              .select("x", F.col("tot_cnt").alias("n"),
+                      (F.col("off_cnt") + F.row_number().over(w_in))
                       .alias("rk")))
     s = ranked.groupBy("n").agg(
         F.sum("x").alias("s0"),
@@ -590,3 +570,72 @@ def events_power_users_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s0").alias("total_events"),
         num.alias("gini_num"),
         (num / (F.col("n") * F.col("s0")).cast("double")).alias("gini"))
+
+
+# ---------------------------------------------------------------------------
+# orders_skyline_pareto — 2D skyline (cheapest-and-latest non-dominated set)
+# ---------------------------------------------------------------------------
+
+SKY_BUCKET = 100_000       # price-cent units per prefix bucket
+
+
+@query(
+    "orders_skyline_pareto",
+    oracle=f"""
+        WITH b AS (
+            SELECT o_orderkey,
+                   {sql_units('o_totalprice', 100)} AS u,
+                   epoch_us(o_orderdate) AS d_us
+            FROM orders),
+        w AS (
+            SELECT o_orderkey, u, d_us,
+                   MAX(d_us) OVER (ORDER BY u RANGE BETWEEN UNBOUNDED
+                                   PRECEDING AND 1 PRECEDING) AS m_strict,
+                   MAX(d_us) OVER (PARTITION BY u) AS m_peers
+            FROM b)
+        SELECT o_orderkey, u AS price_cents, d_us
+        FROM w
+        WHERE (m_strict IS NULL OR d_us > m_strict) AND d_us = m_peers
+    """,
+    category="extension: skyline / Pareto front",
+    doc="2D skyline query (Borzsony et al. 2001): orders not dominated "
+        "in (price low, order date high) — no other order is both at "
+        "most as expensive and at least as recent (identical "
+        "price+date pairs survive together; all comparisons are "
+        "integer cents / epoch-µs, so the front is engine-exact). "
+        "Spark plan is the two-phase prefix-MAX scan via operators/"
+        "prefix.bucket_offsets: within-bucket strict-cheaper max uses "
+        "a RANGE frame partitioned by price band, cross-bucket "
+        "dominance arrives as broadcast exclusive prefix maxes — no "
+        "single-partition pass over the data, same skeleton as "
+        "stats_ks_twosample/events_power_users_gini. The base frame "
+        "is eagerly cached (prefix.py module doc: AQE broadcast "
+        "stages re-execute lazy upstreams).",
+)
+def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from flinkapps_spark.operators.prefix import bucket_offsets
+
+    base = (load_table(spark, sf_dir, "orders")
+            .select("o_orderkey",
+                    units_col("o_totalprice", 100).alias("u"),
+                    F.unix_micros("o_orderdate").alias("d_us"))
+            .withColumn("bkt", F.floor(F.col("u") / SKY_BUCKET))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    base.count()
+    offs = bucket_offsets(base, "bkt", {}, maxes={"d": "d_us"})
+    w_strict = (Window.partitionBy("bkt").orderBy("u")
+                .rangeBetween(Window.unboundedPreceding, -1))
+    w_peers = Window.partitionBy("u")
+    neg_inf = F.lit(-(1 << 62))
+    m_strict = F.greatest(
+        F.coalesce(F.max("d_us").over(w_strict), neg_inf),
+        F.coalesce(F.col("off_d"), neg_inf))
+    ann = (base.join(F.broadcast(offs), "bkt")
+           .select("o_orderkey", "u", "d_us",
+                   m_strict.alias("m_strict"),
+                   F.max("d_us").over(w_peers).alias("m_peers")))
+    return (ann.filter((F.col("d_us") > F.col("m_strict"))
+                       & (F.col("d_us") == F.col("m_peers")))
+            .select("o_orderkey", F.col("u").alias("price_cents"), "d_us"))

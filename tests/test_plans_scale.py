@@ -707,3 +707,16 @@ def test_gini_two_phase_rank_cached_base(spark):
     assert "InMemoryTableScan" in plan, plan
     assert plan.count("FileScan") <= 1, plan
     assert "windowspecdefinition(x#" in plan, plan
+
+
+def test_skyline_two_phase_prefix_max(spark):
+    """Skyline: dominance via the shared bucket_offsets prefix-max —
+    the RANGE window partitions by price band, the cross-bucket maxes
+    broadcast, and the cached base keeps the scan single."""
+    plan = _final_plan_of(spark, "orders_skyline_pareto")
+    assert "InMemoryTableScan" in plan, plan
+    # every printed FileScan is a cached relation's STORED build plan
+    # (one per InMemoryRelation print) — no live re-scan branch
+    assert plan.count("FileScan") <= plan.count("InMemoryRelation"), plan
+    assert "windowspecdefinition(bkt#" in plan, plan
+    assert "Python" not in plan, plan
