@@ -639,3 +639,354 @@ def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ann.filter((F.col("d_us") > F.col("m_strict"))
                        & (F.col("d_us") == F.col("m_peers")))
             .select("o_orderkey", F.col("u").alias("price_cents"), "d_us"))
+
+
+# ---------------------------------------------------------------------------
+# stats_mannwhitney_u
+# ---------------------------------------------------------------------------
+
+MW_SEG_A, MW_SEG_B = "AUTOMOBILE", "FURNITURE"
+MW_BUCKET = 100_000        # price-cent units per prefix bucket
+
+
+@query(
+    "stats_mannwhitney_u",
+    oracle=f"""
+        WITH t AS (
+            SELECT {sql_units('o_totalprice', 100)} AS u,
+                   CASE WHEN c_mktsegment = '{MW_SEG_A}' THEN 1 ELSE 0 END AS ga
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment IN ('{MW_SEG_A}', '{MW_SEG_B}')),
+        c AS (
+            SELECT u, CAST(SUM(ga) AS BIGINT) AS a,
+                   CAST(SUM(1 - ga) AS BIGINT) AS b
+            FROM t GROUP BY u),
+        cum AS (
+            SELECT a, a + b AS cc,
+                   CAST(COALESCE(SUM(a + b) OVER (ORDER BY u
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS cb4
+            FROM c),
+        s AS (
+            SELECT CAST(SUM(a) AS BIGINT) AS n1,
+                   CAST(SUM(cc - a) AS BIGINT) AS n2,
+                   CAST(SUM(a * (2 * cb4 + cc + 1)) AS BIGINT) AS r2,
+                   CAST(SUM(cc * cc * cc - cc) AS BIGINT) AS tie
+            FROM cum)
+        SELECT n1, n2,
+               r2 - n1 * (n1 + 1) AS u1_x2,
+               (r2 - n1 * (n1 + 1)) / 2.0 AS u_stat,
+               ((r2 - n1 * (n1 + 1)) / 2.0
+                - (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0)
+               / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                      * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                         - CAST(tie AS DOUBLE)
+                           / (CAST(n1 + n2 AS DOUBLE)
+                              * (CAST(n1 + n2 AS DOUBLE) - 1.0)))) AS z
+        FROM s
+    """,
+    category="extension: two-sample rank test",
+    doc="Exact tie-corrected Mann-Whitney U between the order-price "
+        "distributions of two customer segments — the rank-based "
+        "complement to stats_ks_twosample (KS is sup-norm sensitive to "
+        "any CDF gap; U detects stochastic dominance / median shift). "
+        "Entirely integer until the final z formula: with per-cent-value "
+        "counts a,b and exclusive cumulative count cb4, the tied-group "
+        "average rank doubled is 2*cb4 + (a+b) + 1, so 2*R1 = "
+        "sum(a * that) stays int64 and U1 = (2R1 - n1(n1+1))/2 is one "
+        "division; tie correction sums (c^3 - c) per distinct value. z "
+        "is the same double op sequence on both engines from the same "
+        "four integers — bit-identical. Scale: reuses the KS shape — "
+        "the cumulative rank scan is TWO-PHASE (operators/prefix.py): "
+        "bucket totals get the tiny global window, the per-value scan "
+        "runs partitioned by 1000-currency bucket with offsets added "
+        "back from a broadcast frame (eagerly cached; AQE broadcast "
+        "stages re-execute lazy upstreams). int64 headroom: 2R1 <= "
+        "2N^2 -> N up to ~2e9; tie term needs the largest tied group "
+        "under ~2e6 rows (distinct cent prices make ties tiny).",
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from flinkapps_spark.operators.prefix import bucket_offsets
+
+    cust = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment").isin(MW_SEG_A, MW_SEG_B))
+            .select("c_custkey",
+                    F.when(F.col("c_mktsegment") == MW_SEG_A, 1)
+                    .otherwise(0).alias("ga")))
+    t = (load_table(spark, sf_dir, "orders")
+         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+         .select(units_col("o_totalprice", 100).alias("u"), "ga"))
+    per_u = t.groupBy("u").agg(
+        F.sum("ga").alias("a"), F.sum(1 - F.col("ga")).alias("b"))
+    bucketed = (per_u.withColumn("bkt", F.floor(F.col("u") / MW_BUCKET))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    bucketed.count()
+    offs = bucket_offsets(bucketed, "bkt", {"c": F.col("a") + F.col("b")})
+    w_excl = (Window.partitionBy("bkt").orderBy("u")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (bucketed.join(F.broadcast(offs), "bkt")
+           .select("a", (F.col("a") + F.col("b")).alias("cc"),
+                   (F.col("off_c")
+                    + F.coalesce(F.sum(F.col("a") + F.col("b")).over(w_excl),
+                                 F.lit(0))).alias("cb4")))
+    s = cum.agg(
+        F.sum("a").alias("n1"),
+        F.sum(F.col("cc") - F.col("a")).alias("n2"),
+        F.sum(F.col("a") * (2 * F.col("cb4") + F.col("cc") + 1)).alias("r2"),
+        F.sum(F.col("cc") * F.col("cc") * F.col("cc") - F.col("cc"))
+        .alias("tie"))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u1_x2 = F.col("r2") - F.col("n1") * (F.col("n1") + 1)
+    u_stat = u1_x2 / F.lit(2.0)
+    mu = (n1d * n2d) / F.lit(2.0)
+    var = ((n1d * n2d / F.lit(12.0))
+           * ((nd + F.lit(1.0))
+              - F.col("tie").cast("double") / (nd * (nd - F.lit(1.0)))))
+    return s.select(
+        "n1", "n2", u1_x2.alias("u1_x2"), u_stat.alias("u_stat"),
+        ((u_stat - mu) / F.sqrt(var)).alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# stats_welch_ttest
+# ---------------------------------------------------------------------------
+
+TT_SEG_A, TT_SEG_B = "HOUSEHOLD", "MACHINERY"
+
+
+@query(
+    "stats_welch_ttest",
+    oracle=f"""
+        WITH t AS (
+            SELECT {sql_units('o_totalprice', 100)} AS u,
+                   CASE WHEN c_mktsegment = '{TT_SEG_A}' THEN 1 ELSE 0 END AS ga
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment IN ('{TT_SEG_A}', '{TT_SEG_B}')),
+        s AS (
+            SELECT CAST(SUM(ga) AS BIGINT) AS n1,
+                   CAST(SUM(1 - ga) AS BIGINT) AS n2,
+                   CAST(SUM(ga * u) AS BIGINT) AS s1,
+                   CAST(SUM((1 - ga) * u) AS BIGINT) AS s2,
+                   CAST(SUM(ga * u * u) AS BIGINT) AS q1,
+                   CAST(SUM((1 - ga) * u * u) AS BIGINT) AS q2
+            FROM t),
+        m AS (
+            SELECT n1, n2,
+                   CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                   CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                   (CAST(q1 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
+                       / CAST(n1 AS DOUBLE) AS se1,
+                   (CAST(q2 AS DOUBLE)
+                    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)
+                       / CAST(n2 AS DOUBLE) AS se2
+            FROM s)
+        SELECT n1, n2, m1, m2,
+               (m1 - m2) / sqrt(se1 + se2) AS t_stat,
+               (se1 + se2) * (se1 + se2)
+               / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+                  + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) AS welch_df
+        FROM m
+    """,
+    category="extension: two-sample mean test",
+    doc="Welch's unequal-variance t-test between two customer segments' "
+        "order prices: one partial-aggregated pass collects six exact "
+        "int64 moments (n, sum, sum-of-squares per group in cent units); "
+        "t and the Welch-Satterthwaite df are then the identical double "
+        "op sequence on both engines from those integers — bit-identical "
+        "without rounding. Scale: single map-side-combined aggregation, "
+        "no shuffle wider than one row. int64 headroom for the "
+        "sum-of-squares: cent units squared (~4e11 per row) cap at "
+        "~2e7 rows per segment; past that switch the units scale from "
+        "cents to whole currency for another 1e4x (documented trade: "
+        "the test statistic is then defined on rounded-currency data).",
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment").isin(TT_SEG_A, TT_SEG_B))
+            .select("c_custkey",
+                    F.when(F.col("c_mktsegment") == TT_SEG_A, 1)
+                    .otherwise(0).alias("ga")))
+    t = (load_table(spark, sf_dir, "orders")
+         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+         .select(units_col("o_totalprice", 100).alias("u"), "ga"))
+    gb = F.col("ga")
+    s = t.agg(
+        F.sum(gb).alias("n1"),
+        F.sum(1 - gb).alias("n2"),
+        F.sum(gb * F.col("u")).alias("s1"),
+        F.sum((1 - gb) * F.col("u")).alias("s2"),
+        F.sum(gb * F.col("u") * F.col("u")).alias("q1"),
+        F.sum((1 - gb) * F.col("u") * F.col("u")).alias("q2"))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    q1d, q2d = F.col("q1").cast("double"), F.col("q2").cast("double")
+    m = s.select(
+        "n1", "n2",
+        (s1d / n1d).alias("m1"), (s2d / n2d).alias("m2"),
+        ((q1d - s1d * s1d / n1d) / (n1d - F.lit(1.0)) / n1d).alias("se1"),
+        ((q2d - s2d * s2d / n2d) / (n2d - F.lit(1.0)) / n2d).alias("se2"))
+    se = F.col("se1") + F.col("se2")
+    return m.select(
+        "n1", "n2", "m1", "m2",
+        ((F.col("m1") - F.col("m2")) / F.sqrt(se)).alias("t_stat"),
+        (se * se
+         / (F.col("se1") * F.col("se1")
+            / (F.col("n1").cast("double") - F.lit(1.0))
+            + F.col("se2") * F.col("se2")
+            / (F.col("n2").cast("double") - F.lit(1.0)))).alias("welch_df"))
+
+
+# ---------------------------------------------------------------------------
+# events_user_entropy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_user_entropy",
+    oracle=f"""
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS cnt
+            FROM events GROUP BY user_id, event_type),
+        s AS (
+            SELECT user_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM({sql_units(
+                       'CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))',
+                       10 ** 7)}) AS BIGINT) AS su
+            FROM c GROUP BY user_id)
+        SELECT user_id, n_events, n_types,
+               CAST({sql_units(
+                   'CAST(n_events AS DOUBLE) * ln(CAST(n_events AS DOUBLE))',
+                   10 ** 7)} - su AS DOUBLE) / 10000000.0
+               / CAST(n_events AS DOUBLE) AS entropy
+        FROM s
+    """,
+    category="extension: behavioral diversity (Shannon entropy)",
+    doc="Shannon entropy of each user's event-type mix — the behavioral- "
+        "diversity signal (bots hammer one type -> entropy ~0; organic "
+        "users spread). Uses n*H = n*ln(n) - sum(cnt*ln(cnt)); BOTH the "
+        "n*ln(n) term and each cnt*ln(cnt) term go through the 1e-7 "
+        "fixed-point grid before the integer subtraction, then ONE "
+        "division chain — so a 1-ulp ln divergence between Java "
+        "Math.log and libm (observed: 4/150 users off by ~4 ulps when "
+        "ln(n) was left raw, the cancellation in ln(n)-x amplifying it) "
+        "is absorbed by the grid instead of leaking into the output. "
+        "Scale: two partial-aggregated shuffles on (user_id, event_type) "
+        "then user_id — no window, no broadcast; per-user state is one "
+        "row per type actually seen.",
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (load_table(spark, sf_dir, "events")
+         .groupBy("user_id", "event_type").agg(F.count("*").alias("cnt")))
+    cnt_d = F.col("cnt").cast("double")
+    s = c.groupBy("user_id").agg(
+        F.sum("cnt").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.sum(units_col(cnt_d * F.log(cnt_d), 10 ** 7)).alias("su"))
+    n_d = F.col("n_events").cast("double")
+    return s.select(
+        "user_id", "n_events", "n_types",
+        ((units_col(n_d * F.log(n_d), 10 ** 7) - F.col("su"))
+         .cast("double") / F.lit(10000000.0) / n_d).alias("entropy"))
+
+
+# ---------------------------------------------------------------------------
+# events_runs_test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_runs_test",
+    oracle=f"""
+        WITH d AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(SUM({sql_units('value', 10000)}) AS BIGINT) AS su
+            FROM events GROUP BY event_type, date_trunc('day', ts)),
+        sgn AS (
+            SELECT event_type, day,
+                   CASE WHEN su * CAST(COUNT(*) OVER
+                            (PARTITION BY event_type) AS BIGINT)
+                          > CAST(SUM(su) OVER
+                            (PARTITION BY event_type) AS BIGINT)
+                        THEN 1 ELSE 0 END AS sign
+            FROM d),
+        chg AS (
+            SELECT event_type, sign,
+                   CASE WHEN LAG(sign) OVER
+                            (PARTITION BY event_type ORDER BY day) IS NULL
+                          OR LAG(sign) OVER
+                            (PARTITION BY event_type ORDER BY day) <> sign
+                        THEN 1 ELSE 0 END AS brk
+            FROM sgn),
+        s AS (
+            SELECT event_type,
+                   CAST(SUM(sign) AS BIGINT) AS n_above,
+                   CAST(SUM(1 - sign) AS BIGINT) AS n_below,
+                   CAST(SUM(brk) AS BIGINT) AS runs
+            FROM chg GROUP BY event_type)
+        SELECT event_type, n_above, n_below, runs,
+               (CAST(runs AS DOUBLE)
+                - (1.0 + (2.0 * CAST(n_above AS DOUBLE)
+                              * CAST(n_below AS DOUBLE))
+                         / CAST(n_above + n_below AS DOUBLE)))
+               / sqrt(((2.0 * CAST(n_above AS DOUBLE)
+                            * CAST(n_below AS DOUBLE))
+                       * ((2.0 * CAST(n_above AS DOUBLE)
+                               * CAST(n_below AS DOUBLE))
+                          - CAST(n_above + n_below AS DOUBLE)))
+                      / ((CAST(n_above + n_below AS DOUBLE)
+                          * CAST(n_above + n_below AS DOUBLE))
+                         * (CAST(n_above + n_below AS DOUBLE) - 1.0))) AS z
+        FROM s
+    """,
+    category="extension: randomness diagnostic (runs test)",
+    doc="Wald-Wolfowitz runs test per event type over the daily-revenue "
+        "series: days are labeled above/below the type's mean daily "
+        "total, runs of equal labels are counted, and z measures whether "
+        "the sequence alternates too little (trending/regime behavior) "
+        "or too much. The above-mean label never divides: day*n_days > "
+        "total compares exact int64 fixed-point sums. Runs counting is "
+        "a LAG over the per-type DAILY series — the window partition is "
+        "bounded by the date domain (730 rows/type here), never by raw "
+        "volume, because the corpus is reduced by the daily aggregation "
+        "first; z is the same double op sequence on both engines from "
+        "three integers. Companion to events_changepoint_cusum (CUSUM "
+        "locates a drift; the runs test scores global sequence "
+        "randomness).",
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (load_table(spark, sf_dir, "events")
+         .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+         .agg(F.sum(units_col("value", 10000)).alias("su")))
+    w_t = Window.partitionBy("event_type")
+    sgn = d.select(
+        "event_type", "day",
+        F.when(F.col("su") * F.count("*").over(w_t)
+               > F.sum("su").over(w_t), 1).otherwise(0).alias("sign"))
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    lag = F.lag("sign").over(w_ord)
+    chg = sgn.select(
+        "event_type", "sign",
+        F.when(lag.isNull() | (lag != F.col("sign")), 1)
+        .otherwise(0).alias("brk"))
+    s = chg.groupBy("event_type").agg(
+        F.sum("sign").alias("n_above"),
+        F.sum(1 - F.col("sign")).alias("n_below"),
+        F.sum("brk").alias("runs"))
+    ad = F.col("n_above").cast("double")
+    bd = F.col("n_below").cast("double")
+    nd = (F.col("n_above") + F.col("n_below")).cast("double")
+    two_ab = F.lit(2.0) * ad * bd
+    mu = F.lit(1.0) + two_ab / nd
+    var = (two_ab * (two_ab - nd)) / ((nd * nd) * (nd - F.lit(1.0)))
+    return s.select(
+        "event_type", "n_above", "n_below", "runs",
+        ((F.col("runs").cast("double") - mu) / F.sqrt(var)).alias("z"))
