@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flinkapps_spark.plans.catalog import query
-from flinkapps_spark.plans.exact import sql_units, units_col
+from flinkapps_spark.plans.exact import sql_avg, sql_units, units_col
 from flinkapps_spark.sources.batch import load_table
 
 # ---------------------------------------------------------------------------
@@ -990,3 +990,103 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type", "n_above", "n_below", "runs",
         ((F.col("runs").cast("double") - mu) / F.sqrt(var)).alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# stats_bootstrap_ci
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32                       # bootstrap replicates
+BOOT_MULT = 2654435761            # Knuth multiplicative constant
+BOOT_BSTEP = 97531
+BOOT_MOD = 2147483647
+# Poisson(1) cumulative probabilities P(X<=k), exact double reprs shared
+# with the oracle SQL so both engines compare against the same IEEE-754
+# constants (the Poisson bootstrap of Chamandy et al. 2012: per-row
+# replicate weights ~ Poisson(1) need no global resample pass).
+BOOT_CDF = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+            0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+
+def _boot_w_sql() -> str:
+    u = f"(CAST(h AS DOUBLE) / {BOOT_MOD}.0)"
+    arms = " ".join(
+        f"WHEN {u} < {p!r} THEN {k}" for k, p in enumerate(BOOT_CDF))
+    return f"CASE {arms} ELSE {len(BOOT_CDF)} END"
+
+
+@query(
+    "stats_bootstrap_ci",
+    oracle=f"""
+        WITH w AS (
+            SELECT t.b,
+                   {_boot_w_sql()} AS w, u
+            FROM (SELECT {sql_units('o_totalprice', 100)} AS u,
+                         o_orderkey FROM orders) o
+            CROSS JOIN range({BOOT_B}) t(b),
+            LATERAL (SELECT (o.o_orderkey * {BOOT_MULT}
+                             + t.b * {BOOT_BSTEP}) % {BOOT_MOD} AS h) hh),
+        rep AS (
+            SELECT b, CAST(SUM(w * u) AS BIGINT) AS swu,
+                   CAST(SUM(w) AS BIGINT) AS sw
+            FROM w GROUP BY b),
+        m AS (
+            SELECT b, CAST(swu AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_cents
+            FROM rep),
+        o AS (
+            SELECT mean_cents, b,
+                   ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS rn
+            FROM m)
+        SELECT COUNT(*) AS n_replicates,
+               MAX(CASE WHEN rn = 2 THEN mean_cents END) AS boot_lo,
+               MAX(CASE WHEN rn = {BOOT_B - 1} THEN mean_cents END)
+                   AS boot_hi,
+               {sql_avg('mean_cents', 10 ** 6)} AS boot_center
+        FROM o
+    """,
+    category="extension: resampling inference (Poisson bootstrap)",
+    doc="Bootstrap confidence interval for the mean order price WITHOUT "
+        "an RNG or a resampling shuffle: the Poisson bootstrap "
+        "(Chamandy et al. 2012, the streaming/MapReduce form used for "
+        "massive data) gives each (row, replicate) a Poisson(1) weight, "
+        "here drawn DETERMINISTICALLY by inverse-CDF over a "
+        "multiplicative-hash uniform of (orderkey, replicate) — reruns "
+        "and both engines pick identical pseudo-samples. One map-side "
+        "pass fans each row out x32 replicates and partial-aggregates "
+        "to 32 (weight-sum, weighted-sum) int64 pairs per task — the "
+        "replicate dimension never shuffles data, only 32-row partials. "
+        "boot_lo/boot_hi are the 2nd-smallest / 2nd-largest replicate "
+        "means (~93.75% central coverage at B=32), picked by exact "
+        "selection over the 32-row frame; boot_center fixed-points the "
+        "replicate means before averaging so their addition order is "
+        "irrelevant. The hash u and every CDF threshold are repr-shared "
+        "constants -> identical CASE outcomes on both engines.",
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reps = spark.range(BOOT_B).select(F.col("id").alias("b"))
+    o = load_table(spark, sf_dir, "orders").select(
+        units_col("o_totalprice", 100).alias("u"), "o_orderkey")
+    h = (F.col("o_orderkey") * F.lit(BOOT_MULT)
+         + F.col("b") * F.lit(BOOT_BSTEP)) % F.lit(BOOT_MOD)
+    u_unif = h.cast("double") / F.lit(float(BOOT_MOD))
+    w_expr = F.when(u_unif < BOOT_CDF[0], 0)
+    for k in range(1, len(BOOT_CDF)):
+        w_expr = w_expr.when(u_unif < BOOT_CDF[k], k)
+    w_expr = w_expr.otherwise(len(BOOT_CDF))
+    w = o.crossJoin(reps).select("b", w_expr.alias("w"), "u")
+    rep = w.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("u")).alias("swu"),
+        F.sum("w").alias("sw"))
+    m = rep.select(
+        "b", (F.col("swu").cast("double") / F.col("sw").cast("double"))
+        .alias("mean_cents"))
+    rn = F.row_number().over(Window.orderBy("mean_cents", "b"))
+    o_rn = m.select("mean_cents", rn.alias("rn"))
+    from flinkapps_spark.plans.exact import exact_avg
+    return o_rn.agg(
+        F.count("*").alias("n_replicates"),
+        F.max(F.when(F.col("rn") == 2, F.col("mean_cents")))
+        .alias("boot_lo"),
+        F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("mean_cents")))
+        .alias("boot_hi"),
+        exact_avg(F.col("mean_cents"), 10 ** 6).alias("boot_center"))

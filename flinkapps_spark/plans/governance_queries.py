@@ -583,3 +583,63 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     exp.alias("expected"),
                     ((F.col("observed") - exp) * (F.col("observed") - exp)
                      / exp).alias("chi2_contrib"))
+
+
+# ---------------------------------------------------------------------------
+# maintenance_compaction_bins
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET = 32_000       # target bytes per compacted output file
+
+
+@query(
+    "maintenance_compaction_bins",
+    oracle=f"""
+        WITH f AS (
+            SELECT source, doc_id, n_chars,
+                   CAST(COALESCE(SUM(n_chars) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS cum0
+            FROM documents)
+        SELECT source,
+               CAST(floor(CAST(cum0 AS DOUBLE) / {COMPACT_TARGET}.0)
+                    AS BIGINT) AS bin_id,
+               COUNT(*) AS n_files,
+               CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
+               CAST(SUM(n_chars) AS BIGINT) < {COMPACT_TARGET // 2}
+                   AS undersized
+        FROM f
+        GROUP BY source, CAST(floor(CAST(cum0 AS DOUBLE)
+                                    / {COMPACT_TARGET}.0) AS BIGINT)
+    """,
+    category="extension: table maintenance (compaction planning)",
+    doc="Small-file compaction planner — the manifest pass behind "
+        "OPTIMIZE/rewriteDataFiles in Delta/Iceberg: files (documents "
+        "stand in as the manifest, n_chars as bytes) are packed "
+        "sequentially per table partition (source) into target-sized "
+        "output bins via an exclusive running-size cursor, bin_id = "
+        "floor(bytes_before / target). The trailing bin of a partition "
+        "flags undersized (< target/2) = the remainder file a next compaction "
+        "round would pick up again. Entirely integer except the one "
+        "exact floor-division (int < 2^52 through double). Scale: the "
+        "cumulative cursor is windowed PER PARTITION — exactly how a "
+        "real compaction planner shards (a manifest scan per partition, "
+        "never a global order); each partition's manifest is file "
+        "COUNT-sized, not data-sized.",
+)
+def maintenance_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    f = docs.select(
+        "source", "doc_id", "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum0"))
+    bin_id = F.floor(F.col("cum0").cast("double")
+                     / F.lit(float(COMPACT_TARGET)))
+    return (f.groupBy("source", bin_id.alias("bin_id"))
+            .agg(F.count("*").alias("n_files"),
+                 F.sum("n_chars").alias("bin_bytes"))
+            .select("source", "bin_id", "n_files", "bin_bytes",
+                    (F.col("bin_bytes") < F.lit(COMPACT_TARGET // 2))
+                    .alias("undersized")))

@@ -3952,3 +3952,52 @@ def events_attribution_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_win, eff["event_type"]).otherwise("direct")
         .alias("touch_type"),
         F.when(in_win, delay).alias("delay_us"))
+
+
+# ---------------------------------------------------------------------------
+# sql_recursive_hierarchy — SQL surface: WITH RECURSIVE (Spark 4 native)
+# ---------------------------------------------------------------------------
+
+_REC_HIER_SQL = """
+    WITH RECURSIVE anc AS (
+        SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+        FROM {table}
+      UNION ALL
+        SELECT node, CAST(floor(cur / 2) AS BIGINT) AS cur,
+               depth + 1 AS depth
+        FROM anc WHERE cur > 1
+    )
+    SELECT depth AS depth_to_root,
+           COUNT(*) AS n_customers,
+           MIN(node) AS min_key, MAX(node) AS max_key
+    FROM anc WHERE cur = 1
+    GROUP BY depth
+"""
+
+
+@query(
+    "sql_recursive_hierarchy",
+    oracle=_REC_HIER_SQL.format(table="customer"),
+    category="extension: SQL surface (recursive CTE)",
+    doc="WITH RECURSIVE executed NATIVELY by Spark 4's recursive-CTE "
+        "support (SPARK-24497) — the same SQL text runs on both engines "
+        "(only the view name differs), unlike the iterative-DataFrame "
+        "translations used where the loop needs custom control "
+        "(graph_queries.py module doc). The synthetic hierarchy is the "
+        "binary ancestor chain parent(k) = floor(k/2) over customer "
+        "keys — every key walks to root 1, so depth_to_root is "
+        "floor(log2(k)) and the depth histogram has an independently "
+        "checkable closed form. Scale: each recursion step is one "
+        "self-join-free projection + filter over the frontier (rows "
+        "only shrink); total intermediate volume is N*log2(N), and "
+        "Spark's cteRecursionLevelLimit (100) sits far above the "
+        "~21-level depth of even a trillion-row key space. Integer "
+        "halving is floor of an exact double division (keys < 2^52) — "
+        "identical on both engines.",
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # query-unique view name: concurrent catalog builds in one session
+    # must not collide (VERDICT r3 catalog-state note)
+    view = "customer_rec_hier_v"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(view)
+    return spark.sql(_REC_HIER_SQL.format(table=view))

@@ -1087,3 +1087,55 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("acf"))
             .select("event_type", F.col("lag").cast("int").alias("lag"),
                     "n_pairs", "acf"))
+
+
+# ---------------------------------------------------------------------------
+# orders_max_drawdown
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_max_drawdown",
+    oracle=f"""
+        WITH d AS (
+            SELECT c_mktsegment AS seg,
+                   date_trunc('day', o_orderdate) AS day,
+                   CAST(SUM({sql_units('o_totalprice', 100)}) AS BIGINT) AS su
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2),
+        r AS (
+            SELECT seg, su,
+                   CAST(MAX(su) OVER (PARTITION BY seg ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS runmax
+            FROM d)
+        SELECT seg, COUNT(*) AS n_days,
+               CAST(MAX(su) AS BIGINT) AS peak_cents,
+               CAST(MAX(runmax - su) AS BIGINT) AS max_drawdown_cents
+        FROM r GROUP BY seg
+    """,
+    category="extension: time-series drawdown",
+    doc="Largest peak-to-trough decline in DAILY revenue per customer "
+        "segment: a running max over the per-day totals, drawdown = "
+        "running peak minus today, maximized — the health metric a "
+        "revenue dashboard tracks (how far below the best day have we "
+        "fallen, and per segment). Entirely int64 cent units; no "
+        "division at all. Scale: the corpus reduces through a partial- "
+        "aggregated (segment, day) shuffle FIRST, so the running-max "
+        "window rides a series bounded by the date domain x 5 segments "
+        "(~2.4k rows/segment here), never raw order volume.",
+)
+def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", F.col("c_mktsegment").alias("seg"))
+    d = (load_table(spark, sf_dir, "orders")
+         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+         .groupBy("seg", F.date_trunc("day", "o_orderdate").alias("day"))
+         .agg(F.sum(units_col("o_totalprice", 100)).alias("su")))
+    w = (Window.partitionBy("seg").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    r = d.select("seg", "su", F.max("su").over(w).alias("runmax"))
+    return r.groupBy("seg").agg(
+        F.count("*").alias("n_days"),
+        F.max("su").alias("peak_cents"),
+        F.max(F.col("runmax") - F.col("su")).alias("max_drawdown_cents"))
