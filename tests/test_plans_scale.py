@@ -720,3 +720,85 @@ def test_skyline_two_phase_prefix_max(spark):
     assert plan.count("FileScan") <= plan.count("InMemoryRelation"), plan
     assert "windowspecdefinition(bkt#" in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_mannwhitney_two_phase_rank_window(spark):
+    """Mann-Whitney reuses the KS shape: the cumulative rank window is
+    partitioned by price bucket; single-partition passes only over the
+    bounded bucket frame. No Python."""
+    plan = plan_of(spark, "stats_mannwhitney_u")
+    assert "windowspecdefinition(bkt" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+    assert "Python" not in plan, plan
+
+
+def test_welch_moments_single_pass_no_window(spark):
+    """Welch's t collects all six moments in ONE partial-aggregated scan:
+    no window, no second corpus pass, no Python."""
+    plan = plan_of(spark, "stats_welch_ttest")
+    assert "partial" in plan.lower(), plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("FileScan") <= 2, plan  # orders + customer, once each
+
+
+def test_user_entropy_two_partial_aggs_no_window(spark):
+    """Entropy is two partial-aggregated shuffles (type grid, then user)
+    — no window, no broadcast of corpus-sized state, no Python."""
+    plan = plan_of(spark, "events_user_entropy")
+    assert "partial" in plan.lower(), plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_runs_test_windows_ride_daily_series(spark):
+    """Runs test: every window partitions by event_type over the
+    date-bounded daily series; the corpus collapses through a partial
+    agg first and nothing runs single-partition."""
+    plan = plan_of(spark, "events_runs_test")
+    assert "windowspecdefinition(event_type" in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_drawdown_window_partitioned_by_segment(spark):
+    """Drawdown's running max partitions by segment over per-day totals;
+    the corpus reduces through a partial agg before any window."""
+    plan = plan_of(spark, "orders_max_drawdown")
+    assert "windowspecdefinition(seg" in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_recursive_cte_native_loop(spark):
+    """The recursive hierarchy runs through Spark's native recursive-CTE
+    execution (a union-loop node, not a Python driver loop), and the
+    per-step frontier work stays codegen'd JVM."""
+    plan = plan_of(spark, "sql_recursive_hierarchy")
+    assert "Loop" in plan or "Recursion" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_compaction_cursor_partitioned_by_source(spark):
+    """The compaction size cursor windows per table-partition (source) —
+    never a global manifest order."""
+    plan = plan_of(spark, "maintenance_compaction_bins")
+    assert "windowspecdefinition(source" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_bootstrap_replicates_broadcast_partial_agg(spark):
+    """Poisson bootstrap: the 32-row replicate table joins via broadcast
+    nested loop (never a cartesian shuffle), weights are map-side, and
+    the replicate aggregation is partial — each task ships 32 partial
+    rows. The only single-partition frames are the 32-row replicate
+    mean selection."""
+    plan = plan_of(spark, "stats_bootstrap_ci")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "Python" not in plan, plan
