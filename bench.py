@@ -112,6 +112,14 @@ HEADLINE = [
     "orders_cohort_ltv",
     "events_power_users_gini",
     "orders_skyline_pareto",
+    "stats_mannwhitney_u",
+    "stats_welch_ttest",
+    "events_user_entropy",
+    "events_runs_test",
+    "orders_max_drawdown",
+    "sql_recursive_hierarchy",
+    "maintenance_compaction_bins",
+    "stats_bootstrap_ci",
 ]
 
 

@@ -762,7 +762,7 @@ TT_SEG_A, TT_SEG_B = "HOUSEHOLD", "MACHINERY"
     "stats_welch_ttest",
     oracle=f"""
         WITH t AS (
-            SELECT {sql_units('o_totalprice', 100)} AS u,
+            SELECT {sql_units('o_totalprice', 1)} AS u,
                    CASE WHEN c_mktsegment = '{TT_SEG_A}' THEN 1 ELSE 0 END AS ga
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE c_mktsegment IN ('{TT_SEG_A}', '{TT_SEG_B}')),
@@ -797,15 +797,18 @@ TT_SEG_A, TT_SEG_B = "HOUSEHOLD", "MACHINERY"
     category="extension: two-sample mean test",
     doc="Welch's unequal-variance t-test between two customer segments' "
         "order prices: one partial-aggregated pass collects six exact "
-        "int64 moments (n, sum, sum-of-squares per group in cent units); "
-        "t and the Welch-Satterthwaite df are then the identical double "
-        "op sequence on both engines from those integers — bit-identical "
+        "int64 moments (n, sum, sum-of-squares per group); t and the "
+        "Welch-Satterthwaite df are then the identical double op "
+        "sequence on both engines from those integers — bit-identical "
         "without rounding. Scale: single map-side-combined aggregation, "
-        "no shuffle wider than one row. int64 headroom for the "
-        "sum-of-squares: cent units squared (~4e11 per row) cap at "
-        "~2e7 rows per segment; past that switch the units scale from "
-        "cents to whole currency for another 1e4x (documented trade: "
-        "the test statistic is then defined on rounded-currency data).",
+        "no shuffle wider than one row. Units are WHOLE CURRENCY, not "
+        "cents: the sum-of-squares is the binding int64 term (u^2 ~ "
+        "4e11 per row in currency units -> ~2e7 rows of headroom; cent "
+        "units overflowed already at sf1, caught by the sf1 sweep — "
+        "the statistic is defined on rounded-currency data, which for "
+        "a mean test shifts nothing material). Past 1e7 rows/segment, "
+        "center u on a constant near the grand mean first (the moments "
+        "shift algebraically; headroom grows with 1/variance).",
 )
 def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = (load_table(spark, sf_dir, "customer")
@@ -815,7 +818,7 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .otherwise(0).alias("ga")))
     t = (load_table(spark, sf_dir, "orders")
          .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-         .select(units_col("o_totalprice", 100).alias("u"), "ga"))
+         .select(units_col("o_totalprice", 1).alias("u"), "ga"))
     gb = F.col("ga")
     s = t.agg(
         F.sum(gb).alias("n1"),

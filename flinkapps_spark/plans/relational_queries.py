@@ -4000,4 +4000,9 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must not collide (VERDICT r3 catalog-state note)
     view = "customer_rec_hier_v"
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(view)
+    # The cumulative-row guard defaults to 1e6 — a correctness tripwire
+    # for runaway recursions, not a capacity bound; this walk emits
+    # exactly N*(floor(log2(k))+1) rows (sf1: ~2.7M), so size the guard
+    # to the workload the way a cluster job would.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
     return spark.sql(_REC_HIER_SQL.format(table=view))
