@@ -1093,3 +1093,108 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("mean_cents")))
         .alias("boot_hi"),
         exact_avg(F.col("mean_cents"), 10 ** 6).alias("boot_center"))
+
+
+# ---------------------------------------------------------------------------
+# orders_kaplan_meier
+# ---------------------------------------------------------------------------
+
+KM_CENSOR_DAYS = 90    # customers ordering in this tail window are censored
+
+
+@query(
+    "orders_kaplan_meier",
+    oracle=f"""
+        WITH life AS (
+            SELECT o_custkey,
+                   date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                       AS t,
+                   MAX(o_orderdate) AS last_day
+            FROM orders GROUP BY o_custkey),
+        horizon AS (SELECT MAX(o_orderdate) AS max_day FROM orders),
+        lab AS (
+            SELECT t, CASE WHEN last_day <= max_day
+                            - INTERVAL {KM_CENSOR_DAYS} DAY
+                           THEN 1 ELSE 0 END AS churned
+            FROM life CROSS JOIN horizon),
+        grid AS (
+            SELECT t, CAST(SUM(churned) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM lab GROUP BY t),
+        risk AS (
+            SELECT t, d, c,
+                   CAST(SUM(c) OVER () AS BIGINT)
+                   - CAST(COALESCE(SUM(c) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS n_risk
+            FROM grid),
+        surv AS (
+            SELECT t, d, c, n_risk,
+                   CAST(SUM(CASE WHEN d > 0 AND n_risk > d THEN
+                        {sql_units(
+                            'ln(CAST(n_risk - d AS DOUBLE)'
+                            ' / CAST(n_risk AS DOUBLE))', 10 ** 7)}
+                        ELSE 0 END) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS ls_u
+            FROM risk)
+        SELECT t AS t_days, n_risk, d AS d_churned,
+               c - d AS c_censored,
+               CAST(ls_u AS DOUBLE) / 10000000.0 AS log_survival
+        FROM surv WHERE d > 0 AND n_risk > d
+    """,
+    category="extension: survival analysis (Kaplan-Meier)",
+    doc="Kaplan-Meier survival estimate of customer lifetime (days from "
+        "first to last order): customers who still ordered in the final "
+        f"{KM_CENSOR_DAYS} days of the observation window are CENSORED "
+        "(their lifetime is a lower bound — they stay in every risk set "
+        "but never count as churn) — the estimator retention analysis "
+        "needs once 'active at window end' stops meaning 'churned'. "
+        "Output: each lifetime with churn events, its risk-set size, "
+        "and log S(t) = cumulative sum of ln((n_t-d_t)/n_t); each ln "
+        "term is an int-ratio double pushed through the 1e-7 grid "
+        "before the integer cumsum, so Math.log/libm ulp drift cannot "
+        "leak (events_user_entropy precedent). Terminal collapse rows "
+        "(n_risk = d, log -> -inf) are excluded, documented. Scale: "
+        "the corpus reduces per-customer, then to the DATE-DOMAIN- "
+        "bounded lifetime grid (~2.4k values over the 6.5-year "
+        "window); the global-order windows ride that bounded grid "
+        "(runs-test precedent), never raw volume; the horizon scalar "
+        "broadcasts. (Defined on orders, not events: the events "
+        "fixture spans one month of uniformly-active users, so no "
+        "lifetime ever ends — zero churn rows, a vacuous estimator.)",
+)
+def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    life = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("t"),
+        F.max("o_orderdate").alias("last_day"))
+    horizon = orders.agg(F.max("o_orderdate").alias("max_day"))
+    lab = life.crossJoin(F.broadcast(horizon)).select(
+        "t",
+        F.when(F.col("last_day")
+               <= F.col("max_day") - F.expr(
+                   f"INTERVAL {KM_CENSOR_DAYS} DAY"), 1)
+        .otherwise(0).alias("churned"))
+    grid = lab.groupBy("t").agg(
+        F.sum("churned").alias("d"), F.count("*").alias("c"))
+    w_tot = Window.partitionBy()
+    w_excl = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_incl = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = grid.select(
+        "t", "d", "c",
+        (F.sum("c").over(w_tot)
+         - F.coalesce(F.sum("c").over(w_excl), F.lit(0))).alias("n_risk"))
+    term = F.when(
+        (F.col("d") > 0) & (F.col("n_risk") > F.col("d")),
+        units_col(F.log((F.col("n_risk") - F.col("d")).cast("double")
+                        / F.col("n_risk").cast("double")), 10 ** 7)) \
+        .otherwise(F.lit(0))
+    surv = risk.select(
+        "t", "d", "c", "n_risk", F.sum(term).over(w_incl).alias("ls_u"))
+    return (surv.filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d")))
+            .select(F.col("t").alias("t_days"), "n_risk",
+                    F.col("d").alias("d_churned"),
+                    (F.col("c") - F.col("d")).alias("c_censored"),
+                    (F.col("ls_u").cast("double") / F.lit(10000000.0))
+                    .alias("log_survival")))

@@ -643,3 +643,57 @@ def maintenance_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "bin_id", "n_files", "bin_bytes",
                     (F.col("bin_bytes") < F.lit(COMPACT_TARGET // 2))
                     .alias("undersized")))
+
+
+# ---------------------------------------------------------------------------
+# ivm_incremental_agg
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ivm_incremental_agg",
+    oracle=f"""
+        SELECT user_id, COUNT(*) AS n_events,
+               {sql_sum('value', 10000)} AS total_value
+        FROM events GROUP BY user_id
+    """,
+    category="extension: incremental view maintenance",
+    doc="Incremental refresh of a per-user aggregate view: the engine "
+        "side computes the view INCREMENTALLY — a 'stored' state branch "
+        "(all days before the last) merged with a delta branch (the "
+        "last day only) via one co-partitioned full-outer join of "
+        "partial aggregates — while the oracle recomputes from scratch; "
+        "equality PROVES the merge law. That proof only exists because "
+        "partials are fixed-point int64: float partials would drift "
+        "from the full recompute by summation order, which is exactly "
+        "why lakehouse IVM (Delta incremental MVs, Flink retract "
+        "streams) keeps additive state exact. The final division by "
+        "the scale happens once, after the merge. Scale: in production "
+        "the state branch is a materialized table (zero scan) and the "
+        "delta scan partition-prunes to one day; the merge shuffles "
+        "only the DELTA's user set against state (here both derive "
+        "from the fixture for verifiability). The horizon scalar "
+        "broadcasts.",
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.date_trunc("day", F.max("ts")).alias("max_day"))
+    tagged = ev.crossJoin(F.broadcast(horizon))
+    state = (tagged.filter(F.date_trunc("day", F.col("ts"))
+                           < F.col("max_day"))
+             .groupBy("user_id")
+             .agg(F.count("*").alias("cnt_s"),
+                  F.sum(units_col("value", 10000)).alias("su_s")))
+    delta = (tagged.filter(F.date_trunc("day", F.col("ts"))
+                           >= F.col("max_day"))
+             .groupBy("user_id")
+             .agg(F.count("*").alias("cnt_d"),
+                  F.sum(units_col("value", 10000)).alias("su_d")))
+    merged = state.join(delta, "user_id", "full_outer")
+    return merged.select(
+        "user_id",
+        (F.coalesce(F.col("cnt_s"), F.lit(0))
+         + F.coalesce(F.col("cnt_d"), F.lit(0))).alias("n_events"),
+        ((F.coalesce(F.col("su_s"), F.lit(0))
+          + F.coalesce(F.col("su_d"), F.lit(0)))
+         / F.lit(10000.0)).alias("total_value"))

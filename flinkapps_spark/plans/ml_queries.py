@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flinkapps_spark.functions.text import HASH_MOD, tokenize, word_code
 from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.plans.exact import sql_units, units_col
 from flinkapps_spark.plans.pipeline_queries import SQL_WORDS, _sql_word_code
 from flinkapps_spark.sources.batch import load_table
 
@@ -615,3 +616,84 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return m.repartition(1).mapInPandas(
         assemble, schema="i int, j int, cov double")
+
+
+# ---------------------------------------------------------------------------
+# risk_woe_iv — supervised feature binning (weight of evidence)
+# ---------------------------------------------------------------------------
+
+WOE_BAND_CENTS = 3_000_000      # 30k-currency price bands
+WOE_BANDS = 20
+
+
+@query(
+    "risk_woe_iv",
+    oracle=f"""
+        WITH b AS (
+            SELECT LEAST(CAST(floor(CAST({{U}} AS DOUBLE)
+                               / {WOE_BAND_CENTS}.0) AS BIGINT),
+                         {WOE_BANDS - 1}) AS band,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS y
+            FROM orders),
+        g AS (
+            SELECT band, CAST(SUM(y) AS BIGINT) AS n_pos,
+                   CAST(SUM(1 - y) AS BIGINT) AS n_neg
+            FROM b GROUP BY band),
+        t AS (
+            SELECT band, n_pos, n_neg,
+                   CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos,
+                   CAST(SUM(n_neg) OVER () AS BIGINT) AS tot_neg
+            FROM g)
+        SELECT band, n_pos, n_neg,
+               CAST({{WOE_U}} AS DOUBLE) / 10000000.0 AS woe,
+               (CAST(n_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE)
+                - CAST(n_neg AS DOUBLE) / CAST(tot_neg AS DOUBLE))
+               * (CAST({{WOE_U}} AS DOUBLE) / 10000000.0) AS iv_term
+        FROM t WHERE n_pos > 0 AND n_neg > 0
+    """.format(
+        U=sql_units("o_totalprice", 100),
+        WOE_U=sql_units(
+            "ln((CAST(n_pos AS DOUBLE) * CAST(tot_neg AS DOUBLE))"
+            " / (CAST(n_neg AS DOUBLE) * CAST(tot_pos AS DOUBLE)))",
+            10 ** 7)),
+    category="extension: supervised feature binning (WOE/IV)",
+    doc="Weight-of-evidence / information-value readout — the credit- "
+        "scoring feature-screening classic: orders bin into fixed 30k- "
+        "currency price bands (value-domain buckets, map-side, never a "
+        "global quantile sort), the urgent-priority flag plays the "
+        "label, and each band reports WOE = ln(pos_rate/neg_rate) and "
+        "its IV contribution. Determinism: WOE's ln takes ONE argument "
+        "built from four exact ints in fixed op order, then lands on "
+        "the 1e-7 fixed-point grid (Math.log-vs-libm ulp divergence "
+        "absorbed, events_user_entropy precedent); iv_term multiplies "
+        "that gridded value by an int-derived double in identical "
+        "order. Bands empty of either class are excluded (documented; "
+        "Laplace-smooth to keep them at real scale). Scale: one "
+        "partial-aggregated shuffle to the 20-row band frame; the "
+        "global-window totals ride that bounded frame.",
+)
+def risk_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    band = F.least(
+        F.floor(units_col("o_totalprice", 100).cast("double")
+                / F.lit(float(WOE_BAND_CENTS))),
+        F.lit(WOE_BANDS - 1))
+    y = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    g = (orders.select(band.alias("band"), y.alias("y"))
+         .groupBy("band")
+         .agg(F.sum("y").alias("n_pos"), F.sum(1 - F.col("y")).alias("n_neg")))
+    w_all = Window.partitionBy()
+    t = g.select(
+        "band", "n_pos", "n_neg",
+        F.sum("n_pos").over(w_all).alias("tot_pos"),
+        F.sum("n_neg").over(w_all).alias("tot_neg"))
+    pos_d = F.col("n_pos").cast("double")
+    neg_d = F.col("n_neg").cast("double")
+    tp_d = F.col("tot_pos").cast("double")
+    tn_d = F.col("tot_neg").cast("double")
+    woe = units_col(F.log((pos_d * tn_d) / (neg_d * tp_d)), 10 ** 7) \
+        .cast("double") / F.lit(10000000.0)
+    return (t.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+            .select("band", "n_pos", "n_neg", woe.alias("woe"),
+                    ((pos_d / tp_d - neg_d / tn_d) * woe).alias("iv_term")))

@@ -4006,3 +4006,100 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the workload the way a cluster job would.
     spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
     return spark.sql(_REC_HIER_SQL.format(table=view))
+
+
+# ---------------------------------------------------------------------------
+# geo_nearest_warehouse — geospatial nearest-neighbor via broadcast argmin
+# ---------------------------------------------------------------------------
+
+GEO_RAD = 0.017453292519943295      # pi/180, shared literal on both engines
+GEO_R_KM = 6371.0
+
+
+def _geo_sql() -> str:
+    hav = (f"2.0 * {GEO_R_KM!r} * asin(sqrt("
+           f"sin((wlat - clat) * {GEO_RAD!r} / 2.0)"
+           f" * sin((wlat - clat) * {GEO_RAD!r} / 2.0)"
+           f" + cos(clat * {GEO_RAD!r}) * cos(wlat * {GEO_RAD!r})"
+           f" * sin((wlon - clon) * {GEO_RAD!r} / 2.0)"
+           f" * sin((wlon - clon) * {GEO_RAD!r} / 2.0)))")
+    return f"""
+        WITH w AS (
+            SELECT n_nationkey AS wkey,
+                   CAST((n_nationkey * 7) % 140 AS DOUBLE) - 70.0 + 0.5
+                       AS wlat,
+                   CAST((n_nationkey * 137) % 360 AS DOUBLE) - 180.0 + 0.5
+                       AS wlon
+            FROM nation),
+        c AS (
+            SELECT c_custkey,
+                   CAST((c_custkey * 37) % 16000 AS DOUBLE) / 100.0 - 80.0
+                       AS clat,
+                   CAST((c_custkey * 73) % 36000 AS DOUBLE) / 100.0 - 180.0
+                       AS clon
+            FROM customer),
+        d AS (
+            SELECT c_custkey, wkey, {hav} AS dist
+            FROM c CROSS JOIN w),
+        e AS (
+            SELECT c_custkey,
+                   {sql_units('dist', 1000)} * 100 + wkey AS enc
+            FROM d)
+        SELECT c_custkey,
+               CAST(MIN(enc) % 100 AS BIGINT) AS warehouse,
+               CAST(floor(CAST(MIN(enc) AS DOUBLE) / 100.0) AS BIGINT)
+                   AS dist_m
+        FROM e GROUP BY c_custkey
+    """
+
+
+@query(
+    "geo_nearest_warehouse",
+    oracle=_geo_sql(),
+    category="extension: geospatial nearest-neighbor",
+    doc="Nearest-warehouse assignment by great-circle distance: 25 "
+        "warehouse sites (deterministic coordinates derived from nation "
+        "keys) against per-customer coordinates (derived from customer "
+        "keys), haversine in km, each customer labeled with the closest "
+        "site. The geo shape every logistics/alerting stack needs. "
+        "Determinism: sin/cos/asin differ by ulps between Java Math and "
+        "libm, so the distance lands on a 1-METER integer grid before "
+        "the argmin (flip risk ~1e-12 per pair, the repo's rounding "
+        "convention); the argmin itself is MIN over a single encoded "
+        "int64 (dist_m*100 + site), so ties break identically on both "
+        "engines with ONE partial-aggregable pass — no rejoin, no "
+        "window. Scale: the site table broadcasts (nested-loop against "
+        "25 rows), distances are map-side, and the shuffle carries one "
+        "partial argmin per customer per task. For site counts beyond "
+        "broadcast range, pre-bucket by geohash cell and join on "
+        "adjacent cells (the embedding_neardup_pairs grid pattern).",
+)
+def geo_nearest_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("wkey"),
+        ((F.col("n_nationkey") * 7 % 140).cast("double") - 70.0 + 0.5)
+        .alias("wlat"),
+        ((F.col("n_nationkey") * 137 % 360).cast("double") - 180.0 + 0.5)
+        .alias("wlon"))
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 16000).cast("double") / 100.0 - 80.0)
+        .alias("clat"),
+        ((F.col("c_custkey") * 73 % 36000).cast("double") / 100.0 - 180.0)
+        .alias("clon"))
+    rad = F.lit(GEO_RAD)
+    half_dlat = (F.col("wlat") - F.col("clat")) * rad / F.lit(2.0)
+    half_dlon = (F.col("wlon") - F.col("clon")) * rad / F.lit(2.0)
+    dist = (F.lit(2.0) * F.lit(GEO_R_KM)
+            * F.asin(F.sqrt(
+                F.sin(half_dlat) * F.sin(half_dlat)
+                + F.cos(F.col("clat") * rad) * F.cos(F.col("wlat") * rad)
+                * F.sin(half_dlon) * F.sin(half_dlon))))
+    d = c.crossJoin(F.broadcast(w)).select(
+        "c_custkey",
+        (units_col(dist, 1000) * 100 + F.col("wkey")).alias("enc"))
+    return (d.groupBy("c_custkey").agg(F.min("enc").alias("me"))
+            .select("c_custkey",
+                    (F.col("me") % 100).alias("warehouse"),
+                    F.floor(F.col("me").cast("double") / F.lit(100.0))
+                    .cast("long").alias("dist_m")))

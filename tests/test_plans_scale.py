@@ -802,3 +802,43 @@ def test_bootstrap_replicates_broadcast_partial_agg(spark):
     assert "CartesianProduct" not in plan, plan
     assert "partial" in plan.lower(), plan
     assert "Python" not in plan, plan
+
+
+def test_woe_iv_band_frame_bounded(spark):
+    """WOE/IV: one partial-aggregated shuffle to the 20-row band frame;
+    the single-partition window rides only that bounded frame."""
+    plan = plan_of(spark, "risk_woe_iv")
+    assert "partial" in plan.lower(), plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_kaplan_meier_grid_windows_bounded(spark):
+    """KM: the corpus reduces per-customer then to the lifetime grid
+    before any global-order window; no Python."""
+    plan = plan_of(spark, "orders_kaplan_meier")
+    assert "partial" in plan.lower(), plan
+    # global windows only over the date-domain-bounded lifetime grid
+    assert "windowspecdefinition(t#" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_ivm_merge_is_one_join_of_partials(spark):
+    """IVM: both branches partial-aggregate before the full-outer merge;
+    no window, no Python."""
+    plan = plan_of(spark, "ivm_incremental_agg")
+    assert "partial" in plan.lower(), plan
+    assert "FullOuter" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_geo_nearest_broadcast_argmin_single_pass(spark):
+    """Geo nearest: 25-row site table broadcast (nested loop), encoded
+    int64 argmin partial-aggregates — no window, no rejoin, no Python."""
+    plan = plan_of(spark, "geo_nearest_warehouse")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "windowspecdefinition" not in plan, plan
+    assert plan.count("FileScan") <= 2, plan
+    assert "Python" not in plan, plan
