@@ -100,6 +100,27 @@ SHOWCASE = [
      "MMR re-rank: corpus scanned once (TakeOrdered pool carries its "
      "vectors); pairwise sims + greedy in ONE Arrow stage on the "
      "20-row pool partition."),
+    ("stats_mannwhitney_u",
+     "rank-sum test: the cumulative rank scan is the shared two-phase "
+     "prefix (bucket-partitioned window + broadcast offsets); the only "
+     "single-partition frames are the bounded bucket prefix and the "
+     "final scalar."),
+    ("stats_bootstrap_ci",
+     "Poisson bootstrap: 32-row replicate table broadcast-nested-loop "
+     "joins the scan, Poisson weights are map-side CASE arms, and the "
+     "replicate aggregation is partial — each task emits 32 rows."),
+    ("geo_nearest_warehouse",
+     "geo argmin: 25 sites broadcast; haversine + 1-meter gridding + "
+     "int64-encoded argmin all inside one codegen stage; the shuffle "
+     "carries one partial MIN per customer per task."),
+    ("orders_kaplan_meier",
+     "survival: corpus reduces per-customer, then to the date-bounded "
+     "lifetime grid; risk-set suffix counts and the gridded-ln cumsum "
+     "ride windows over that bounded grid only."),
+    ("sql_recursive_hierarchy",
+     "native WITH RECURSIVE (Spark 4 union-loop execution): per-step "
+     "frontier projection+filter stays codegen'd; no Python driver "
+     "loop."),
 ]
 
 
