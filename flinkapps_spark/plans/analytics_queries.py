@@ -1198,3 +1198,93 @@ def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("c") - F.col("d")).alias("c_censored"),
                     (F.col("ls_u").cast("double") / F.lit(10000000.0))
                     .alias("log_survival")))
+
+
+# ---------------------------------------------------------------------------
+# stats_spearman_trend
+# ---------------------------------------------------------------------------
+
+SP_VAL_BUCKET = 4.0       # value-rank bucket width (events.value ~0..490)
+
+
+@query(
+    "stats_spearman_trend",
+    oracle="""
+        WITH r AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) AS rx,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id) AS ry
+            FROM events),
+        a AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+            FROM r GROUP BY event_type)
+        SELECT event_type, n, sum_d2,
+               CASE WHEN n > 1 THEN
+                   1.0 - CAST(6 * sum_d2 AS DOUBLE)
+                       / CAST(n * (n * n - 1) AS DOUBLE) END AS rho
+        FROM a
+    """,
+    category="extension: rank correlation (Spearman)",
+    doc="Spearman rank correlation between event value and event time "
+        "per event type — the scale-free monotonic-trend readout that "
+        "complements events_trend_theilsen (slope) and "
+        "events_autocorrelation (lag structure). Ties broken by the "
+        "unique event_id, so both rank vectors are permutations and the "
+        "classic rho = 1 - 6*sum(d^2)/(n(n^2-1)) identity is EXACT: "
+        "everything is int64 until one division (d <= n, sum_d2 <= n^3 "
+        "— overflow needs a ~2e6-row group; past that, compute per "
+        "time-stratum and average, or use the Pearson-on-ranks form "
+        "with fixed-point units). Scale: each ranking is the shared "
+        "TWO-PHASE decomposition — rows bucket by value band / calendar "
+        "day, per-(type,bucket) counts make a bounded offset frame "
+        "(window partitioned BY TYPE over buckets only), and "
+        "row_number runs partitioned by (type,bucket) — no "
+        "per-type single-partition sort. The two rank frames join on "
+        "event_id (one corpus-keyed shuffle) and the final aggregation "
+        "is partial. The bounded count frames are eagerly cached per "
+        "the prefix-module AQE note (broadcast side would otherwise "
+        "re-scan events).",
+)
+def stats_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "ts")
+
+    def two_phase_rank(bucket_col, order_cols, out_name: str) -> DataFrame:
+        """rank within event_type by order_cols via bucketed prefix."""
+        rows = ev.withColumn("bkt", bucket_col)
+        cnts = (rows.groupBy("event_type", "bkt")
+                .agg(F.count("*").alias("cnt"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        cnts.count()
+        w_off = (Window.partitionBy("event_type").orderBy("bkt")
+                 .rowsBetween(Window.unboundedPreceding, -1))
+        offs = cnts.select(
+            "event_type", "bkt",
+            F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"))
+        w_in = Window.partitionBy("event_type", "bkt").orderBy(*order_cols)
+        return (rows.join(F.broadcast(offs), ["event_type", "bkt"])
+                .select("event_id", "event_type",
+                        (F.col("off") + F.row_number().over(w_in))
+                        .alias(out_name)))
+
+    rx = two_phase_rank(F.floor(F.col("value") / SP_VAL_BUCKET),
+                        [F.col("value"), F.col("event_id")], "rx")
+    ry = two_phase_rank(F.date_trunc("day", F.col("ts")),
+                        [F.col("ts"), F.col("event_id")], "ry")
+    d = (rx.join(ry.drop("event_type"), "event_id")
+         .select("event_type",
+                 ((F.col("rx") - F.col("ry"))
+                  * (F.col("rx") - F.col("ry"))).alias("d2")))
+    a = d.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("d2").alias("sum_d2"))
+    return a.select(
+        "event_type", "n", "sum_d2",
+        F.when(F.col("n") > 1,
+               F.lit(1.0) - (6 * F.col("sum_d2")).cast("double")
+               / (F.col("n") * (F.col("n") * F.col("n") - 1))
+               .cast("double")).alias("rho"))

@@ -65,6 +65,7 @@ def _load_all() -> None:
         analytics_queries,
         timeseries_queries,
         ml_queries,
+        mleval_queries,
         streaming_queries,
     )
 

@@ -932,3 +932,77 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(n.alias("n_words"),
                     slope.alias("slope_zipf"),
                     ((sy - slope * sx) / n).alias("intercept"))
+
+
+# ---------------------------------------------------------------------------
+# text_readability
+# ---------------------------------------------------------------------------
+
+RD_WORD_RE = r"\S+"               # whitespace-delimited words
+RD_SENT_RE = r"[.!?]+"            # sentence terminator runs
+RD_SYL_RE = r"[aeiouyAEIOUY]+"    # vowel groups ~ syllables
+
+
+@query(
+    "text_readability",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT source,
+                   len(regexp_extract_all(text, '{RD_WORD_RE}')) AS w,
+                   GREATEST(len(regexp_extract_all(text, '{RD_SENT_RE}')), 1)
+                       AS s,
+                   len(regexp_extract_all(text, '{RD_SYL_RE}')) AS sy
+            FROM documents),
+        agg AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(w) AS BIGINT) AS total_words,
+                   CAST(SUM(s) AS BIGINT) AS total_sentences,
+                   CAST(SUM(sy) AS BIGINT) AS total_syllables
+            FROM per_doc GROUP BY source)
+        SELECT source, n_docs, total_words, total_sentences,
+               total_syllables,
+               CAST(total_words AS DOUBLE) / CAST(total_sentences AS DOUBLE)
+                   AS words_per_sentence,
+               CAST(total_syllables AS DOUBLE) / CAST(total_words AS DOUBLE)
+                   AS syllables_per_word,
+               206.835
+                   - 1.015 * (CAST(total_words AS DOUBLE)
+                              / CAST(total_sentences AS DOUBLE))
+                   - 84.6 * (CAST(total_syllables AS DOUBLE)
+                             / CAST(total_words AS DOUBLE)) AS flesch_ease
+        FROM agg
+    """,
+    category="extension: text analysis (readability)",
+    doc="Flesch reading-ease per corpus source: words = \\S+ runs, "
+        "sentences = [.!?]+ runs (clamped to >=1 per doc so headline-"
+        "style fragments count as one), syllables ~ vowel groups — the "
+        "standard cheap heuristic. The score is computed at the SOURCE "
+        "level from int64 token totals (not averaged over per-doc "
+        "floats, which would be summation-order dependent): two exact "
+        "divisions and a fixed literal expression, bit-identical on "
+        "both engines. Scale: three regexp counts are a map-only pass "
+        "over the corpus; one partial-aggregated shuffle on source.",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.regexp_count("text", F.lit(RD_WORD_RE)).alias("w"),
+        F.greatest(F.regexp_count("text", F.lit(RD_SENT_RE)),
+                   F.lit(1)).alias("s"),
+        F.regexp_count("text", F.lit(RD_SYL_RE)).alias("sy"))
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w").alias("total_words"),
+        F.sum("s").alias("total_sentences"),
+        F.sum("sy").alias("total_syllables"))
+    wps = (F.col("total_words").cast("double")
+           / F.col("total_sentences").cast("double"))
+    spw = (F.col("total_syllables").cast("double")
+           / F.col("total_words").cast("double"))
+    return agg.select(
+        "source", "n_docs", "total_words", "total_sentences",
+        "total_syllables",
+        wps.alias("words_per_sentence"), spw.alias("syllables_per_word"),
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw)
+        .alias("flesch_ease"))

@@ -842,3 +842,61 @@ def test_geo_nearest_broadcast_argmin_single_pass(spark):
     assert "windowspecdefinition" not in plan, plan
     assert plan.count("FileScan") <= 2, plan
     assert "Python" not in plan, plan
+
+
+def test_auc_prefix_two_phase_bounded(spark):
+    """ROC AUC: the cumulative negative count is the shared two-phase
+    prefix — the wide window partitions by score bucket; the only
+    single-partition frames are the bounded bucket-offset scans."""
+    plan = plan_of(spark, "ml_auc_roc")
+    assert "windowspecdefinition(bkt#" in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_pr_sweep_grid_broadcast_partial_agg(spark):
+    """PR threshold sweep: the 9-row grid joins via broadcast nested
+    loop and the confusion counts partial-aggregate map-side — each
+    task ships 9 partial rows; no window, no Python."""
+    plan = plan_of(spark, "ml_pr_threshold_sweep")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_gains_rank_two_phase_bounded(spark):
+    """Gains deciles: the global rank is two-phase (row_number
+    partitioned by score bucket + broadcast offsets); the decile
+    aggregation partial-aggregates; the only unpartitioned windows ride
+    the bounded bucket/decile frames."""
+    plan = plan_of(spark, "ml_gains_deciles")
+    assert "windowspecdefinition(nbkt#" in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_spearman_ranks_two_phase_per_type(spark):
+    """Spearman: both rankings window per (event_type, bucket) — never
+    a per-type single-partition sort; rank frames meet in an equi-join;
+    the rho aggregation is partial."""
+    plan = plan_of(spark, "stats_spearman_trend")
+    assert "windowspecdefinition(event_type#" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "Python" not in plan, plan
+
+
+def test_readability_map_only_single_shuffle(spark):
+    """Readability: regexp counts are map-side; ONE partial-aggregated
+    shuffle on source; no window, no join, no Python."""
+    plan = plan_of(spark, "text_readability")
+    assert plan.count("Exchange") <= 2, plan  # agg shuffle (+AQE read)
+    assert "partial" in plan.lower(), plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
