@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from flinkapps_spark.functions.text import tokenize, word_code
 from flinkapps_spark.operators.prefix import bucket_offsets
 from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.plans.exact import sql_units, units_col
 from flinkapps_spark.plans.ml_queries import QS_BUCKETS, QS_MIX
 from flinkapps_spark.plans.pipeline_queries import SQL_WORDS, _sql_word_code
 from flinkapps_spark.sources.batch import load_table
@@ -316,3 +317,52 @@ def ml_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_pos") * F.col("n_total"))
          / (F.col("n_docs") * F.col("tot_pos")).cast("double"))
         .alias("lift"))
+
+
+# ---------------------------------------------------------------------------
+# ml_calibration_bins
+# ---------------------------------------------------------------------------
+
+CAL_BIN_INV = 20          # 0.05-wide score bins
+CAL_SCALE = 10 ** 6       # fixed-point units for the per-bin score sum
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+        WITH {_SQL_SCORED},
+        b AS (SELECT CAST(floor(s * {CAL_BIN_INV}) AS BIGINT) AS bin,
+                     pos, s
+              FROM scored)
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(pos) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+                   AS pos_rate,
+               CAST(SUM({sql_units('s', CAL_SCALE)}) AS BIGINT)
+                   / CAST({CAL_SCALE} AS DOUBLE) / COUNT(*) AS mean_score
+        FROM b GROUP BY bin
+    """,
+    category="extension: model evaluation (calibration bins)",
+    doc="Reliability-diagram bins for the quality scorer: scores bucket "
+        "into 0.05-wide bins; each bin reports its observed positive "
+        "rate next to its mean score — the calibration readout that "
+        "says whether a score of 0.2 actually means '20% more likely "
+        "English' before anyone treats it as a probability. Counts are "
+        "int64; pos_rate divides once; mean_score is the fixed-point "
+        "exact sum (1e-6 units, order-independent) divided by scale "
+        "then count — the sql_avg op order. Scale: map-side binning + "
+        "ONE partial-aggregated shuffle to a frame bounded by the score "
+        "grid (~20 bins), nothing else.",
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    return (sc.select(F.floor(F.col("s") * CAL_BIN_INV).alias("bin"),
+                      "pos", units_col("s", CAL_SCALE).alias("su"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("n_docs"), F.sum("pos").alias("n_pos"),
+                 F.sum("su").alias("su_tot"))
+            .select("bin", "n_docs", "n_pos",
+                    (F.col("n_pos") / F.col("n_docs").cast("double"))
+                    .alias("pos_rate"),
+                    (F.col("su_tot") / float(CAL_SCALE) / F.col("n_docs"))
+                    .alias("mean_score")))

@@ -18,7 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flinkapps_spark.plans.catalog import query
-from flinkapps_spark.plans.exact import exact_sum, sql_sum, sql_units, units_col
+from flinkapps_spark.plans.exact import (
+    exact_avg, exact_sum, sql_avg, sql_sum, sql_units, units_col,
+)
 from flinkapps_spark.sources.batch import load_table
 
 BAR = "hour"          # OHLC bar width (date_trunc unit, same both engines)
@@ -1139,3 +1141,90 @@ def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_days"),
         F.max("su").alias("peak_cents"),
         F.max(F.col("runmax") - F.col("su")).alias("max_drawdown_cents"))
+
+
+# ---------------------------------------------------------------------------
+# events_forecast_backtest — seasonal-naive forecast scored on a holdout
+# ---------------------------------------------------------------------------
+
+FB_HOLDOUT_DAYS = 7       # test window: the last 7 observed days
+FB_MAE_SCALE = 10 ** 6    # fixed-point units for the |a-f| terms
+FB_SMAPE_SCALE = 10 ** 9  # fixed-point units for the sMAPE terms
+
+
+@query(
+    "events_forecast_backtest",
+    oracle=f"""
+        WITH per_day AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2),
+        mx AS (SELECT MAX(d) AS maxd FROM per_day),
+        train AS (
+            SELECT event_type, isodow(d) - 1 AS wd,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(cnt) AS BIGINT) AS s
+            FROM per_day, mx
+            WHERE d <= maxd - {FB_HOLDOUT_DAYS}
+            GROUP BY 1, 2),
+        test AS (
+            SELECT event_type, isodow(d) - 1 AS wd, cnt
+            FROM per_day, mx
+            WHERE d > maxd - {FB_HOLDOUT_DAYS}),
+        joined AS (
+            SELECT t.event_type, t.cnt,
+                   tr.s / CAST(tr.n_days AS DOUBLE) AS fmean
+            FROM test t
+            JOIN train tr ON tr.event_type = t.event_type
+                         AND tr.wd = t.wd)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_test_days,
+               {sql_avg('ABS(cnt - fmean)', FB_MAE_SCALE)} AS mae,
+               {sql_avg('2 * ABS(cnt - fmean) / (cnt + fmean)',
+                        FB_SMAPE_SCALE)} AS smape
+        FROM joined GROUP BY event_type
+    """,
+    category="extension: forecast backtesting (seasonal naive)",
+    doc="Backtest of the seasonal-naive forecaster: the last 7 observed "
+        "days are held out, the forecast for each (event_type, weekday) "
+        "is the mean daily event count over the TRAINING days of that "
+        "weekday, and the readout is per-type MAE and sMAPE on the "
+        "holdout — the minimal honest baseline every fancier forecast "
+        "must beat (complements events_seasonal_baseline, which flags "
+        "anomalies rather than scoring forecasts). Weekday is "
+        "Monday=0 on both engines (Spark weekday(), DuckDB isodow-1). "
+        "Determinism: daily counts are int64; the forecast divides "
+        "once; |a-f| and 2|a-f|/(a+f) are identical double expressions "
+        "and their per-day terms sum in FIXED-POINT units "
+        "(order-independent) before one exact_avg division. Scale: one "
+        "partial-agg shuffle to the bounded (type, day) frame — cached "
+        "eagerly since the scalar max-date and the train profile both "
+        "ride broadcast stages (prefix-module AQE note) — everything "
+        "after is bounded by the date domain, not the corpus.",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    per_day = (load_table(spark, sf_dir, "events")
+               .groupBy("event_type", F.to_date("ts").alias("d"))
+               .agg(F.count("*").alias("cnt"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    per_day.count()
+    mx = per_day.agg(F.max("d").alias("maxd"))
+    pd_m = per_day.crossJoin(F.broadcast(mx))
+    cutoff = F.date_sub(F.col("maxd"), FB_HOLDOUT_DAYS)
+    train = (pd_m.filter(F.col("d") <= cutoff)
+             .groupBy("event_type", F.weekday("d").alias("wd"))
+             .agg(F.count("*").alias("n_days"), F.sum("cnt").alias("s")))
+    test = (pd_m.filter(F.col("d") > cutoff)
+            .select("event_type", F.weekday("d").alias("wd"), "cnt"))
+    joined = (test.join(F.broadcast(
+        train.select("event_type", "wd",
+                     (F.col("s") / F.col("n_days").cast("double"))
+                     .alias("fmean"))), ["event_type", "wd"]))
+    a_err = F.abs(F.col("cnt") - F.col("fmean"))
+    return (joined.groupBy("event_type")
+            .agg(F.count("*").alias("n_test_days"),
+                 exact_avg(a_err, FB_MAE_SCALE).alias("mae"),
+                 exact_avg(2 * a_err / (F.col("cnt") + F.col("fmean")),
+                           FB_SMAPE_SCALE).alias("smape")))

@@ -900,3 +900,25 @@ def test_readability_map_only_single_shuffle(spark):
     assert "windowspecdefinition" not in plan, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_calibration_single_bounded_shuffle(spark):
+    """Calibration bins: map-side binning + one partial-aggregated
+    shuffle to the ~20-bin frame; no window, no join, no Python."""
+    plan = plan_of(spark, "ml_calibration_bins")
+    assert "partial" in plan.lower(), plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_forecast_backtest_bounded_after_per_day(spark):
+    """Forecast backtest: one corpus shuffle to the (type, day) frame;
+    the max-date scalar and train profile ride broadcasts; no window,
+    no Python, no cartesian shuffle."""
+    plan = plan_of(spark, "events_forecast_backtest")
+    assert "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan, plan
