@@ -697,3 +697,201 @@ def risk_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
             .select("band", "n_pos", "n_neg", woe.alias("woe"),
                     ((pos_d / tp_d - neg_d / tn_d) * woe).alias("iv_term")))
+
+
+# ---------------------------------------------------------------------------
+# embedding_power_iteration — integer-exact dominant eigenvector (PCA dir)
+# ---------------------------------------------------------------------------
+
+PI_ITERS = 12             # power-iteration rounds (Gram is PSD -> monotone)
+PI_SCALE = 10 ** 6        # fixed-point units for normalized G and v
+PI_V0 = 125_000           # units(1/sqrt(64)) — deterministic start vector
+
+
+def _power_ctes() -> str:
+    """Unrolled PI_ITERS-round power iteration (DuckDB CTE chain ending
+    at v{{PI_ITERS}}), bit-matching the driver-side integer arithmetic
+    in _dominant_eigvec_units.  Every per-round CTE is MATERIALIZED —
+    inlined CTEs would re-expand the whole chain at each reference
+    (observed: exponential blowup, the query never finished)."""
+    u = (f"CAST(CASE WHEN {{x}} >= 0 THEN floor({{x}} * {PI_SCALE} + 0.5) "
+         f"ELSE ceil({{x}} * {PI_SCALE} - 0.5) END AS BIGINT)")
+    ctes = [f"""
+        x AS MATERIALIZED (
+            SELECT vec_id, CAST(i AS INTEGER) AS i, {_COV_U} AS xu
+            FROM embeddings, (SELECT unnest(range({COV_DIM})) AS i)),
+        gram AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j,
+                   CAST(SUM(a.xu * b.xu) AS BIGINT) AS g
+            FROM x a JOIN x b ON a.vec_id = b.vec_id
+            GROUP BY 1, 2),
+        gmax AS (SELECT CAST(MAX(ABS(g)) AS BIGINT) AS m FROM gram),
+        gn AS MATERIALIZED (
+            SELECT i, j,
+                   {u.format(x=f"(CAST(g AS DOUBLE) / m)")} AS gu
+            FROM gram, gmax),
+        v0 AS (
+            SELECT CAST(i AS INTEGER) AS i,
+                   CAST({PI_V0} AS BIGINT) AS vu
+            FROM (SELECT unnest(range({COV_DIM})) AS i))"""]
+    for k in range(1, PI_ITERS + 1):
+        ctes.append(f"""
+        w{k} AS MATERIALIZED (
+            SELECT gn.j AS i,
+                   CAST(floor(CAST(CAST(SUM(gn.gu * v.vu) AS BIGINT)
+                       AS DOUBLE) / {PI_SCALE}) AS BIGINT) AS wd
+            FROM gn JOIN v{k - 1} v ON v.i = gn.i
+            GROUP BY gn.j),
+        n{k} AS (
+            SELECT sqrt(CAST(CAST(SUM(wd * wd) AS BIGINT) AS DOUBLE))
+                AS nrm
+            FROM w{k}),
+        v{k} AS MATERIALIZED (
+            SELECT i, {u.format(x=f"(CAST(wd AS DOUBLE) / nrm)")} AS vu
+            FROM w{k}, n{k})""")
+    return ",".join(ctes)
+
+
+def _dominant_eigvec_units(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Spark half of the power iteration: one Arrow corpus pass emits
+    the exact int64 full Gram matrix (d^2 partial rows per batch); the
+    d x d model collects to the driver (kmeans_lloyd precedent) and the
+    12 rounds run in pure-int Python, bit-matching _power_ctes."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    d = COV_DIM
+
+    def gram_full(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v = arr * COV_SCALE
+            xu = np.where(v >= 0, np.floor(v + 0.5),
+                          np.ceil(v - 0.5)).astype(np.int64)
+            g = xu.T @ xu
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame({"i": ii.ravel().astype("int32"),
+                                "j": jj.ravel().astype("int32"),
+                                "s": g.ravel()})
+
+    gram = (emb.mapInPandas(gram_full, schema="i int, j int, s long")
+            .groupBy("i", "j").agg(F.sum("s").alias("g")))
+    g = {(r["i"], r["j"]): int(r["g"]) for r in gram.collect()}
+    gmax = max(abs(v) for v in g.values())
+
+    def units(x: float) -> int:
+        v = x * PI_SCALE
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    gu = {ij: units(v / gmax) for ij, v in g.items()}
+    vu = [PI_V0] * d
+    for _ in range(PI_ITERS):
+        w = [sum(gu[(i, j)] * vu[i] for i in range(d)) for j in range(d)]
+        wd = [int(math.floor(float(x) / PI_SCALE)) for x in w]
+        nrm = math.sqrt(float(sum(x * x for x in wd)))
+        vu = [units(float(x) / nrm) for x in wd]
+    return vu
+
+
+@query(
+    "embedding_power_iteration",
+    oracle=(f"WITH {_power_ctes()}\n"
+            f"        SELECT i, vu, vu / CAST({PI_SCALE} AS DOUBLE) AS v\n"
+            f"        FROM v{PI_ITERS}"),
+    category="extension: PCA (dominant eigenvector, power iteration)",
+    doc="Near-dominant principal direction of the embedding corpus via "
+        "12 rounds of power iteration on the (PSD) Gram matrix — the "
+        "first step of "
+        "PCA/whitening/spectral dedup, done ENTIRELY deterministically: "
+        "the Gram matrix is exact int64 (same Arrow batch matmul as "
+        "embedding_covariance, full d x d), normalized to 1e-6 units of "
+        "its max entry, and each of the 12 rounds is an INTEGER matvec "
+        "(sum gu*vu, order-independent), a floor-rescale through an "
+        "exactly-representable double (w <= 6.4e13 < 2^53), and one "
+        "sqrt+divide applied identically on both engines — so the "
+        "eigenvector estimate is bit-identical, no float-summation "
+        "ambiguity anywhere. Start vector is the uniform unit vector; "
+        "Gram PSD => no sign flip-flop. Convergence is (l2/l1)^k, so "
+        "on a near-isotropic corpus 12 rounds give a NEAR-dominant "
+        "direction (Rayleigh quotient >= 0.95*l1, pinned by test), "
+        "not the exact eigvec — raise PI_ITERS when the spectrum has "
+        "a real gap. Scale: the corpus contributes "
+        "one Arrow pass emitting d^2 integer partials per batch; the "
+        "iteration runs on the d x d model (driver-side ints on Spark, "
+        "mirroring kmeans_lloyd's bounded-model-state pattern; unrolled "
+        "CTEs on DuckDB) — data never leaves the executors. int64 "
+        "headroom: matvec terms <= 64 * 1e6 * 1e6 = 6.4e13; the Gram "
+        "partials bound like embedding_covariance (drop COV_SCALE at "
+        "1e8+ rows).",
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vu = _dominant_eigvec_units(spark, sf_dir)
+    sdf = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(vu)], "i int, vu long")
+    return sdf.select("i", "vu",
+                      (F.col("vu") / float(PI_SCALE)).alias("v"))
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_project — corpus projection onto the dominant component
+# ---------------------------------------------------------------------------
+
+PROJ_SCALE = COV_SCALE * PI_SCALE      # pu units: xu (1e6) x vu (1e6)
+
+
+@query(
+    "embedding_pca_project",
+    oracle=f"""
+        WITH {_power_ctes()},
+        proj AS (
+            SELECT x.vec_id, CAST(SUM(x.xu * v.vu) AS BIGINT) AS pu
+            FROM x JOIN v{PI_ITERS} v ON v.i = x.i
+            GROUP BY x.vec_id)
+        SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(pu) AS BIGINT) / CAST({PROJ_SCALE} AS DOUBLE)
+                   / COUNT(*) AS mean_proj,
+               CAST(MIN(pu) AS BIGINT) / CAST({PROJ_SCALE} AS DOUBLE)
+                   AS min_proj,
+               CAST(MAX(pu) AS BIGINT) / CAST({PROJ_SCALE} AS DOUBLE)
+                   AS max_proj
+        FROM proj JOIN embeddings e USING (vec_id)
+        GROUP BY e.label
+    """,
+    category="extension: PCA (dominant-component projection)",
+    doc="Per-label summary of the corpus projected onto the dominant "
+        "principal direction from embedding_power_iteration — the "
+        "'does the top component separate the classes?' readout that "
+        "decides whether PCA-based filtering/whitening is worth "
+        "running. The eigenvector (int units, bit-identical to the "
+        "oracle's unrolled iteration) broadcasts as 64 literals; each "
+        "vector's projection is an INTEGER dot product (xu*vu <= "
+        "64 * 5.3e5 * 1e6 ~ 3.4e13, exact), aggregated per label with "
+        "min/max exact in units and the mean one fixed-point division "
+        "chain (sum/scale/count, the sql_avg op order). Scale: after "
+        "the Gram pass (see embedding_power_iteration) this is ONE "
+        "map-side JVM pass over the corpus — the dot product runs in "
+        "codegen via zip_with/aggregate, no Python — plus one "
+        "partial-agg shuffle on the ~10-value label.",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vu = _dominant_eigvec_units(spark, sf_dir)
+    vlit = F.array(*[F.lit(int(v)).cast("long") for v in vu])
+    emb = load_table(spark, sf_dir, "embeddings")
+    pu = F.aggregate(
+        F.zip_with(_units_arr(F.col("embedding")), vlit,
+                   lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    per = emb.select("label", pu.alias("pu"))
+    return (per.groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.sum("pu").alias("pu_sum"),
+                 F.min("pu").alias("pu_min"),
+                 F.max("pu").alias("pu_max"))
+            .select("label", "n_vecs",
+                    (F.col("pu_sum") / float(PROJ_SCALE) / F.col("n_vecs"))
+                    .alias("mean_proj"),
+                    (F.col("pu_min") / float(PROJ_SCALE)).alias("min_proj"),
+                    (F.col("pu_max") / float(PROJ_SCALE)).alias("max_proj")))

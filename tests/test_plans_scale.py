@@ -922,3 +922,50 @@ def test_forecast_backtest_bounded_after_per_day(spark):
     assert "windowspecdefinition" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_power_iteration_near_dominant_energy(spark):
+    """The integer-exact power-iteration estimate is unit-norm and its
+    Rayleigh quotient captures >= 95% of numpy's top eigenvalue of the
+    same normalized Gram matrix.  (The fixture embeddings are
+    near-isotropic — lambda2/lambda1 ~ 0.98 — so exact eigvec agreement
+    in 12 rounds is impossible by the (l2/l1)^k rate; the energy
+    captured is the meaningful convergence property.)"""
+    import numpy as np
+
+    from flinkapps_spark.plans.ml_queries import (
+        COV_SCALE, PI_SCALE, _dominant_eigvec_units,
+    )
+    from flinkapps_spark.sources.batch import load_table
+
+    vu = np.array(_dominant_eigvec_units(spark, SF_ORACLE), dtype=np.float64)
+    v = vu / PI_SCALE
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3, np.linalg.norm(v)
+
+    rows = (load_table(spark, SF_ORACLE, "embeddings")
+            .select("embedding").collect())
+    arr = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                    for r in rows])
+    xu = np.where(arr * COV_SCALE >= 0,
+                  np.floor(arr * COV_SCALE + 0.5),
+                  np.ceil(arr * COV_SCALE - 0.5))
+    g = xu.T @ xu
+    gn = g / np.abs(g).max()
+    lam1 = np.linalg.eigvalsh(gn)[-1]
+    rayleigh = float(v @ gn @ v / (v @ v))
+    assert rayleigh >= 0.95 * lam1, (rayleigh, lam1)
+
+
+def test_pca_project_jvm_dot_after_gram(spark):
+    """PCA projection: the per-vector dot product stays in codegen (the
+    eigenvector is a literal array); one partial-agg shuffle on label.
+    The Python stage in the plan belongs to the Gram pass only — the
+    projection plan itself (post-eigvec) must be Python-free, which we
+    check by pinning exactly one Arrow stage (the Gram mapInPandas is
+    driver-side, not in this plan)."""
+    plan = plan_of(spark, "embedding_pca_project")
+    assert "partial" in plan.lower(), plan
+    assert "zip_with" in plan or "transform" in plan.lower() \
+        or "aggregate" in plan.lower(), plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
