@@ -895,3 +895,96 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("mean_proj"),
                     (F.col("pu_min") / float(PROJ_SCALE)).alias("min_proj"),
                     (F.col("pu_max") / float(PROJ_SCALE)).alias("max_proj")))
+
+
+# ---------------------------------------------------------------------------
+# embedding_outlier_scores — diagonal-Mahalanobis top-k outliers
+# ---------------------------------------------------------------------------
+
+OUT_TOPK = 20             # outliers reported
+OUT_SCALE = 10 ** 6       # fixed-point units per z^2 term
+
+
+@query(
+    "embedding_outlier_scores",
+    oracle=f"""
+        WITH x AS MATERIALIZED (
+            SELECT vec_id, CAST(i AS INTEGER) AS i, {_COV_U} AS xu
+            FROM embeddings, (SELECT unnest(range({COV_DIM})) AS i)),
+        st AS (
+            SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xu) AS BIGINT) AS sx,
+                   CAST(SUM(xu * xu) AS BIGINT) AS sxx
+            FROM x GROUP BY i),
+        mv AS (
+            SELECT i, (sx / {float(COV_SCALE)!r}) / n AS mu,
+                   ((n * (sxx / {float(COV_SCALE) ** 2!r}))
+                    - (sx / {float(COV_SCALE)!r})
+                      * (sx / {float(COV_SCALE)!r}))
+                   / (CAST(n AS DOUBLE) * n) AS var
+            FROM st),
+        term AS (
+            SELECT x.vec_id,
+                   CASE WHEN mv.var > 0 THEN
+                       {sql_units(f"((x.xu / {float(COV_SCALE)!r} - mv.mu)"
+                                  f" * (x.xu / {float(COV_SCALE)!r} - mv.mu))"
+                                  f" / mv.var", OUT_SCALE)}
+                   ELSE 0 END AS tu
+            FROM x JOIN mv ON mv.i = x.i),
+        score AS (
+            SELECT vec_id, CAST(SUM(tu) AS BIGINT) AS su
+            FROM term GROUP BY vec_id)
+        SELECT s.vec_id, e.label, s.su,
+               s.su / CAST({OUT_SCALE} AS DOUBLE) AS score
+        FROM score s JOIN embeddings e USING (vec_id)
+        QUALIFY ROW_NUMBER() OVER (ORDER BY s.su DESC, s.vec_id)
+            <= {OUT_TOPK}
+        ORDER BY s.su DESC, s.vec_id
+    """,
+    category="extension: embedding outlier scoring (diagonal Mahalanobis)",
+    doc="Top-20 embedding outliers by the diagonal-Mahalanobis score "
+        "sum((x_i - mu_i)^2 / var_i) — the 'weird vectors' triage that "
+        "runs before dedup/ANN to catch corrupt or out-of-distribution "
+        "embeddings. Per-dim mean/variance derive from exact int64 "
+        "sums with embedding_covariance's op order; each z^2 term is "
+        "the identical double expression on both engines and the "
+        "per-vector SUM is fixed-point (1e-6 units, order-independent); "
+        "ties break on vec_id. Scale: the stats pass partial-aggregates "
+        "corpus x d cells to a d-row frame; the 64 (mu, var) pairs are "
+        "bounded model state (kmeans_lloyd precedent) broadcast back as "
+        "LITERALS, so scoring is a map-only codegen pass over intact "
+        "arrays — no explode, no corpus shuffle — and top-k is "
+        "TakeOrdered. Zero-variance dims contribute 0 by definition.",
+)
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    xu_arr = _units_arr(F.col("embedding"))
+    st = (emb.select(F.posexplode(xu_arr).alias("i", "xu"))
+          .groupBy("i")
+          .agg(F.count("*").alias("n"), F.sum("xu").alias("sx"),
+               F.sum(F.col("xu") * F.col("xu")).alias("sxx"))
+          .collect())
+    sc1, sc2 = float(COV_SCALE), float(COV_SCALE) ** 2
+    mu = [0.0] * COV_DIM
+    var = [0.0] * COV_DIM
+    for r in st:
+        n, sx, sxx = int(r["n"]), int(r["sx"]), int(r["sxx"])
+        mu[r["i"]] = (sx / sc1) / n
+        var[r["i"]] = ((n * (sxx / sc2)) - (sx / sc1) * (sx / sc1)) \
+            / (float(n) * n)
+    mu_lit = F.array(*[F.lit(v) for v in mu])
+    var_lit = F.array(*[F.lit(v) for v in var])
+
+    def term(x, i):
+        m = F.element_at(mu_lit, i + 1)
+        v = F.element_at(var_lit, i + 1)
+        d = x / sc1 - m
+        return F.when(v > 0, units_col(d * d / v, OUT_SCALE)) \
+            .otherwise(F.lit(0).cast("long"))
+
+    su = F.aggregate(F.transform(xu_arr, term),
+                     F.lit(0).cast("long"), lambda acc, t: acc + t)
+    scored = emb.select("vec_id", "label", su.alias("su"))
+    return (scored.orderBy(F.col("su").desc(), "vec_id").limit(OUT_TOPK)
+            .select("vec_id", "label", "su",
+                    (F.col("su") / float(OUT_SCALE)).alias("score")))

@@ -366,3 +366,63 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("pos_rate"),
                     (F.col("su_tot") / float(CAL_SCALE) / F.col("n_docs"))
                     .alias("mean_score")))
+
+
+# ---------------------------------------------------------------------------
+# ml_langid_confusion
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    from flinkapps_spark.plans.pipeline_queries import (
+        _SQL_LANG_CASE, _SQL_LANG_SCORES,
+    )
+    return f"""
+        WITH t AS (SELECT lang, {SQL_WORDS} AS ws FROM documents),
+        s AS (SELECT lang AS labeled_lang, {_SQL_LANG_SCORES} FROM t),
+        p AS (SELECT labeled_lang, {_SQL_LANG_CASE} AS predicted_lang
+              FROM s),
+        c AS (SELECT labeled_lang, predicted_lang,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM p GROUP BY 1, 2)
+        SELECT labeled_lang, predicted_lang, n_docs,
+               n_docs / CAST(SUM(n_docs) OVER (
+                   PARTITION BY labeled_lang) AS DOUBLE) AS class_share,
+               labeled_lang = predicted_lang AS is_correct
+        FROM c
+    """
+
+
+@query(
+    "ml_langid_confusion",
+    oracle=_langid_confusion_oracle(),
+    category="extension: model evaluation (language-ID confusion matrix)",
+    doc="Confusion matrix of the marker-word language-ID heuristic "
+        "(text_langid) against the corpus's lang labels: per (labeled, "
+        "predicted) cell the document count and its share of the "
+        "labeled class (the row-normalized confusion matrix whose "
+        "diagonal is per-class recall). Same scoring chain as "
+        "text_langid (shared marker constants), so this evaluates the "
+        "classifier the pipeline actually runs. Counts are int64; the "
+        "share divides once. Scale: map-side scoring + one "
+        "partial-aggregated shuffle to the <= n_langs^2 cell frame; "
+        "the share window rides that bounded frame only.",
+)
+def ml_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.operators import textstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textstats.tokenize(F.col("text"))
+    scores = textstats.lang_scores(toks)
+    per_doc = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        textstats.predict_lang(scores).alias("predicted_lang"))
+    cells = (per_doc.groupBy("labeled_lang", "predicted_lang")
+             .agg(F.count("*").alias("n_docs")))
+    w_cls = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang", "predicted_lang", "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(w_cls).cast("double"))
+        .alias("class_share"),
+        (F.col("labeled_lang") == F.col("predicted_lang"))
+        .alias("is_correct"))

@@ -969,3 +969,24 @@ def test_pca_project_jvm_dot_after_gram(spark):
         or "aggregate" in plan.lower(), plan
     assert "ArrowEvalPython" not in plan, plan
     assert "FlatMapGroupsInPandas" not in plan, plan
+
+
+def test_langid_confusion_bounded_cells(spark):
+    """Langid confusion: map-side scoring, one partial-agg shuffle to
+    the <= n_langs^2 cell frame; the share window rides that frame."""
+    plan = plan_of(spark, "ml_langid_confusion")
+    assert "partial" in plan.lower(), plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_outlier_scores_map_side_takeordered(spark):
+    """Outlier scoring: per-dim stats are literals, so the scoring plan
+    is a map-only pass over intact arrays with TakeOrdered top-k — no
+    explode, no window, no join, no Python, no full sort."""
+    plan = plan_of(spark, "embedding_outlier_scores")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Generate" not in plan, plan          # no explode in scoring
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
