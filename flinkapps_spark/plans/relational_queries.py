@@ -4103,3 +4103,152 @@ def geo_nearest_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("me") % 100).alias("warehouse"),
                     F.floor(F.col("me").cast("double") / F.lit(100.0))
                     .cast("long").alias("dist_m")))
+
+
+# ---------------------------------------------------------------------------
+# exact_weighted_median — quantity-weighted price median per return flag
+# ---------------------------------------------------------------------------
+
+WM_BUCKET = 10 ** 6       # cent-unit prefix buckets (10k currency bands)
+
+
+@query(
+    "exact_weighted_median",
+    oracle=f"""
+        WITH v AS (
+            SELECT l_returnflag AS flag,
+                   {sql_units('l_extendedprice', 100)} AS u,
+                   CAST(SUM({sql_units('l_quantity', 1)}) AS BIGINT) AS w
+            FROM lineitem
+            GROUP BY 1, 2),
+        c AS (
+            SELECT flag, u, w,
+                   CAST(SUM(w) OVER (PARTITION BY flag ORDER BY u
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                   CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+            FROM v)
+        SELECT flag, tot AS total_weight,
+               CAST(MIN(u) AS BIGINT) AS median_u,
+               CAST(MIN(u) AS BIGINT) / CAST(100 AS DOUBLE)
+                   AS weighted_median
+        FROM c WHERE 2 * cum >= tot
+        GROUP BY flag, tot
+    """,
+    category="extension: distributed selection (weighted median)",
+    doc="EXACT quantity-weighted median of extended price per return "
+        "flag: the smallest price whose cumulative quantity weight "
+        "reaches half the group total — the inventory-weighted 'typical "
+        "price' that an unweighted median misstates when cheap lines "
+        "carry big quantities. Entirely integer: prices in cent units, "
+        "quantities exact int64, the qualifying test is 2*cum >= tot "
+        "(no halving division), and since cum is monotone in u the "
+        "median is MIN(u) over qualifiers — a plain aggregation, no "
+        "second window. Scale: one partial-agg shuffle to the distinct "
+        "(flag, price) grid, then the cumulative weight is the shared "
+        "TWO-PHASE prefix (10k-currency buckets, per-flag offsets on a "
+        "bounded frame, wide window partitioned by bucket) — no "
+        "per-flag single-partition scan. int64: 2*cum <= 2*n*50 "
+        "quantity units, overflow past ~9e16 rows per flag.",
+)
+def exact_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (li.groupBy(F.col("l_returnflag").alias("flag"),
+                    units_col("l_extendedprice", 100).alias("u"))
+         .agg(F.sum(units_col("l_quantity", 1)).alias("w")))
+    bucketed = (v.withColumn("bkt", F.floor(F.col("u") / WM_BUCKET))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    bucketed.count()
+    w_off = (Window.partitionBy("flag").orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = (Window.partitionBy("flag")
+             .orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    per_bkt = (bucketed.groupBy("flag", "bkt")
+               .agg(F.sum("w").alias("bw")))
+    offs = per_bkt.select(
+        "flag", "bkt",
+        F.coalesce(F.sum("bw").over(w_off), F.lit(0)).alias("off"),
+        F.sum("bw").over(w_all).alias("tot"))
+    w_in = (Window.partitionBy("flag", "bkt").orderBy("u")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (bucketed.join(F.broadcast(offs), ["flag", "bkt"])
+           .select("flag", "u", "tot",
+                   (F.col("off") + F.sum("w").over(w_in)).alias("cum")))
+    return (cum.filter(2 * F.col("cum") >= F.col("tot"))
+            .groupBy("flag", F.col("tot").alias("total_weight"))
+            .agg(F.min("u").alias("median_u"))
+            .select("flag", "total_weight", "median_u",
+                    (F.col("median_u") / F.lit(100).cast("double"))
+                    .alias("weighted_median")))
+
+
+# ---------------------------------------------------------------------------
+# dq_referential_integrity — FK orphan audit across the whole schema
+# ---------------------------------------------------------------------------
+
+FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+)
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for name, child, fk, parent, pk in FK_EDGES:
+        parts.append(f"""
+        SELECT '{name}' AS fk_edge,
+               CAST(COUNT(*) AS BIGINT) AS n_child,
+               CAST(SUM(CASE WHEN p.{pk} IS NULL AND c.{fk} IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+               CAST(SUM(CASE WHEN c.{fk} IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk
+        FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}""")
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "dq_referential_integrity",
+    oracle=_ri_oracle(),
+    category="extension: data quality (referential integrity audit)",
+    doc="Whole-schema foreign-key audit: for each of the 7 FK edges in "
+        "the star schema, the child row count, the orphan count "
+        "(non-null FK with no parent), and the null-FK count — the "
+        "one-query answer to 'can I trust my joins?' that every "
+        "warehouse health check runs. Scale: each edge is one "
+        "left/anti-style join — small parents (nation, region, "
+        "supplier, part, customer at this ratio) broadcast; the "
+        "lineitem->orders edge shuffles both sides on the key, "
+        "partial-aggregating counts map-side so the union result is 7 "
+        "rows. Counting via LEFT JOIN + conditional SUM (not anti-join "
+        "subtraction) keeps each edge single-pass over the child.",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, child, fk, parent, pk in FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(fk))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk))
+        j = c.join(p, c[fk] == p[pk], "left")
+        agg = j.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count("*").alias("n_child"),
+            F.sum(F.when(p[pk].isNull() & c[fk].isNotNull(), 1)
+                  .otherwise(0)).alias("n_orphan"),
+            F.sum(F.when(c[fk].isNull(), 1).otherwise(0))
+            .alias("n_null_fk"))
+        out = agg if out is None else out.unionByName(agg)
+    return out

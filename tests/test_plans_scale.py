@@ -990,3 +990,24 @@ def test_outlier_scores_map_side_takeordered(spark):
     assert "windowspecdefinition" not in plan, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_weighted_median_two_phase_min_agg(spark):
+    """Weighted median: cumulative weight is the two-phase prefix
+    (window partitioned by price bucket); the median extraction is a
+    plain MIN aggregation — no second window, no Python."""
+    plan = plan_of(spark, "exact_weighted_median")
+    assert "windowspecdefinition(flag#" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "Python" not in plan, plan
+
+
+def test_referential_integrity_broadcast_dims(spark):
+    """RI audit: dimension parents broadcast; only the lineitem->orders
+    edge shuffles; per-edge counts partial-aggregate to 7 rows."""
+    plan = plan_of(spark, "dq_referential_integrity")
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "Python" not in plan, plan
