@@ -120,6 +120,16 @@ HEADLINE = [
     "sql_recursive_hierarchy",
     "maintenance_compaction_bins",
     "stats_bootstrap_ci",
+    # round-5 part-7 additions
+    "ml_auc_roc",
+    "ml_gains_deciles",
+    "stats_spearman_trend",
+    "text_readability",
+    "events_forecast_backtest",
+    "embedding_power_iteration",
+    "embedding_outlier_scores",
+    "exact_weighted_median",
+    "dq_referential_integrity",
 ]
 
 
