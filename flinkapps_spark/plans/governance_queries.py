@@ -697,3 +697,154 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.coalesce(F.col("su_s"), F.lit(0))
           + F.coalesce(F.col("su_d"), F.lit(0)))
          / F.lit(10000.0)).alias("total_value"))
+
+
+# ---------------------------------------------------------------------------
+# privacy_dp_counts — Laplace mechanism with a deterministic hash PRNG
+# ---------------------------------------------------------------------------
+
+DP_EPSILON = 1.0          # privacy budget (sensitivity 1 for counts)
+DP_MOD = 2 ** 20          # hash->uniform modulus
+
+
+_DP_RAW = ("(-(1.0 / " + repr(DP_EPSILON) + ") "
+           "* (CASE WHEN uni - 0.5 >= 0 THEN 1.0 ELSE -1.0 END) "
+           "* ln(1.0 - 2.0 * ABS(uni - 0.5)))")
+# ln() is not correctly-rounded and differs by 1 ulp between the JVM and
+# libm, so the released noise is ROUNDED to 1e-9 units in-query on both
+# sides (the source_entropy_diversity pattern for transcendental terms)
+_DP_NOISE_U = (f"CAST(CASE WHEN {_DP_RAW} * 1000000000 >= 0 "
+               f"THEN floor({_DP_RAW} * 1000000000 + 0.5) "
+               f"ELSE ceil({_DP_RAW} * 1000000000 - 0.5) END AS BIGINT)")
+
+
+@query(
+    "privacy_dp_counts",
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+            FROM events GROUP BY event_type),
+        u AS (
+            SELECT event_type, true_count,
+                   ((list_reduce([CAST(0 AS BIGINT)] ||
+                        list_transform(string_split(event_type, ''),
+                                       ch -> CAST(ascii(ch) AS BIGINT)),
+                        (a, b) -> (a * 31 + b) % 2147483647)
+                     % {DP_MOD}) + 0.5) / {DP_MOD} AS uni
+            FROM c)
+        SELECT event_type, true_count, uni,
+               (uni - 0.5) AS t,
+               {_DP_NOISE_U} / CAST(1000000000 AS DOUBLE)
+                   AS laplace_noise,
+               true_count
+                   + {_DP_NOISE_U} / CAST(1000000000 AS DOUBLE)
+                   AS noisy_count
+        FROM u
+    """,
+    category="extension: privacy (differential-privacy Laplace counts)",
+    doc="Laplace-mechanism noisy per-type counts (sensitivity-1 "
+        "histogram release at epsilon=1): noise = -b*sign(t)*ln(1-2|t|) "
+        "is the exact inverse-CDF Laplace draw, with the uniform t "
+        "coming from a DETERMINISTIC poly-31 hash of the group key "
+        "((code mod 2^20)+0.5)/2^20, never 0 or 1) so both engines "
+        "release the identical value and the test suite can pin it — "
+        "swap the hash for a real PRNG seed per release in production "
+        "(and drop true_count/uni, kept here so the oracle can verify "
+        "the mechanism end-to-end). The noise expression is the same "
+        "IEEE sequence on both engines. Scale: one partial-agg shuffle "
+        "to the per-type frame; the noise is map-side arithmetic on "
+        "that bounded frame.",
+)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.functions.text import word_code
+
+    c = (load_table(spark, sf_dir, "events")
+         .groupBy("event_type").agg(F.count("*").alias("true_count")))
+    uni = ((word_code(F.col("event_type")) % DP_MOD) + 0.5) / DP_MOD
+    t = uni - F.lit(0.5)
+    sign = F.when(t >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    raw = (F.lit(-(1.0 / DP_EPSILON)) * sign
+           * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(t)))
+    noise = units_col(raw, 10 ** 9) / F.lit(10 ** 9).cast("double")
+    return c.select(
+        "event_type", "true_count", uni.alias("uni"), t.alias("t"),
+        noise.alias("laplace_noise"),
+        (F.col("true_count") + noise).alias("noisy_count"))
+
+
+# ---------------------------------------------------------------------------
+# events_lateness_profile — out-of-orderness audit for watermark sizing
+# ---------------------------------------------------------------------------
+
+LATE_BUCKET = 65_536            # arrival-order (event_id) prefix buckets
+LATE_THRESH_US = 300_000_000    # 5 minutes
+
+
+@query(
+    "events_lateness_profile",
+    oracle=f"""
+        WITH a AS (
+            SELECT event_type, event_id, epoch_us(ts) AS us,
+                   MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS hwm
+            FROM events),
+        l AS (
+            SELECT event_type,
+                   GREATEST(COALESCE(hwm - us, 0), 0) AS late_us
+            FROM a)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_late,
+               CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+               CAST(SUM(late_us) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+                   AS mean_late_us,
+               CAST(SUM(CASE WHEN late_us > {LATE_THRESH_US}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   / CAST(COUNT(*) AS DOUBLE) AS frac_over_5min
+        FROM l GROUP BY event_type
+    """,
+    category="extension: streaming ops (out-of-orderness / lateness audit)",
+    doc="Watermark-sizing audit: treating event_id as the arrival "
+        "order, each event's lateness is the event-time high-water mark "
+        "of everything that arrived STRICTLY before it minus its own "
+        "event time — the empirical out-of-orderness distribution that "
+        "decides withWatermark's delay (per type: late fraction, "
+        "max/mean lateness in exact integer microseconds, and the "
+        "fraction that a 5-minute watermark would drop). Scale: the "
+        "global prefix-MAX is the shared TWO-PHASE scan via "
+        "bucket_offsets' max mode — 65k-id arrival buckets, bounded "
+        "offset frame, wide window partitioned by bucket — never a "
+        "single-partition pass over the corpus; the final aggregation "
+        "is partial on event_type. All lateness arithmetic is int64 "
+        "epoch-us (epoch_us/unix_micros, the SCALE.md time policy).",
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from flinkapps_spark.operators.prefix import bucket_offsets
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type", "event_id",
+                  F.unix_micros("ts").alias("us"),
+                  F.floor(F.col("event_id") / LATE_BUCKET).alias("bkt"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    ev.count()
+    offs = bucket_offsets(ev, "bkt", {}, maxes={"us": "us"})
+    w_in = (Window.partitionBy("bkt").orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    hwm = F.greatest(F.coalesce(F.col("off_us"), F.lit(None)),
+                     F.max("us").over(w_in))
+    late = F.greatest(F.coalesce(hwm - F.col("us"), F.lit(0)), F.lit(0))
+    l = (ev.join(F.broadcast(offs.select("bkt", "off_us")), "bkt")
+         .select("event_type", late.alias("late_us")))
+    return (l.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+                 .alias("n_late"),
+                 F.max("late_us").alias("max_late_us"),
+                 (F.sum("late_us")
+                  / F.count("*").cast("double")).alias("mean_late_us"),
+                 (F.sum(F.when(F.col("late_us") > LATE_THRESH_US, 1)
+                        .otherwise(0))
+                  / F.count("*").cast("double")).alias("frac_over_5min")))

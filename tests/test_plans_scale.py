@@ -1011,3 +1011,23 @@ def test_referential_integrity_broadcast_dims(spark):
     assert "CartesianProduct" not in plan, plan
     assert "partial" in plan.lower(), plan
     assert "Python" not in plan, plan
+
+
+def test_dp_counts_bounded_frame(spark):
+    """DP counts: one partial-agg shuffle to the per-type frame; noise
+    is map-side arithmetic — no window, no join, no Python."""
+    plan = plan_of(spark, "privacy_dp_counts")
+    assert "partial" in plan.lower(), plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_lateness_prefix_max_two_phase(spark):
+    """Lateness audit: the global prefix-MAX windows per arrival
+    bucket (two-phase via bucket_offsets max mode); no single-partition
+    pass over the corpus; final agg partial on event_type."""
+    plan = plan_of(spark, "events_lateness_profile")
+    assert "windowspecdefinition(bkt#" in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "Python" not in plan, plan
