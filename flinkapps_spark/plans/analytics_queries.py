@@ -1288,3 +1288,87 @@ def stats_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.lit(1.0) - (6 * F.col("sum_d2")).cast("double")
                / (F.col("n") * (F.col("n") * F.col("n") - 1))
                .cast("double")).alias("rho"))
+
+
+# ---------------------------------------------------------------------------
+# sample_neyman_allocation
+# ---------------------------------------------------------------------------
+
+NEY_BUDGET = 1000         # total sample rows to allocate
+NEY_WSCALE = 10 ** 6      # fixed-point units for the N_h * S_h weights
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+        WITH st AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM({sql_units('value', 100)}) AS BIGINT) AS sx,
+                   CAST(SUM({sql_units('value', 100)}
+                            * {sql_units('value', 100)}) AS BIGINT) AS sxx
+            FROM events GROUP BY event_type),
+        sd AS (
+            SELECT event_type, n_rows,
+                   sqrt(((n_rows * (sxx / 10000.0))
+                         - (sx / 100.0) * (sx / 100.0))
+                        / (CAST(n_rows AS DOUBLE) * n_rows)) AS stddev_value
+            FROM st),
+        w AS (
+            SELECT event_type, n_rows, stddev_value,
+                   CAST(CASE WHEN n_rows * stddev_value >= 0
+                        THEN floor(n_rows * stddev_value * {NEY_WSCALE}
+                                   + 0.5)
+                        ELSE ceil(n_rows * stddev_value * {NEY_WSCALE}
+                                  - 0.5) END AS BIGINT) AS w_u
+            FROM sd),
+        t AS (SELECT CAST(SUM(w_u) AS BIGINT) AS tot_w FROM w)
+        SELECT event_type, n_rows, stddev_value, w_u,
+               CAST(floor(({NEY_BUDGET} * w_u) / CAST(tot_w AS DOUBLE)
+                          + 0.5) AS BIGINT) AS alloc_n
+        FROM w, t
+    """,
+    category="extension: sampling design (Neyman allocation)",
+    doc="Optimal (Neyman) allocation of a 1000-row sample budget across "
+        "event-type strata: n_h proportional to N_h * S_h, which "
+        "minimizes the variance of the stratified mean estimator — the "
+        "design step that runs BEFORE sample_hash_stratified when "
+        "strata differ in spread. Per-stratum variance uses exact int64 "
+        "cent-unit sums in embedding_covariance's op order (products "
+        "stay double: n*Sxx would overflow int64 at ~1e7 rows); sqrt is "
+        "correctly-rounded IEEE so S_h is bit-identical; the N_h*S_h "
+        "weights round to fixed-point units so their TOTAL is an exact "
+        "integer sum (never an order-dependent float sum); the final "
+        "allocation is one division + half-away rounding. Rounded "
+        "allocations can sum to budget +/- #strata (largest-remainder "
+        "correction is a driver-trivial post-step, noted not applied). "
+        "Scale: one partial-agg shuffle to the per-type frame; the "
+        "weight total rides a bounded cross join.",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = units_col("value", 100)
+    st = (load_table(spark, sf_dir, "events")
+          .groupBy("event_type")
+          .agg(F.count("*").alias("n_rows"), F.sum(u).alias("sx"),
+               F.sum(u * u).alias("sxx")))
+    sd = st.select(
+        "event_type", "n_rows",
+        F.sqrt(((F.col("n_rows") * (F.col("sxx") / F.lit(10000.0)))
+                - (F.col("sx") / F.lit(100.0))
+                * (F.col("sx") / F.lit(100.0)))
+               / (F.col("n_rows").cast("double") * F.col("n_rows")))
+        .alias("stddev_value"))
+    from pyspark import StorageLevel
+
+    # eager cache: tot_w rides a broadcast stage that would otherwise
+    # re-execute the corpus aggregation (prefix-module AQE note)
+    w = sd.select(
+        "event_type", "n_rows", "stddev_value",
+        units_col(F.col("n_rows") * F.col("stddev_value"), NEY_WSCALE)
+        .alias("w_u")).persist(StorageLevel.MEMORY_AND_DISK)
+    w.count()
+    t = w.agg(F.sum("w_u").alias("tot_w"))
+    return (w.crossJoin(F.broadcast(t))
+            .select("event_type", "n_rows", "stddev_value", "w_u",
+                    F.floor((NEY_BUDGET * F.col("w_u"))
+                            / F.col("tot_w").cast("double") + 0.5)
+                    .cast("long").alias("alloc_n")))

@@ -1031,3 +1031,14 @@ def test_lateness_prefix_max_two_phase(spark):
     assert "windowspecdefinition(bkt#" in plan, plan
     assert "partial" in plan.lower(), plan
     assert "Python" not in plan, plan
+
+
+def test_neyman_allocation_bounded_frames(spark):
+    """Neyman allocation: one partial-agg corpus shuffle to the
+    per-type frame; the weight-total join is a broadcast over that
+    bounded frame; no window, no Python."""
+    plan = plan_of(spark, "sample_neyman_allocation")
+    assert "partial" in plan.lower(), plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
