@@ -833,8 +833,9 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     offs = bucket_offsets(ev, "bkt", {}, maxes={"us": "us"})
     w_in = (Window.partitionBy("bkt").orderBy("event_id")
             .rowsBetween(Window.unboundedPreceding, -1))
-    hwm = F.greatest(F.coalesce(F.col("off_us"), F.lit(None)),
-                     F.max("us").over(w_in))
+    # greatest() skips NULLs on both engines: first bucket has off_us
+    # NULL, first row in a bucket has a NULL frame max
+    hwm = F.greatest(F.col("off_us"), F.max("us").over(w_in))
     late = F.greatest(F.coalesce(hwm - F.col("us"), F.lit(0)), F.lit(0))
     l = (ev.join(F.broadcast(offs.select("bkt", "off_us")), "bkt")
          .select("event_type", late.alias("late_us")))
