@@ -4252,3 +4252,174 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_null_fk"))
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# events_markov_removal — removal-effect attribution on the Markov chain
+# ---------------------------------------------------------------------------
+
+MR_CONV = "purchase"                       # absorbing conversion state
+MR_CHANNELS = ("click", "error", "signup", "view")   # removable channels
+MR_STATES = MR_CHANNELS + (MR_CONV,)
+MR_STEPS = 16                              # hit-probability iterations
+MR_SCALE = 10 ** 9                         # fixed-point probability units
+
+
+def _mr_units9(x: str) -> str:
+    return (f"CAST(CASE WHEN {x} * {MR_SCALE} >= 0 "
+            f"THEN floor({x} * {MR_SCALE} + 0.5) "
+            f"ELSE ceil({x} * {MR_SCALE} - 0.5) END AS BIGINT)")
+
+
+def _markov_removal_oracle() -> str:
+    """Unrolled MR_STEPS-round hit-probability iteration per scenario
+    (full chain + each channel removed), all integer after the per-edge
+    probability gridding — bit-matching the Spark build's driver-side
+    Python-int arithmetic."""
+    states_rows = " UNION ALL ".join(
+        f"SELECT '{s}' AS s" for s in MR_STATES)
+    ctes = [f"""
+        seq AS MATERIALIZED (
+            SELECT event_type AS f,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS t
+            FROM events),
+        n AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+              FROM seq WHERE t IS NOT NULL GROUP BY f, t),
+        tot AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS tt
+                FROM seq GROUP BY f),
+        pu AS MATERIALIZED (
+            SELECT n.f, n.t,
+                   {_mr_units9('(CAST(n.n AS DOUBLE) / tot.tt)')} AS pu
+            FROM n JOIN tot USING (f)),
+        fe AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+            FROM events),
+        sc AS (SELECT event_type AS s, CAST(COUNT(*) AS BIGINT) AS c
+               FROM fe WHERE rn = 1 GROUP BY event_type),
+        su AS MATERIALIZED (
+            SELECT s, {_mr_units9(
+                '(CAST(c AS DOUBLE) / (SELECT SUM(c) FROM sc))')} AS su
+            FROM sc),
+        states AS ({states_rows})"""]
+    scenarios = ("__none__",) + MR_CHANNELS
+    for sc_ in scenarios:
+        tag = "full" if sc_ == "__none__" else sc_
+        rm = "" if sc_ == "__none__" else f"WHEN st.s = '{sc_}' THEN 0"
+        ctes.append(f"""
+        h_{tag}_0 AS (
+            SELECT s, CASE WHEN s = '{MR_CONV}'
+                           THEN CAST({MR_SCALE} AS BIGINT)
+                           ELSE CAST(0 AS BIGINT) END AS hu
+            FROM states)""")
+        for k in range(1, MR_STEPS + 1):
+            ctes.append(f"""
+        h_{tag}_{k} AS MATERIALIZED (
+            SELECT st.s,
+                   CASE WHEN st.s = '{MR_CONV}'
+                        THEN CAST({MR_SCALE} AS BIGINT)
+                        {rm}
+                        ELSE COALESCE(m.v, 0) END AS hu
+            FROM states st LEFT JOIN (
+                SELECT pu.f AS s,
+                       CAST(SUM(pu.pu * h.hu) AS BIGINT)
+                           // {MR_SCALE} AS v
+                FROM pu JOIN h_{tag}_{k - 1} h ON h.s = pu.t
+                GROUP BY pu.f) m USING (s))""")
+        ctes.append(f"""
+        r_{tag} AS (
+            SELECT CAST(SUM(su.su * h.hu) AS BIGINT) // {MR_SCALE} AS ru
+            FROM su JOIN h_{tag}_{MR_STEPS} h ON h.s = su.s)""")
+    finals = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel, r_full.ru AS r_full_u, "
+        f"r_{c}.ru AS r_removed_u FROM r_full, r_{c}"
+        for c in MR_CHANNELS)
+    return (f"WITH {','.join(ctes)},\n"
+            f"        eff AS ({finals})\n"
+            f"        SELECT channel, r_full_u, r_removed_u,\n"
+            f"               r_full_u / CAST({MR_SCALE} AS DOUBLE)"
+            f" AS r_full,\n"
+            f"               r_removed_u / CAST({MR_SCALE} AS DOUBLE)"
+            f" AS r_removed,\n"
+            f"               (r_full_u - r_removed_u)"
+            f" / CAST(r_full_u AS DOUBLE) AS removal_effect\n"
+            f"        FROM eff")
+
+
+@query(
+    "events_markov_removal",
+    oracle=_markov_removal_oracle(),
+    category="extension: Markov removal-effect attribution",
+    doc="Markov-chain removal-effect attribution (Anderl et al. 2014): "
+        "each channel's credit is how much the probability of reaching "
+        "the 'purchase' absorbing state drops when that channel is "
+        "deleted from the per-user event chain. Transition and "
+        "first-touch probabilities grid to 1e-9 units (end-of-sequence "
+        "mass falls out naturally: row sums < 1), then the 16-step "
+        "hit-probability recursion h'(s) = sum_t p(s,t)*h(t) runs "
+        "ENTIRELY in int64 (products <= 1e18, floor-div by the scale "
+        "each step; '//' on non-negative ints is floor on both "
+        "engines) — on the DRIVER over the bounded |states|^2 model on "
+        "the Spark side (kmeans/power-iteration precedent) and as "
+        "unrolled MATERIALIZED CTEs in the oracle, so the two engines "
+        "are bit-identical by construction. Scale: the data-side work "
+        "is ONE lead() pass (sort-within-user shuffle) + two bounded "
+        "aggregations; everything after is arithmetic on a 25-entry "
+        "matrix. Channel names are fixture constants like the KS "
+        "segment literals.",
+)
+def events_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (ev.select("user_id", F.col("event_type").alias("f"),
+                     F.lead("event_type").over(w).alias("t"),
+                     F.row_number().over(w).alias("rn"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    n = {(r["f"], r["t"]): int(r["n"]) for r in
+         seq.filter(F.col("t").isNotNull())
+         .groupBy("f", "t").agg(F.count("*").alias("n")).collect()}
+    tot = {r["f"]: int(r["tt"]) for r in
+           seq.groupBy("f").agg(F.count("*").alias("tt")).collect()}
+    first = {r["f"]: int(r["c"]) for r in
+             seq.filter(F.col("rn") == 1)
+             .groupBy("f").agg(F.count("*").alias("c")).collect()}
+    seq.unpersist()
+    n_users = sum(first.values())
+
+    def u9(x: float) -> int:
+        v = x * MR_SCALE
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    pu = {ft: u9(v / tot[ft[0]]) for ft, v in n.items()}
+    su = {s: u9(c / n_users) for s, c in first.items()}
+
+    def hit_u(removed: str | None) -> int:
+        h = {s: MR_SCALE if s == MR_CONV else 0 for s in MR_STATES}
+        for _ in range(MR_STEPS):
+            nh = {}
+            for s in MR_STATES:
+                if s == MR_CONV:
+                    nh[s] = MR_SCALE
+                elif s == removed:
+                    nh[s] = 0
+                else:
+                    nh[s] = sum(pu.get((s, t), 0) * h[t]
+                                for t in MR_STATES) // MR_SCALE
+            h = nh
+        return sum(su.get(s, 0) * h[s] for s in MR_STATES) // MR_SCALE
+
+    r_full = hit_u(None)
+    rows = []
+    for c in MR_CHANNELS:
+        r_rm = hit_u(c)
+        rows.append((c, r_full, r_rm, r_full / MR_SCALE, r_rm / MR_SCALE,
+                     (r_full - r_rm) / float(r_full)))
+    return spark.createDataFrame(
+        rows, "channel string, r_full_u long, r_removed_u long, "
+              "r_full double, r_removed double, removal_effect double")

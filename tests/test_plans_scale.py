@@ -1042,3 +1042,12 @@ def test_neyman_allocation_bounded_frames(spark):
     assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_markov_removal_one_corpus_pass(spark):
+    """Markov removal effect: the data-side work is one lead() pass
+    (window per user) + bounded aggregations; the absorbing-chain
+    iteration is driver-side model math, so the returned frame is a
+    4-row local relation."""
+    plan = plan_of(spark, "events_markov_removal")
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
