@@ -840,6 +840,10 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PROJ_SCALE = COV_SCALE * PI_SCALE      # pu units: xu (1e6) x vu (1e6)
+# the projection reuses _units_arr (kmeans' array-units helper), which
+# rounds at KM_SCALE — the Gram pass rounds at COV_SCALE; they must stay
+# the same constant or the eigvec and the projection disagree silently
+assert KM_SCALE == COV_SCALE
 
 
 @query(

@@ -121,6 +121,31 @@ SHOWCASE = [
      "native WITH RECURSIVE (Spark 4 union-loop execution): per-step "
      "frontier projection+filter stays codegen'd; no Python driver "
      "loop."),
+    ("ml_auc_roc",
+     "exact ROC AUC: distinct-score grouping bounds the frame, the "
+     "cumulative negative count is the shared two-phase prefix, and "
+     "npos/nneg ride the broadcast offsets — all-int64 pair counting."),
+    ("ml_gains_deciles",
+     "gains table: global rank = per-bucket row_number + broadcast "
+     "offsets (never a single-partition corpus sort); div-based decile "
+     "cut; the 10-row cumulative window is driver-trivial."),
+    ("embedding_outlier_scores",
+     "diagonal Mahalanobis: per-dim stats collapse to 64 literal "
+     "(mu, var) pairs, scoring is one map-only codegen pass over "
+     "intact arrays, top-k is TakeOrdered — no explode, no corpus "
+     "shuffle."),
+    ("exact_weighted_median",
+     "weighted median: 2*cum >= tot integer test + monotonicity turn "
+     "the extraction into MIN over the two-phase bucketed prefix — no "
+     "second window, no halving division."),
+    ("events_lateness_profile",
+     "lateness audit: the global event-time high-water mark is a "
+     "two-phase prefix-MAX (bucket_offsets max mode) over arrival "
+     "buckets; all lateness arithmetic in int64 epoch-us."),
+    ("dq_referential_integrity",
+     "FK audit: dimension parents broadcast, the one fact-fact edge "
+     "shuffles on the key, per-edge counts partial-aggregate to a "
+     "7-row union."),
 ]
 
 
