@@ -35,12 +35,17 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 def bucket_offsets(bucketed: DataFrame, bkt: str,
                    cols: dict[str, str | Column],
                    maxes: dict[str, str | Column] | None = None,
+                   partition_by: tuple[str, ...] = (),
                    ) -> DataFrame:
     """Exclusive prefix offsets + grand totals over bucket totals.
 
     ``cols`` maps output name -> column to SUM within each bucket;
     ``maxes`` maps output name -> column to MAX (for prefix-max scans,
-    e.g. skyline dominance).  Returns one row per bucket: ``bkt``,
+    e.g. skyline dominance); ``partition_by`` scopes the scan to a
+    group key (per-type ranks, per-flag weighted medians) — offsets and
+    totals are then per (group, bucket), and the tiny offset windows
+    run per group over buckets only.  Returns one row per bucket:
+    ``partition_by`` columns, ``bkt``,
     ``off_<name>`` (aggregate over all STRICTLY EARLIER buckets; 0 for
     sums and NULL for maxes on the first bucket) and ``tot_<name>``
     (the grand aggregate, identical on every row — it rides the same
@@ -54,13 +59,13 @@ def bucket_offsets(bucketed: DataFrame, bkt: str,
     maxes = maxes or {}
     aggs = [F.sum(c).alias(f"t_{name}") for name, c in cols.items()]
     aggs += [F.max(c).alias(f"t_{name}") for name, c in maxes.items()]
-    totals = bucketed.groupBy(bkt).agg(*aggs)
-    w_off = (Window.orderBy(bkt)
+    totals = bucketed.groupBy(*partition_by, bkt).agg(*aggs)
+    w_off = (Window.partitionBy(*partition_by).orderBy(bkt)
              .rowsBetween(Window.unboundedPreceding, -1))
-    w_all = (Window.orderBy(bkt)
+    w_all = (Window.partitionBy(*partition_by).orderBy(bkt)
              .rowsBetween(Window.unboundedPreceding,
                           Window.unboundedFollowing))
-    out = [F.col(bkt)]
+    out = [F.col(c) for c in partition_by] + [F.col(bkt)]
     for name in cols:
         out.append(F.coalesce(F.sum(f"t_{name}").over(w_off), F.lit(0))
                    .alias(f"off_{name}"))

@@ -1254,22 +1254,24 @@ def stats_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", "ts")
 
+    from flinkapps_spark.operators.prefix import bucket_offsets
+
     def two_phase_rank(bucket_col, order_cols, out_name: str) -> DataFrame:
-        """rank within event_type by order_cols via bucketed prefix."""
+        """rank within event_type by order_cols via the shared
+        per-group bucketed prefix (bucket_offsets partition_by)."""
         rows = ev.withColumn("bkt", bucket_col)
         cnts = (rows.groupBy("event_type", "bkt")
                 .agg(F.count("*").alias("cnt"))
                 .persist(StorageLevel.MEMORY_AND_DISK))
         cnts.count()
-        w_off = (Window.partitionBy("event_type").orderBy("bkt")
-                 .rowsBetween(Window.unboundedPreceding, -1))
-        offs = cnts.select(
-            "event_type", "bkt",
-            F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"))
+        offs = bucket_offsets(cnts, "bkt", {"cnt": "cnt"},
+                              partition_by=("event_type",))
         w_in = Window.partitionBy("event_type", "bkt").orderBy(*order_cols)
-        return (rows.join(F.broadcast(offs), ["event_type", "bkt"])
+        return (rows.join(F.broadcast(offs.select(
+                    "event_type", "bkt", "off_cnt")),
+                    ["event_type", "bkt"])
                 .select("event_id", "event_type",
-                        (F.col("off") + F.row_number().over(w_in))
+                        (F.col("off_cnt") + F.row_number().over(w_in))
                         .alias(out_name)))
 
     rx = two_phase_rank(F.floor(F.col("value") / SP_VAL_BUCKET),

@@ -104,3 +104,18 @@ def sql_sum_over(expr: str, over: str, scale: int = 10000) -> str:
     DOUBLE divisor — see :func:`sql_sum` for why not ``{scale}.0``."""
     return (f"(CAST(SUM({sql_units(expr, scale)}) "
             f"OVER {over} AS BIGINT) / CAST({scale} AS DOUBLE))")
+
+
+def units_scalar(x: float, scale: int) -> int:
+    """Driver-side mirror of :func:`units_col`/:func:`sql_units` for
+    bounded model state (k-means centroids, power-iteration vectors,
+    Markov probabilities): the same half-away-from-zero fixed-point
+    rounding, as one shared definition instead of per-module clones.
+    Callers must pass x already in DOUBLE form (e.g. float(a)/float(b),
+    never exact int/int) so the op sequence matches the SQL side's
+    CAST-to-DOUBLE-first arithmetic.
+    """
+    import math
+
+    v = x * scale
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flinkapps_spark.operators.cdc import apply_changelog
 from flinkapps_spark.plans.catalog import query
+from flinkapps_spark.plans.pipeline_queries import _sql_word_code
 from flinkapps_spark.plans.exact import exact_sum, sql_sum, sql_units, units_col
 from flinkapps_spark.sources.batch import load_table
 
@@ -713,9 +714,7 @@ _DP_RAW = ("(-(1.0 / " + repr(DP_EPSILON) + ") "
 # ln() is not correctly-rounded and differs by 1 ulp between the JVM and
 # libm, so the released noise is ROUNDED to 1e-9 units in-query on both
 # sides (the source_entropy_diversity pattern for transcendental terms)
-_DP_NOISE_U = (f"CAST(CASE WHEN {_DP_RAW} * 1000000000 >= 0 "
-               f"THEN floor({_DP_RAW} * 1000000000 + 0.5) "
-               f"ELSE ceil({_DP_RAW} * 1000000000 - 0.5) END AS BIGINT)")
+_DP_NOISE_U = sql_units(_DP_RAW, 10 ** 9)
 
 
 @query(
@@ -726,10 +725,7 @@ _DP_NOISE_U = (f"CAST(CASE WHEN {_DP_RAW} * 1000000000 >= 0 "
             FROM events GROUP BY event_type),
         u AS (
             SELECT event_type, true_count,
-                   ((list_reduce([CAST(0 AS BIGINT)] ||
-                        list_transform(string_split(event_type, ''),
-                                       ch -> CAST(ascii(ch) AS BIGINT)),
-                        (a, b) -> (a * 31 + b) % 2147483647)
+                   (({_sql_word_code("event_type")}
                      % {DP_MOD}) + 0.5) / {DP_MOD} AS uni
             FROM c)
         SELECT event_type, true_count, uni,
@@ -824,13 +820,17 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flinkapps_spark.operators.prefix import bucket_offsets
 
-    ev = (load_table(spark, sf_dir, "events")
-          .select("event_type", "event_id",
-                  F.unix_micros("ts").alias("us"),
-                  F.floor(F.col("event_id") / LATE_BUCKET).alias("bkt"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
-    ev.count()
-    offs = bucket_offsets(ev, "bkt", {}, maxes={"us": "us"})
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_micros("ts").alias("us"),
+        F.floor(F.col("event_id") / LATE_BUCKET).alias("bkt"))
+    # cache only the BOUNDED per-bucket max frame (bucket_offsets'
+    # broadcast stage would otherwise rescan events); the row-level
+    # probe side re-reads parquet once, which is cheaper than writing a
+    # corpus-sized cache
+    per_bkt = (ev.groupBy("bkt").agg(F.max("us").alias("mx"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    per_bkt.count()
+    offs = bucket_offsets(per_bkt, "bkt", {}, maxes={"us": "mx"})
     w_in = (Window.partitionBy("bkt").orderBy("event_id")
             .rowsBetween(Window.unboundedPreceding, -1))
     # greatest() skips NULLs on both engines: first bucket has off_us

@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flinkapps_spark.functions.text import HASH_MOD, tokenize, word_code
 from flinkapps_spark.plans.catalog import query
-from flinkapps_spark.plans.exact import sql_units, units_col
+from flinkapps_spark.plans.exact import (
+    sql_units, units_col, units_scalar,
+)
 from flinkapps_spark.plans.pipeline_queries import SQL_WORDS, _sql_word_code
 from flinkapps_spark.sources.batch import load_table
 
@@ -177,16 +179,30 @@ QS_MIX = 2654435761       # Knuth multiplicative constant -> pseudo-weights
 QS_WSCALE = 1000          # weight units per 1.0
 
 
+def quality_z_expr(ws):
+    """int64 weight-sum of the hashed linear quality model over a word
+    array — THE model inference expression, shared by
+    text_quality_linear and the whole mleval family so the evaluated
+    model can never drift from the applied one."""
+    return F.aggregate(
+        F.transform(ws, lambda w: ((word_code(w) % QS_BUCKETS)
+                                   * QS_MIX) % 1001 - 500),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+# DuckDB mirror over a word-list column named ``ws``
+SQL_QUALITY_Z = (f"CAST(list_sum([0] || list_transform(ws, "
+                 f"w -> (({_sql_word_code('w')} % {QS_BUCKETS}) "
+                 f"* {QS_MIX}) % 1001 - 500)) AS BIGINT)")
+
+
 @query(
     "text_quality_linear",
     oracle=f"""
         WITH t AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
         scored AS (
             SELECT doc_id, len(ws) AS n_tokens,
-                   CAST(list_sum([0] || list_transform(ws,
-                       w -> (({_sql_word_code('w')} % {QS_BUCKETS})
-                             * {QS_MIX}) % 1001 - 500)) AS BIGINT)
-                       AS z_units
+                   {SQL_QUALITY_Z} AS z_units
             FROM t
         )
         SELECT doc_id, n_tokens, z_units,
@@ -215,12 +231,8 @@ QS_WSCALE = 1000          # weight units per 1.0
 def text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = tokenize(F.col("text"))
-    z = F.aggregate(
-        F.transform(ws, lambda w: ((word_code(w) % QS_BUCKETS)
-                                   * QS_MIX) % 1001 - 500),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
     out = docs.select("doc_id", F.size(ws).alias("n_tokens"),
-                      z.alias("z_units"))
+                      quality_z_expr(ws).alias("z_units"))
     mean_w = F.when(F.col("n_tokens") > 0,
                     F.col("z_units").cast("double")
                     / (F.lit(1000.0) * F.col("n_tokens")))
@@ -714,8 +726,6 @@ def _power_ctes() -> str:
     in _dominant_eigvec_units.  Every per-round CTE is MATERIALIZED —
     inlined CTEs would re-expand the whole chain at each reference
     (observed: exponential blowup, the query never finished)."""
-    u = (f"CAST(CASE WHEN {{x}} >= 0 THEN floor({{x}} * {PI_SCALE} + 0.5) "
-         f"ELSE ceil({{x}} * {PI_SCALE} - 0.5) END AS BIGINT)")
     ctes = [f"""
         x AS MATERIALIZED (
             SELECT vec_id, CAST(i AS INTEGER) AS i, {_COV_U} AS xu
@@ -728,7 +738,7 @@ def _power_ctes() -> str:
         gmax AS (SELECT CAST(MAX(ABS(g)) AS BIGINT) AS m FROM gram),
         gn AS MATERIALIZED (
             SELECT i, j,
-                   {u.format(x=f"(CAST(g AS DOUBLE) / m)")} AS gu
+                   {sql_units('(CAST(g AS DOUBLE) / m)', PI_SCALE)} AS gu
             FROM gram, gmax),
         v0 AS (
             SELECT CAST(i AS INTEGER) AS i,
@@ -747,7 +757,7 @@ def _power_ctes() -> str:
                 AS nrm
             FROM w{k}),
         v{k} AS MATERIALIZED (
-            SELECT i, {u.format(x=f"(CAST(wd AS DOUBLE) / nrm)")} AS vu
+            SELECT i, {sql_units('(CAST(wd AS DOUBLE) / nrm)', PI_SCALE)} AS vu
             FROM w{k}, n{k})""")
     return ",".join(ctes)
 
@@ -782,17 +792,17 @@ def _dominant_eigvec_units(spark: SparkSession, sf_dir: str) -> list[int]:
     g = {(r["i"], r["j"]): int(r["g"]) for r in gram.collect()}
     gmax = max(abs(v) for v in g.values())
 
-    def units(x: float) -> int:
-        v = x * PI_SCALE
-        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
-
-    gu = {ij: units(v / gmax) for ij, v in g.items()}
+    # float(v)/float(gmax), NOT the exact int/int quotient: the oracle
+    # casts both operands to DOUBLE before dividing, and the two
+    # quotients differ by an ulp once Gram entries pass 2^53
+    gu = {ij: units_scalar(float(v) / float(gmax), PI_SCALE)
+          for ij, v in g.items()}
     vu = [PI_V0] * d
     for _ in range(PI_ITERS):
         w = [sum(gu[(i, j)] * vu[i] for i in range(d)) for j in range(d)]
         wd = [int(math.floor(float(x) / PI_SCALE)) for x in w]
         nrm = math.sqrt(float(sum(x * x for x in wd)))
-        vu = [units(float(x) / nrm) for x in wd]
+        vu = [units_scalar(float(x) / nrm, PI_SCALE) for x in wd]
     return vu
 
 
@@ -843,7 +853,10 @@ PROJ_SCALE = COV_SCALE * PI_SCALE      # pu units: xu (1e6) x vu (1e6)
 # the projection reuses _units_arr (kmeans' array-units helper), which
 # rounds at KM_SCALE — the Gram pass rounds at COV_SCALE; they must stay
 # the same constant or the eigvec and the projection disagree silently
-assert KM_SCALE == COV_SCALE
+# (explicit raise, not assert: survives python -O)
+if KM_SCALE != COV_SCALE:
+    raise RuntimeError("KM_SCALE must equal COV_SCALE: "
+                       "embedding_pca_project rounds xu with _units_arr")
 
 
 @query(

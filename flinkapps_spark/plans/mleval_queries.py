@@ -27,12 +27,12 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from flinkapps_spark.functions.text import tokenize, word_code
+from flinkapps_spark.functions.text import tokenize
 from flinkapps_spark.operators.prefix import bucket_offsets
 from flinkapps_spark.plans.catalog import query
 from flinkapps_spark.plans.exact import sql_units, units_col
-from flinkapps_spark.plans.ml_queries import QS_BUCKETS, QS_MIX
-from flinkapps_spark.plans.pipeline_queries import SQL_WORDS, _sql_word_code
+from flinkapps_spark.plans.ml_queries import SQL_QUALITY_Z, quality_z_expr
+from flinkapps_spark.plans.pipeline_queries import SQL_WORDS
 from flinkapps_spark.sources.batch import load_table
 
 # ---------------------------------------------------------------------------
@@ -54,14 +54,11 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     ws = tokenize(F.col("text"))
-    z = F.aggregate(
-        F.transform(ws, lambda w: ((word_code(w) % QS_BUCKETS)
-                                   * QS_MIX) % 1001 - 500),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
     sc = docs.select(
         "doc_id",
         F.when(F.col("lang") == POS_LANG, 1).otherwise(0).alias("pos"),
-        F.size(ws).alias("n_tokens"), z.alias("z_units"))
+        F.size(ws).alias("n_tokens"),
+        quality_z_expr(ws).alias("z_units"))
     return (sc.filter(F.col("n_tokens") > 0)
             .withColumn("s", F.col("z_units").cast("double")
                         / (F.lit(1000.0) * F.col("n_tokens"))))
@@ -73,10 +70,7 @@ _SQL_SCORED = f"""
                      {SQL_WORDS} AS ws
               FROM documents),
         sc AS (SELECT doc_id, pos, len(ws) AS n_tokens,
-                      CAST(list_sum([0] || list_transform(ws,
-                          w -> (({_sql_word_code('w')} % {QS_BUCKETS})
-                                * {QS_MIX}) % 1001 - 500)) AS BIGINT)
-                          AS z_units
+                      {SQL_QUALITY_Z} AS z_units
                FROM t),
         scored AS (SELECT doc_id, pos, n_tokens, z_units,
                           CAST(z_units AS DOUBLE) / (1000.0 * n_tokens) AS s

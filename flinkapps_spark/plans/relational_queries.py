@@ -4157,26 +4157,18 @@ def exact_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (li.groupBy(F.col("l_returnflag").alias("flag"),
                     units_col("l_extendedprice", 100).alias("u"))
          .agg(F.sum(units_col("l_quantity", 1)).alias("w")))
+    from flinkapps_spark.operators.prefix import bucket_offsets
+
     bucketed = (v.withColumn("bkt", F.floor(F.col("u") / WM_BUCKET))
                 .persist(StorageLevel.MEMORY_AND_DISK))
     bucketed.count()
-    w_off = (Window.partitionBy("flag").orderBy("bkt")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    w_all = (Window.partitionBy("flag")
-             .orderBy("bkt")
-             .rowsBetween(Window.unboundedPreceding,
-                          Window.unboundedFollowing))
-    per_bkt = (bucketed.groupBy("flag", "bkt")
-               .agg(F.sum("w").alias("bw")))
-    offs = per_bkt.select(
-        "flag", "bkt",
-        F.coalesce(F.sum("bw").over(w_off), F.lit(0)).alias("off"),
-        F.sum("bw").over(w_all).alias("tot"))
+    offs = bucket_offsets(bucketed, "bkt", {"w": "w"},
+                          partition_by=("flag",))
     w_in = (Window.partitionBy("flag", "bkt").orderBy("u")
             .rowsBetween(Window.unboundedPreceding, 0))
     cum = (bucketed.join(F.broadcast(offs), ["flag", "bkt"])
-           .select("flag", "u", "tot",
-                   (F.col("off") + F.sum("w").over(w_in)).alias("cum")))
+           .select("flag", "u", F.col("tot_w").alias("tot"),
+                   (F.col("off_w") + F.sum("w").over(w_in)).alias("cum")))
     return (cum.filter(2 * F.col("cum") >= F.col("tot"))
             .groupBy("flag", F.col("tot").alias("total_weight"))
             .agg(F.min("u").alias("median_u"))
@@ -4229,28 +4221,63 @@ def _ri_oracle() -> str:
         "the star schema, the child row count, the orphan count "
         "(non-null FK with no parent), and the null-FK count — the "
         "one-query answer to 'can I trust my joins?' that every "
-        "warehouse health check runs. Scale: each edge is one "
-        "left/anti-style join — small parents (nation, region, "
-        "supplier, part, customer at this ratio) broadcast; the "
-        "lineitem->orders edge shuffles both sides on the key, "
-        "partial-aggregating counts map-side so the union result is 7 "
-        "rows. Counting via LEFT JOIN + conditional SUM (not anti-join "
-        "subtraction) keeps each edge single-pass over the child.",
+        "warehouse health check runs. Scale: the THREE lineitem edges "
+        "share one scan — part/supplier broadcast onto it and the "
+        "orders join shuffles once; a single aggregation emits all "
+        "three edges' counts and stack() unpivots them. The remaining "
+        "edges broadcast their small parents. Counting via LEFT JOIN + "
+        "conditional SUM (not anti-join subtraction) keeps every edge "
+        "single-pass over its child.",
 )
 def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = None
+    # the three lineitem edges share ONE scan of the biggest table:
+    # three left joins stack onto the same pass, one aggregation emits
+    # all three edges' counts, stack() unpivots them to rows
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey")
+    sp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    j = (li.join(od, li["l_orderkey"] == od["o_orderkey"], "left")
+         .join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"], "left")
+         .join(F.broadcast(sp), li["l_suppkey"] == sp["s_suppkey"], "left"))
+
+    def edge_counts(fk, pk):
+        return (F.sum(F.when(pk.isNull() & fk.isNotNull(), 1)
+                      .otherwise(0)),
+                F.sum(F.when(fk.isNull(), 1).otherwise(0)))
+
+    o_orph, o_null = edge_counts(li["l_orderkey"], od["o_orderkey"])
+    p_orph, p_null = edge_counts(li["l_partkey"], pt["p_partkey"])
+    s_orph, s_null = edge_counts(li["l_suppkey"], sp["s_suppkey"])
+    one = j.agg(F.count("*").alias("n_child"),
+                o_orph.alias("o_orph"), o_null.alias("o_null"),
+                p_orph.alias("p_orph"), p_null.alias("p_null"),
+                s_orph.alias("s_orph"), s_null.alias("s_null"))
+    li_edges = one.select(
+        F.expr(
+            "stack(3,"
+            " 'lineitem.l_orderkey->orders', o_orph, o_null,"
+            " 'lineitem.l_partkey->part', p_orph, p_null,"
+            " 'lineitem.l_suppkey->supplier', s_orph, s_null)"
+            " AS (fk_edge, n_orphan, n_null_fk)"),
+        "n_child").select("fk_edge", "n_child", "n_orphan", "n_null_fk")
+
+    out = li_edges
     for name, child, fk, parent, pk in FK_EDGES:
+        if child == "lineitem":
+            continue
         c = load_table(spark, sf_dir, child).select(F.col(fk))
         p = load_table(spark, sf_dir, parent).select(F.col(pk))
-        j = c.join(p, c[fk] == p[pk], "left")
-        agg = j.agg(
+        j2 = c.join(p, c[fk] == p[pk], "left")
+        agg = j2.agg(
             F.lit(name).alias("fk_edge"),
             F.count("*").alias("n_child"),
             F.sum(F.when(p[pk].isNull() & c[fk].isNotNull(), 1)
                   .otherwise(0)).alias("n_orphan"),
             F.sum(F.when(c[fk].isNull(), 1).otherwise(0))
             .alias("n_null_fk"))
-        out = agg if out is None else out.unionByName(agg)
+        out = out.unionByName(agg)
     return out
 
 
@@ -4266,9 +4293,7 @@ MR_SCALE = 10 ** 9                         # fixed-point probability units
 
 
 def _mr_units9(x: str) -> str:
-    return (f"CAST(CASE WHEN {x} * {MR_SCALE} >= 0 "
-            f"THEN floor({x} * {MR_SCALE} + 0.5) "
-            f"ELSE ceil({x} * {MR_SCALE} - 0.5) END AS BIGINT)")
+    return sql_units(x, MR_SCALE)
 
 
 def _markov_removal_oracle() -> str:
@@ -4343,8 +4368,9 @@ def _markov_removal_oracle() -> str:
             f" AS r_full,\n"
             f"               r_removed_u / CAST({MR_SCALE} AS DOUBLE)"
             f" AS r_removed,\n"
-            f"               (r_full_u - r_removed_u)"
-            f" / CAST(r_full_u AS DOUBLE) AS removal_effect\n"
+            f"               CASE WHEN r_full_u > 0 THEN"
+            f" (r_full_u - r_removed_u)"
+            f" / CAST(r_full_u AS DOUBLE) END AS removal_effect\n"
             f"        FROM eff")
 
 
@@ -4371,8 +4397,6 @@ def _markov_removal_oracle() -> str:
         "segment literals.",
 )
 def events_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     from pyspark import StorageLevel
 
     ev = load_table(spark, sf_dir, "events")
@@ -4392,12 +4416,13 @@ def events_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq.unpersist()
     n_users = sum(first.values())
 
-    def u9(x: float) -> int:
-        v = x * MR_SCALE
-        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+    from flinkapps_spark.plans.exact import units_scalar
 
-    pu = {ft: u9(v / tot[ft[0]]) for ft, v in n.items()}
-    su = {s: u9(c / n_users) for s, c in first.items()}
+    # float()/float() mirrors the oracle's CAST-to-DOUBLE-first division
+    pu = {ft: units_scalar(float(v) / float(tot[ft[0]]), MR_SCALE)
+          for ft, v in n.items()}
+    su = {s: units_scalar(float(c) / float(n_users), MR_SCALE)
+          for s, c in first.items()}
 
     def hit_u(removed: str | None) -> int:
         h = {s: MR_SCALE if s == MR_CONV else 0 for s in MR_STATES}
@@ -4418,8 +4443,9 @@ def events_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for c in MR_CHANNELS:
         r_rm = hit_u(c)
+        eff = ((r_full - r_rm) / float(r_full)) if r_full > 0 else None
         rows.append((c, r_full, r_rm, r_full / MR_SCALE, r_rm / MR_SCALE,
-                     (r_full - r_rm) / float(r_full)))
+                     eff))
     return spark.createDataFrame(
         rows, "channel string, r_full_u long, r_removed_u long, "
               "r_full double, r_removed double, removal_effect double")
