@@ -1374,3 +1374,51 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor((NEY_BUDGET * F.col("w_u"))
                             / F.col("tot_w").cast("double") + 0.5)
                     .cast("long").alias("alloc_n")))
+
+
+# ---------------------------------------------------------------------------
+# events_fano_burstiness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_fano_burstiness",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2),
+        s AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(SUM(cnt) AS BIGINT) AS s1,
+                   CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+            FROM c GROUP BY event_type)
+        SELECT event_type, n_hours, s1 AS n_events,
+               (n_hours * s2 - s1 * s1)
+                   / CAST(n_hours * s1 AS DOUBLE) AS fano_factor
+        FROM s
+    """,
+    category="extension: burstiness (Fano factor)",
+    doc="Index of dispersion of hourly event arrivals per type: Fano = "
+        "Var(count)/Mean(count) over the observed hourly bins — 1 for a "
+        "Poisson process, >1 means bursty traffic (the capacity-planning "
+        "readout that complements events_rate_spike's point alerts and "
+        "events_concurrency_peaks). The identity (n*S2 - S1^2)/(n*S1) "
+        "keeps everything int64 until ONE division; hour bucketing via "
+        "date_trunc (the SCALE.md time policy). int64: n*S2 <= "
+        "bins^2*max_cnt^2 — overflow needs ~3e9 events in one hour. "
+        "Scale: one partial-agg shuffle to the bounded (type, hour) "
+        "frame, then a per-type scalar.",
+)
+def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (load_table(spark, sf_dir, "events")
+         .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+         .agg(F.count("*").alias("cnt")))
+    s = c.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"), F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"))
+    return s.select(
+        "event_type", "n_hours", F.col("s1").alias("n_events"),
+        ((F.col("n_hours") * F.col("s2") - F.col("s1") * F.col("s1"))
+         / (F.col("n_hours") * F.col("s1")).cast("double"))
+        .alias("fano_factor"))

@@ -1006,3 +1006,70 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         wps.alias("words_per_sentence"), spw.alias("syllables_per_word"),
         (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw)
         .alias("flesch_ease"))
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty
+# ---------------------------------------------------------------------------
+
+
+def _novelty_oracle() -> str:
+    from flinkapps_spark.plans.pipeline_queries import (
+        _sql_shingle_codes, _sql_word_code,
+    )
+    wc = (f"list_transform({SQL_WORDS}, w -> {_sql_word_code('w')})")
+    return f"""
+        WITH sh AS (
+            SELECT doc_id, source, unnest({_sql_shingle_codes(wc)}) AS s
+            FROM documents),
+        fd AS (
+            SELECT s, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+            FROM sh GROUP BY s)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_shingle_occurrences,
+               CAST(SUM(CASE WHEN fd.first_doc = sh.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN fd.first_doc = sh.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   / CAST(COUNT(*) AS DOUBLE) AS novelty_rate
+        FROM sh JOIN fd USING (s)
+        GROUP BY source
+    """
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=_novelty_oracle(),
+    category="extension: corpus novelty (n-gram first-occurrence rate)",
+    doc="Ingest-order novelty curve aggregated per source: for every "
+        "distinct 3-word shingle occurrence, was this document (by "
+        "doc_id order) the FIRST to contain that shingle? A source "
+        "whose novelty rate collapses is re-crawling content the corpus "
+        "already has — the macro view that complements per-pair dedup "
+        "(dedup_incremental_newbatch decides keep/drop; this decides "
+        "whether to keep crawling the source). Counts are int64 with "
+        "one final division. Scale: shingles explode map-side (the "
+        "inverted-index shape shared with text_decontaminate), the "
+        "first-occurrence MIN partial-aggregates on the shingle key, "
+        "one join back on that key, and the final aggregation is "
+        "partial on source. No doc-to-doc comparison anywhere.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.functions.text import tokenize, word_code
+    from flinkapps_spark.operators.dedup import shingle_codes_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = F.transform(tokenize(F.col("text")), lambda w: word_code(w))
+    sh = docs.select("doc_id", "source",
+                     F.explode(shingle_codes_of(wc)).alias("s"))
+    fd = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(fd, "s")
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0))
+    return (j.groupBy("source")
+            .agg(F.count("*").alias("n_shingle_occurrences"),
+                 novel.alias("n_novel"))
+            .select("source", "n_shingle_occurrences", "n_novel",
+                    (F.col("n_novel")
+                     / F.col("n_shingle_occurrences").cast("double"))
+                    .alias("novelty_rate")))

@@ -1228,3 +1228,75 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  exact_avg(a_err, FB_MAE_SCALE).alias("mae"),
                  exact_avg(2 * a_err / (F.col("cnt") + F.col("fmean")),
                            FB_SMAPE_SCALE).alias("smape")))
+
+
+# ---------------------------------------------------------------------------
+# events_holt_linear — recursive-CTE Holt smoothing, same SQL on both engines
+# ---------------------------------------------------------------------------
+
+HOLT_SCALE = 10 ** 6      # fixed-point units per daily count
+# alpha = 1/2, beta = 1/4: the exact-binary smoothing factors make each
+# step a floor-div of small integer sums (no float state anywhere)
+
+_HOLT_LNEXT = ("CAST(floor(CAST(b.cnt * 1000000 + h.l_u + h.b_u "
+               "AS DOUBLE) / 2) AS BIGINT)")
+
+_HOLT_SQL = f"""
+    WITH RECURSIVE base AS (
+        SELECT event_type, d, cnt,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY d) AS k
+        FROM (SELECT event_type, CAST(ts AS DATE) AS d,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM {{table}} GROUP BY 1, 2)
+    ),
+    holt AS (
+        SELECT event_type, k, CAST(cnt * 1000000 AS BIGINT) AS l_u,
+               CAST(0 AS BIGINT) AS b_u
+        FROM base WHERE k = 1
+      UNION ALL
+        SELECT b.event_type, b.k,
+               {_HOLT_LNEXT} AS l_u,
+               CAST(floor(CAST(({_HOLT_LNEXT} - h.l_u) + 3 * h.b_u
+                   AS DOUBLE) / 4) AS BIGINT) AS b_u
+        FROM holt h JOIN base b
+          ON b.event_type = h.event_type AND b.k = h.k + 1
+    ),
+    last AS (SELECT event_type, MAX(k) AS kmax FROM base
+             GROUP BY event_type)
+    SELECT h.event_type, h.k AS n_days, h.l_u, h.b_u,
+           h.l_u / CAST(1000000 AS DOUBLE) AS level_smoothed,
+           h.b_u / CAST(1000000 AS DOUBLE) AS trend_per_day,
+           (h.l_u + h.b_u) / CAST(1000000 AS DOUBLE) AS forecast_next
+    FROM holt h JOIN last l
+      ON l.event_type = h.event_type AND l.kmax = h.k
+"""
+
+
+@query(
+    "events_holt_linear",
+    oracle=_HOLT_SQL.format(table="events"),
+    category="extension: time-series (Holt linear smoothing, recursive CTE)",
+    doc="Holt double-exponential smoothing of daily event volume per "
+        "type — level + trend state evolved day by day, the one-line "
+        "forecaster a volume dashboard runs next to the seasonal-naive "
+        "backtest (events_forecast_backtest scores it). The SAME SQL "
+        "text executes on both engines (only the view name differs): "
+        "Spark 4 runs WITH RECURSIVE natively (UnionLoop — second use "
+        "after sql_recursive_hierarchy, here with a JOIN back to the "
+        "static day grid inside the recursive member). Determinism: "
+        "alpha=1/2 and beta=1/4 turn each update into integer sums + a "
+        "floor through an exactly-representable double (values < 2^53) "
+        "— NO float state crosses a step, so 30 chained steps cannot "
+        "accumulate engine drift. Scale: the recursion is over the "
+        "DATE-DOMAIN grid (one row per (type, day) — bounded by the "
+        "calendar, not the corpus); the corpus contributes one "
+        "partial-agg shuffle. Depth = #days; raise "
+        "spark.sql.cteRecursionLevelLimit (default 100) or coarsen to "
+        "weeks past a ~3-month window.",
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = "events_holt_v"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
+    return spark.sql(_HOLT_SQL.format(table=view))

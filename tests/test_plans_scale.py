@@ -1051,3 +1051,33 @@ def test_markov_removal_one_corpus_pass(spark):
     4-row local relation."""
     plan = plan_of(spark, "events_markov_removal")
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_fano_bounded_frames(spark):
+    """Fano factor: one partial-agg corpus shuffle to the (type, hour)
+    frame, then a bounded per-type scalar; no window, no Python."""
+    plan = plan_of(spark, "events_fano_burstiness")
+    assert "partial" in plan.lower(), plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_novelty_inverted_index_shape(spark):
+    """N-gram novelty: shingles explode map-side, first-occurrence MIN
+    partial-aggregates on the shingle key, one equi-join back — never
+    doc-to-doc; no Python."""
+    plan = plan_of(spark, "text_ngram_novelty")
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_holt_recursive_native_over_day_grid(spark):
+    """Holt smoothing: Spark executes the WITH RECURSIVE natively
+    (union-loop), the recursion joins only the bounded day grid, and
+    no Python appears anywhere."""
+    plan = plan_of(spark, "events_holt_linear")
+    assert "Loop" in plan or "Recursion" in plan, plan
+    assert "Python" not in plan, plan
