@@ -1055,6 +1055,8 @@ def _novelty_oracle() -> str:
         "partial on source. No doc-to-doc comparison anywhere.",
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from flinkapps_spark.functions.text import tokenize, word_code
     from flinkapps_spark.operators.dedup import shingle_codes_of
 
@@ -1062,8 +1064,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = F.transform(tokenize(F.col("text")), lambda w: word_code(w))
     sh = docs.select("doc_id", "source",
                      F.explode(shingle_codes_of(wc)).alias("s"))
-    fd = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
-    j = sh.join(fd, "s")
+    # window-min instead of agg+join-back: the expensive
+    # tokenize+shingle explode runs ONCE and shuffles once on the
+    # shingle key (the agg+join form re-computed the explode on the
+    # probe side — measured 2x the corpus work at sf1)
+    first_doc = F.min("doc_id").over(Window.partitionBy("s"))
+    j = sh.select("doc_id", "source", first_doc.alias("first_doc"))
     novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
                   .otherwise(0))
     return (j.groupBy("source")
