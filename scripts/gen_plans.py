@@ -146,6 +146,17 @@ SHOWCASE = [
      "FK audit: dimension parents broadcast, the one fact-fact edge "
      "shuffles on the key, per-edge counts partial-aggregate to a "
      "7-row union."),
+    ("events_holt_linear",
+     "Holt smoothing: native WITH RECURSIVE (union-loop) over the "
+     "bounded day grid, joining the static grid inside the recursive "
+     "member; integer floor-div state, no Python."),
+    ("text_ngram_novelty",
+     "novelty: one explode pass, window MIN on the shingle key (no "
+     "join-back recompute), partial-agg to the source frame."),
+    ("events_markov_removal",
+     "Markov removal effect: one lead() corpus pass + bounded "
+     "aggregations; the absorbing-chain recursion is driver-side model "
+     "math, so the result plan is a local relation."),
 ]
 
 
