@@ -544,3 +544,84 @@ def test_covariance_matches_numpy(spark):
     for (i, j), c in got.items():
         assert abs(c - expect[i, j]) < 1e-9, (i, j, c, expect[i, j])
     assert len(got) == 64 * 65 // 2
+
+
+# ---------------------------------------------------------------------------
+# round-5 part-7 exact-algorithm properties (pure-Python reference models)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 500),          # price units u
+                          st.integers(1, 50)),          # weight
+                min_size=1, max_size=60))
+def test_weighted_median_identity(rows):
+    """The 2*cum >= tot + MIN extraction used by exact_weighted_median
+    equals the textbook weighted median (smallest u whose cumulative
+    weight reaches half the total) on arbitrary integer inputs."""
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    for u, q in rows:
+        w[u] += q
+    tot = sum(w.values())
+    cum = 0
+    expect = None
+    for u in sorted(w):
+        cum += w[u]
+        if 2 * cum >= tot:
+            expect = u
+            break
+    # the query's algebra: min u among qualifiers of the cum window
+    cum2 = 0
+    quals = []
+    for u in sorted(w):
+        cum2 += w[u]
+        if 2 * cum2 >= tot:
+            quals.append(u)
+    assert min(quals) == expect
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(-20, 20),          # score
+                          st.booleans()),                # label
+                min_size=2, max_size=80))
+def test_auc_rank_sum_identity(rows):
+    """ml_auc_roc's distinct-score pair counting equals the O(n^2)
+    definition AUC = [#(s_pos > s_neg) + #(s_pos = s_neg)/2] / (P*N)
+    whenever both classes are present."""
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    if not pos or not neg:
+        return
+    brute2 = sum(2 * (p > n) + (p == n) for p in pos for n in neg)
+
+    from collections import Counter
+    cp, cn = Counter(pos), Counter(neg)
+    num2 = 0
+    cneg_lt = 0
+    for s in sorted(set(cp) | set(cn)):
+        num2 += cp.get(s, 0) * (2 * cneg_lt + cn.get(s, 0))
+        cneg_lt += cn.get(s, 0)
+    assert num2 == brute2
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(0, 5), min_size=2, max_size=40))
+def test_spearman_rho_matches_scipy_free_reference(vals):
+    """stats_spearman_trend's d^2 identity (with unique-key tie-break)
+    equals Pearson correlation of the two rank permutations."""
+    # rank by (value, index) vs rank by (index) — the query's two keys
+    n = len(vals)
+    order_v = sorted(range(n), key=lambda i: (vals[i], i))
+    rx = [0] * n
+    for r, i in enumerate(order_v, 1):
+        rx[i] = r
+    ry = list(range(1, n + 1))
+    sum_d2 = sum((a - b) ** 2 for a, b in zip(rx, ry))
+    rho_d2 = 1.0 - (6 * sum_d2) / (n * (n * n - 1))
+    # Pearson on the permutations (exact closed forms for mean/var)
+    mean = (n + 1) / 2
+    cov = sum((a - mean) * (b - mean) for a, b in zip(rx, ry)) / n
+    var = (n * n - 1) / 12
+    assert abs(rho_d2 - cov / var) < 1e-9
