@@ -849,3 +849,48 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum(F.when(F.col("late_us") > LATE_THRESH_US, 1)
                         .otherwise(0))
                   / F.count("*").cast("double")).alias("frac_over_5min")))
+
+
+# ---------------------------------------------------------------------------
+# dq_freshness — per-type staleness against the corpus high-water mark
+# ---------------------------------------------------------------------------
+
+FRESH_SLA_US = 6 * 3600 * 1_000_000     # 6-hour freshness SLA
+
+
+@query(
+    "dq_freshness",
+    oracle=f"""
+        WITH t AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+            FROM events GROUP BY event_type),
+        hwm AS (SELECT CAST(MAX(last_us) AS BIGINT) AS corpus_us FROM t)
+        SELECT event_type, n_events, last_us,
+               corpus_us - last_us AS staleness_us,
+               (corpus_us - last_us) > {FRESH_SLA_US} AS sla_breach
+        FROM t, hwm
+    """,
+    category="extension: data quality (freshness / staleness audit)",
+    doc="Pipeline-freshness audit: each event type's last event time "
+        "against the corpus high-water mark, with a 6-hour SLA flag — "
+        "the 'did a producer stop?' check that pages before dashboards "
+        "silently flatline (the batch complement of "
+        "events_lateness_profile, which audits ordering rather than "
+        "liveness). Exact int64 epoch-us arithmetic. Scale: one "
+        "partial-agg shuffle to the per-type frame; the high-water mark "
+        "rides a broadcast over that bounded frame.",
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (load_table(spark, sf_dir, "events")
+         .groupBy("event_type")
+         .agg(F.count("*").alias("n_events"),
+              F.max(F.unix_micros("ts")).alias("last_us")))
+    hwm = t.agg(F.max("last_us").alias("corpus_us"))
+    return (t.crossJoin(F.broadcast(hwm))
+            .select("event_type", "n_events", "last_us",
+                    (F.col("corpus_us") - F.col("last_us"))
+                    .alias("staleness_us"),
+                    ((F.col("corpus_us") - F.col("last_us"))
+                     > FRESH_SLA_US).alias("sla_breach")))

@@ -4449,3 +4449,81 @@ def events_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "channel string, r_full_u long, r_removed_u long, "
               "r_full double, r_removed double, removal_effect double")
+
+
+# ---------------------------------------------------------------------------
+# parts_abc_classification — cumulative revenue-share ABC classes
+# ---------------------------------------------------------------------------
+
+ABC_BAND = 10 ** 8      # revenue-unit prefix buckets (1M currency bands)
+
+
+@query(
+    "parts_abc_classification",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_partkey AS partkey,
+                   CAST(SUM({sql_units('l_extendedprice', 100)})
+                        AS BIGINT) AS rev_u
+            FROM lineitem GROUP BY l_partkey),
+        c AS (
+            SELECT partkey, rev_u,
+                   CAST(SUM(rev_u) OVER (ORDER BY rev_u DESC, partkey
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_u,
+                   CAST(SUM(rev_u) OVER () AS BIGINT) AS tot_u,
+                   ROW_NUMBER() OVER (ORDER BY rev_u DESC, partkey)
+                       AS rank
+            FROM rev)
+        SELECT partkey, rev_u, rank,
+               cum_u / CAST(tot_u AS DOUBLE) AS cum_share,
+               CASE WHEN 5 * cum_u <= 4 * tot_u THEN 'A'
+                    WHEN 20 * cum_u <= 19 * tot_u THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM c
+    """,
+    category="extension: inventory analytics (ABC classification)",
+    doc="ABC revenue classification of parts: rank by lifetime revenue "
+        "descending (partkey tiebreak), class A while the cumulative "
+        "share is <= 80%, B to 95%, C beyond — the Pareto cut behind "
+        "stocking policy (complements orders_pareto_share, which "
+        "reports the curve; this assigns the label per part). The class "
+        "cuts are INTEGER comparisons (5*cum <= 4*tot, 20*cum <= "
+        "19*tot) — no float threshold can flip a boundary part. Scale: "
+        "revenue partial-aggregates per part, then BOTH the global rank "
+        "and the cumulative revenue ride ONE two-phase prefix "
+        "(bucket_offsets over 1M-currency revenue bands: per-band "
+        "count + revenue offsets broadcast, within-band windows "
+        "partitioned by band) — no single-partition pass over the part "
+        "dimension. int64: 20*cum <= 20*total cents, overflow past "
+        "~4.6e17 cents of total revenue.",
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from flinkapps_spark.operators.prefix import bucket_offsets
+
+    rev = (load_table(spark, sf_dir, "lineitem")
+           .groupBy(F.col("l_partkey").alias("partkey"))
+           .agg(F.sum(units_col("l_extendedprice", 100)).alias("rev_u")))
+    bucketed = (rev.withColumn("nbkt",
+                               -F.floor(F.col("rev_u") / ABC_BAND))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    bucketed.count()
+    offs = bucket_offsets(bucketed, "nbkt",
+                          {"cnt": F.lit(1), "rev": "rev_u"})
+    w_in = (Window.partitionBy("nbkt")
+            .orderBy(F.col("rev_u").desc(), F.col("partkey")))
+    w_rev = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    c = (bucketed.join(F.broadcast(offs), "nbkt")
+         .select("partkey", "rev_u",
+                 (F.col("off_cnt") + F.row_number().over(w_in))
+                 .alias("rank"),
+                 (F.col("off_rev") + F.sum("rev_u").over(w_rev))
+                 .alias("cum_u"),
+                 F.col("tot_rev").alias("tot_u")))
+    return c.select(
+        "partkey", "rev_u", "rank",
+        (F.col("cum_u") / F.col("tot_u").cast("double")).alias("cum_share"),
+        F.when(5 * F.col("cum_u") <= 4 * F.col("tot_u"), "A")
+        .when(20 * F.col("cum_u") <= 19 * F.col("tot_u"), "B")
+        .otherwise("C").alias("abc_class"))

@@ -1081,3 +1081,22 @@ def test_holt_recursive_native_over_day_grid(spark):
     plan = plan_of(spark, "events_holt_linear")
     assert "Loop" in plan or "Recursion" in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_abc_rank_and_cumrev_one_two_phase(spark):
+    """ABC classes: rank AND cumulative revenue ride one two-phase
+    prefix (windows partitioned by revenue band); no single-partition
+    pass over the part dimension; no Python."""
+    plan = plan_of(spark, "parts_abc_classification")
+    assert "windowspecdefinition(nbkt#" in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "Python" not in plan, plan
+
+
+def test_freshness_bounded_broadcast(spark):
+    """Freshness: one partial-agg shuffle to the per-type frame; the
+    high-water mark broadcasts over that bounded frame; no window."""
+    plan = plan_of(spark, "dq_freshness")
+    assert "partial" in plan.lower(), plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Python" not in plan, plan
