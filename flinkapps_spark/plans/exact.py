@@ -30,7 +30,19 @@ round-1 post-mortem in VERDICT.md).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, functions as F
+
+
+def view_tag(sf_dir: str) -> str:
+    """Short stable suffix for temp-view names derived from the fixture
+    dir: two builds of the same query against DIFFERENT sf_dirs in one
+    shared session must register distinct views, or the second
+    createOrReplaceTempView silently redirects the first build's
+    still-unexecuted plan (views resolve at analysis time, but a shared
+    fixed name is a race the moment catalog builds interleave)."""
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
 
 
 def units_col(expr, scale: int) -> Column:

@@ -2528,10 +2528,17 @@ def embedding_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 1-partition pool: a Spark-side self-join would put the pool
     # behind an AQE broadcast stage that re-materializes the corpus scan
     # (observed; same failure mode as embedding_covariance's joins).
-    # The Python cosine replicates the SQL one op-for-op: sequential
-    # left-fold dot/norms (F.aggregate / list_sum order) and HALF_UP
-    # 6dp rounding on the exact decimal expansion of the double —
-    # Decimal(x).quantize == Spark's BigDecimal ROUND semantics.
+    # The Python cosine replicates SPARK's one op-for-op: sequential
+    # left-fold dot/norms (F.aggregate order) and HALF_UP 6dp rounding
+    # on the exact decimal expansion of the double — Decimal(x).quantize
+    # == Spark's BigDecimal ROUND semantics, so engine-internal rel vs
+    # pool-sim rounding is identical by construction.  vs the DUCKDB
+    # oracle the contract is the same one the whole kNN family carries:
+    # DuckDB ROUND(x,6) goes through nearbyint(x*1e6) (ties-to-even on
+    # the pre-rounded product), which can differ from HALF_UP by 1e-6
+    # only when x*1e6 lands exactly on a .5 boundary — a measure-zero
+    # event for cosines of the random-float corpus (and any such flip
+    # would surface as a hash mismatch in the parity gate, not silently).
     def greedy(batches):
         import math
         from decimal import ROUND_HALF_UP, Decimal

@@ -15,7 +15,7 @@ from flinkapps_spark.operators import joins
 from flinkapps_spark.plans.catalog import query
 from flinkapps_spark.plans.exact import (exact_avg, exact_sum, exact_sum_over,
                                          sql_avg, sql_sum, sql_sum_over,
-                                         sql_units, units_col)
+                                         sql_units, units_col, view_tag)
 from flinkapps_spark.sources.batch import load_table
 
 # ---------------------------------------------------------------------------
@@ -3996,16 +3996,29 @@ _REC_HIER_SQL = """
         "identical on both engines.",
 )
 def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # query-unique view name: concurrent catalog builds in one session
-    # must not collide (VERDICT r3 catalog-state note)
-    view = "customer_rec_hier_v"
+    # view name is unique per (query, sf_dir): concurrent catalog builds
+    # against different fixture dirs in one session must not collide
+    view = f"customer_rec_hier_{view_tag(sf_dir)}"
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(view)
     # The cumulative-row guard defaults to 1e6 — a correctness tripwire
     # for runaway recursions, not a capacity bound; this walk emits
     # exactly N*(floor(log2(k))+1) rows (sf1: ~2.7M), so size the guard
-    # to the workload the way a cluster job would.
+    # to the workload the way a cluster job would.  The raise is SCOPED:
+    # the recursion executes here, under the raised limit, and the prior
+    # value is restored before returning, so the tripwire stays armed
+    # for every later query on the shared session (ADVICE r5).  The
+    # executed result is ~20 rows (one per depth) — localCheckpoint pins
+    # it so the returned frame never re-runs the recursion.
+    prior = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
-    return spark.sql(_REC_HIER_SQL.format(table=view))
+    try:
+        return spark.sql(_REC_HIER_SQL.format(table=view)) \
+            .localCheckpoint(eager=True)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prior)
 
 
 # ---------------------------------------------------------------------------
@@ -4209,7 +4222,9 @@ def _ri_oracle() -> str:
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
                CAST(SUM(CASE WHEN c.{fk} IS NULL
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk
-        FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}""")
+        FROM {child} c
+        LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+          ON c.{fk} = p.{pk}""")
     return " UNION ALL ".join(parts)
 
 
@@ -4227,7 +4242,13 @@ def _ri_oracle() -> str:
         "three edges' counts and stack() unpivots them. The remaining "
         "edges broadcast their small parents. Counting via LEFT JOIN + "
         "conditional SUM (not anti-join subtraction) keeps every edge "
-        "single-pass over its child.",
+        "single-pass over its child. Every parent side joins as a "
+        "DISTINCT keys-only projection (ADVICE r5): a duplicated "
+        "parent PK — exactly the corruption an RI audit must tolerate "
+        "— would otherwise fan child rows out and inflate n_child / "
+        "n_orphan for every edge sharing the scan; distinct makes the "
+        "audit's own counts immune to the defect it is hunting, and "
+        "costs only a keys-only pre-aggregation.",
 )
 def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the three lineitem edges share ONE scan of the biggest table:
@@ -4235,9 +4256,13 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all three edges' counts, stack() unpivots them to rows
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey")
-    od = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    pt = load_table(spark, sf_dir, "part").select("p_partkey")
-    sp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    # distinct parent-key projections: dup parent PKs must not fan out
+    # the shared child scan (see doc) — keys-only, so the distinct is a
+    # partial-agg that typically collapses map-side
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    pt = load_table(spark, sf_dir, "part").select("p_partkey").distinct()
+    sp = (load_table(spark, sf_dir, "supplier")
+          .select("s_suppkey").distinct())
     j = (li.join(od, li["l_orderkey"] == od["o_orderkey"], "left")
          .join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"], "left")
          .join(F.broadcast(sp), li["l_suppkey"] == sp["s_suppkey"], "left"))
@@ -4268,7 +4293,7 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         if child == "lineitem":
             continue
         c = load_table(spark, sf_dir, child).select(F.col(fk))
-        p = load_table(spark, sf_dir, parent).select(F.col(pk))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk)).distinct()
         j2 = c.join(p, c[fk] == p[pk], "left")
         agg = j2.agg(
             F.lit(name).alias("fk_edge"),

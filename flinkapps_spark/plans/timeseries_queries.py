@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flinkapps_spark.plans.catalog import query
 from flinkapps_spark.plans.exact import (
-    exact_avg, exact_sum, sql_avg, sql_sum, sql_units, units_col,
+    exact_avg, exact_sum, sql_avg, sql_sum, sql_units, units_col, view_tag,
 )
 from flinkapps_spark.sources.batch import load_table
 
@@ -1296,7 +1296,19 @@ _HOLT_SQL = f"""
         "weeks past a ~3-month window.",
 )
 def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    view = "events_holt_v"
+    # view name unique per sf_dir; row-limit raise scoped to THIS
+    # execution (prior value restored, tripwire re-armed — ADVICE r5);
+    # result is one row per event_type, pinned by localCheckpoint so the
+    # recursion never re-runs under the restored (low) limit.
+    view = f"events_holt_{view_tag(sf_dir)}"
     load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    prior = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
-    return spark.sql(_HOLT_SQL.format(table=view))
+    try:
+        return spark.sql(_HOLT_SQL.format(table=view)) \
+            .localCheckpoint(eager=True)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prior)

@@ -753,3 +753,85 @@ def test_hll_rho_integer_division(spark):
     bad = df.select(F.floor(F.col("h") / (1 << HLL_P)).cast("long")
                     .alias("w")).orderBy("h").collect()
     assert [r["w"] for r in bad] != expected
+
+
+# --- ADVICE r5 regressions --------------------------------------------------
+
+
+def test_cte_row_limit_restored(spark):
+    """The recursive-CTE queries raise spark.sql.cteRecursionRowLimit for
+    their own execution only: the prior value must be restored before the
+    build returns (the tripwire stays armed for later queries on the
+    shared session), and the returned frame must still be collectable
+    under the restored LOW limit (the recursion ran eagerly, pinned)."""
+    from flinkapps_spark.plans import catalog
+    reg = catalog.registry()
+    key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "1000")   # far below the walk's ~90k rows
+        df = reg["sql_recursive_hierarchy"].build(spark, SF_SMOKE)
+        assert spark.conf.get(key) == "1000"
+        assert df.count() > 0         # pinned result; no re-run
+        df2 = reg["events_holt_linear"].build(spark, SF_SMOKE)
+        assert spark.conf.get(key) == "1000"
+        assert df2.count() > 0
+    finally:
+        spark.conf.set(key, prior)
+
+
+def test_ri_audit_tolerates_duplicate_parent_keys(spark, tmp_path):
+    """dq_referential_integrity joins DISTINCT parent-key projections: a
+    duplicated parent PK (the corruption an RI audit exists to survive)
+    must not fan out the shared lineitem scan and inflate n_child /
+    n_orphan (ADVICE r5).  Builds a fixture dir where orders carries one
+    duplicated o_orderkey and nation one duplicated n_nationkey, then
+    checks exact child counts AND full oracle parity on the same dir."""
+    import shutil
+
+    from flinkapps_spark.plans import catalog
+    from flinkapps_spark.schemas import TESTDATA_TABLES
+    from tests.conftest import make_duck
+    from tests.oracle_harness import compare
+
+    dst = str(tmp_path)
+    con = duckdb.connect()
+    dup_pk = {"orders": "o_orderkey", "nation": "n_nationkey"}
+    for t in TESTDATA_TABLES:
+        src = os.path.join(SF_SMOKE, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        if t in dup_pk:
+            con.execute(f"""
+                COPY (SELECT * FROM read_parquet('{src}')
+                      UNION ALL
+                      SELECT * FROM (
+                          SELECT * FROM read_parquet('{src}')
+                          ORDER BY {dup_pk[t]} LIMIT 1))
+                TO '{dst}/{t}.parquet' (FORMAT PARQUET)""")
+        else:
+            shutil.copy(src, os.path.join(dst, f"{t}.parquet"))
+    con.close()
+
+    q = catalog.registry()["dq_referential_integrity"]
+    got = {r["fk_edge"]: r for r in q.build(spark, dst).collect()}
+    n_li = load_table(spark, dst, "lineitem").count()
+    n_orders = load_table(spark, dst, "orders").count()
+    n_cust = load_table(spark, dst, "customer").count()
+    # the duplicated o_orderkey parent must NOT fan out the lineitem scan
+    for edge in ("lineitem.l_orderkey->orders", "lineitem.l_partkey->part",
+                 "lineitem.l_suppkey->supplier"):
+        assert got[edge]["n_child"] == n_li, edge
+        assert got[edge]["n_orphan"] == 0, edge
+    # child-side duplication is real rows and DOES count (orders gained
+    # one row as a CHILD of customer; customer gained none as a child)
+    assert got["orders.o_custkey->customer"]["n_child"] == n_orders
+    assert got["customer.c_nationkey->nation"]["n_child"] == n_cust
+    # and the duplicated n_nationkey parent must not inflate either edge
+    # that references nation
+    duck = make_duck(dst)
+    try:
+        compare(q.build(spark, dst), duck.sql(q.oracle),
+                "dq_referential_integrity[dup-parents]")
+    finally:
+        duck.close()
