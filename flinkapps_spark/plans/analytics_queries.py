@@ -264,17 +264,26 @@ COSINE_TOPK = 50
         "so ordering agrees across engines; the top-k sort carries "
         "(part_a, part_b) as a total-order tiebreaker. Scale: the "
         "self-join shuffles on orderkey and fans out C(items-per-order, "
-        "2) per order — bounded by basket size, not catalog size. At "
-        "100 TB add a frequency cap on ultra-popular items before the "
-        "self-join (they dominate pair volume but carry no signal), the "
-        "standard Amazon-CF mitigation. The count lookup joins "
-        "aggregated part counts on partkey (no broadcast — the part "
-        "dimension scales with the catalog). TakeOrdered top-k: "
-        "per-partition heaps, no global sort.",
+        "2) per order — bounded by basket size, not catalog size. The "
+        "remaining shape risk — an ultra-popular item in a large "
+        "fraction of baskets squares its pair volume and hot-keys the "
+        "pair reducers — is guarded by pop_cap= (operators/baskets."
+        "cap_popular_items, the standard Amazon-CF mitigation: drop "
+        "items above a support cap before the self-join; they dominate "
+        "pair volume but carry no preference signal). Default off so "
+        "the driver-checked query stays oracle-identical; the zipf-skew "
+        "tests prove the capped plan parity-green vs a capped oracle. "
+        "The count lookup joins aggregated part counts on partkey (no "
+        "broadcast — the part dimension scales with the catalog). "
+        "TakeOrdered top-k: per-partition heaps, no global sort.",
 )
-def recsys_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def recsys_item_cosine(spark: SparkSession, sf_dir: str,
+                       pop_cap: int | None = None) -> DataFrame:
+    from flinkapps_spark.operators.baskets import cap_popular_items
     b = (load_table(spark, sf_dir, "lineitem")
          .select("l_orderkey", "l_partkey").distinct())
+    if pop_cap is not None:
+        b = cap_popular_items(b, "l_partkey", pop_cap)
     l = b.select(F.col("l_orderkey").alias("ok_a"),
                  F.col("l_partkey").alias("part_a"))
     r = b.select(F.col("l_orderkey").alias("ok_b"),

@@ -2691,15 +2691,24 @@ COPURCHASE_MIN_SUP = 2        # minimum pair support (orders containing both)
         "assumption. Scale: the quadratic term is bounded per ORDER "
         "(baskets are ~4-7 lines), so pair expansion is linear in rows; "
         "one shuffle on the pair key aggregates support; part supports "
-        "and the order total are small side tables. Lift is an int64 "
+        "and the order total are small side tables. The shape risk — an "
+        "ultra-popular item squaring pair volume and hot-keying the "
+        "pair reducers — is guarded by pop_cap= (operators/baskets."
+        "cap_popular_items; default off so the driver-checked query "
+        "stays oracle-identical; zipf-skew tests prove the capped plan "
+        "parity-green vs a capped oracle). Lift is an int64 "
         "cross-product ratio divided once — engine-identical doubles "
         "(counts at 100 TB stay far inside int64; note in SCALE.md "
         "float policy).",
 )
-def itemset_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def itemset_copurchase_pairs(spark: SparkSession, sf_dir: str,
+                             pop_cap: int | None = None) -> DataFrame:
+    from flinkapps_spark.operators.baskets import cap_popular_items
     li = load_table(spark, sf_dir, "lineitem")
     op = (li.select(F.col("l_orderkey").alias("okey"),
                     F.col("l_partkey").alias("part")).distinct())
+    if pop_cap is not None:
+        op = cap_popular_items(op, "part", pop_cap)
     n_orders = op.select(F.countDistinct("okey").alias("n_orders"))
     psup = op.groupBy("part").agg(F.count(F.lit(1)).alias("sup"))
     a = op.select("okey", F.col("part").alias("part_a"))
