@@ -28,6 +28,23 @@ from flinkapps_spark.sources.batch import load_table
 PR_SCALE = 1_000_000     # fixed-point units per 1.0 of rank
 PR_DAMPING = 0.85
 PR_ITERATIONS = 5
+
+
+def _iter_checkpoint(spark: SparkSession, checkpoint_dir: str | None):
+    """Per-iteration lineage cut for the iterative queries (VERDICT r5
+    #4).  Default: ``localCheckpoint`` — blocks live in executor memory,
+    zero I/O, but NOT durable (an executor loss mid-iteration fails the
+    query instead of recomputing, because the truncated lineage cannot
+    be replayed).  With ``checkpoint_dir`` set: RELIABLE ``checkpoint()``
+    — each round's state is written to the fault-tolerant FS and an
+    executor loss recovers from it; the right trade for a multi-hour
+    100 TB run where losing round 40 of 50 costs more than 50 round-trip
+    writes.  Values are identical either way (both modes are pure
+    materialization); tests pin both modes against one oracle."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint()
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint()
 _SQL_EDGES = ("SELECT user_id AS src, "
               "(user_id + 1 + event_id % 97) % 150 AS dst FROM events")
 
@@ -72,11 +89,19 @@ def _sql_pagerank() -> str:
         "float drift, no tolerance. Dangling mass follows the simplified "
         "convention (dropped) identically on both sides. Scale: each "
         "iteration is one join keyed by src (degree table broadcast-"
-        "sized) and one shuffle keyed by dst; localCheckpoint per round "
-        "truncates the growing lineage exactly like dedup_clusters; "
-        "edges re-partition once and stay cached across iterations.",
+        "sized) and one shuffle keyed by dst; per-round lineage "
+        "truncation via _iter_checkpoint — localCheckpoint by default "
+        "(executor-memory blocks: fastest, but an executor loss mid-"
+        "iteration kills the query), or RELIABLE checkpoint() when "
+        "checkpoint_dir= is set (DFS-backed: an executor loss recovers "
+        "from the last round's files — the durability a multi-hour "
+        "100 TB run wants; costs one write round-trip per round). Both "
+        "modes parity-pinned in one test; edges re-partition once and "
+        "stay cached across iterations.",
 )
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_pagerank(spark: SparkSession, sf_dir: str,
+                   checkpoint_dir: str | None = None) -> DataFrame:
+    cut = _iter_checkpoint(spark, checkpoint_dir)
     ev = load_table(spark, sf_dir, "events")
     edges = ev.select(
         F.col("user_id").alias("src"),
@@ -99,7 +124,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                          (F.lit(base) + F.floor(
                              F.lit(PR_DAMPING) * F.coalesce("m", F.lit(0))
                              + F.lit(0.5))).cast("long").alias("pr"))
-                 ).localCheckpoint()
+                 )
+        ranks = cut(ranks)
     out = ranks.select(F.col("node").alias("user_id"),
                        (F.col("pr") / float(PR_SCALE)).alias("pagerank"))
     edges.unpersist()
@@ -190,10 +216,13 @@ def _sql_labelprop() -> str:
         "inside a component, not just reachability. Scale: per round, "
         "one join keyed on the neighbor column and one (node, label) "
         "count shuffle — the same two-exchange shape as PageRank; "
-        "localCheckpoint truncates iteration lineage; adjacency builds "
-        "once and stays cached.",
+        "iteration lineage truncates via _iter_checkpoint (local by "
+        "default, reliable with checkpoint_dir= — see graph_pagerank's "
+        "durability note); adjacency builds once and stays cached.",
 )
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_label_propagation(spark: SparkSession, sf_dir: str,
+                            checkpoint_dir: str | None = None) -> DataFrame:
+    cut = _iter_checkpoint(spark, checkpoint_dir)
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         F.col("user_id").alias("src"),
@@ -213,7 +242,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("rk") == 1).select("v", "lab"))
         labs = (nodes.join(mode, nodes.node == mode.v, "left")
                 .select("node", F.coalesce("lab", "node").alias("lab"))
-                ).localCheckpoint()
+                )
+        labs = cut(labs)
     out = labs.select(F.col("node").alias("user_id"),
                       F.col("lab").alias("label"))
     adj.unpersist()

@@ -921,7 +921,11 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_trend_theilsen — robust trend via the median of pairwise slopes
 # ---------------------------------------------------------------------------
 
-TS_SCALE = 100   # fixed-point scale for hourly value sums
+TS_SCALE = 100       # fixed-point scale for hourly value sums
+TS_HIST_BINS = 1024  # slope-histogram resolution (hist escape path)
+TS_HIST_SPAN = 2048  # hours per type beyond which auto mode switches
+#   (2048 hours ~ 3 months -> ~2M pairs/type: past this the per-type
+#   single-partition sort, not the pair join, is the bottleneck)
 
 
 @query(
@@ -959,33 +963,115 @@ TS_SCALE = 100   # fixed-point scale for hourly value sums
         "doubles. Scale: events collapse to the hourly frame in one "
         "partial-agg shuffle; the pair self-join is bounded by "
         "HOURS^2 per type (~260k pairs per type-month), never by event "
-        "volume — for decade-long spans switch the selection to the "
-        "two-pass histogram narrowing used by exact_median_selection.",
+        "volume. For long spans the window path's weakness is the "
+        "per-type SINGLE-PARTITION sort of all HOURS^2/2 slopes — "
+        "hist_mode=True (or hist_mode=None to auto-switch past "
+        "span_threshold hours) replaces it with exact_median_selection's "
+        "two-pass histogram narrowing: the pair join still streams, but "
+        "only through partial-agg shuffles (extent, then a 1024-bin "
+        "histogram — |types|x1024 cells visit the driver), and the only "
+        "sort ranks the ~1/1000 of slopes inside each type's median bin. "
+        "A decade-long span's ~3.8B pairs/type aggregate instead of "
+        "sorting on one task. Identical result by construction (rank k "
+        "BY VALUE — the emitted slope equals the window path's pick, "
+        "ties included); tests pin window==hist==oracle.",
 )
-def events_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_trend_theilsen(spark: SparkSession, sf_dir: str,
+                          hist_mode: bool | None = False,
+                          span_threshold: int = TS_HIST_SPAN) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     h = (ev.groupBy(
             "event_type",
             (F.unix_micros(F.date_trunc("hour", F.col("ts")))
              / F.lit(3_600_000_000)).cast("long").alias("hr"))
          .agg(F.sum(units_col("value", TS_SCALE)).alias("u")))
-    a = h.select(F.col("event_type"), F.col("hr").alias("ha"),
-                 F.col("u").alias("ua"))
-    b = h.select(F.col("event_type"), F.col("hr").alias("hb"),
-                 F.col("u").alias("ub"))
-    p = (a.join(b, "event_type")
-         .filter(F.col("ha") < F.col("hb"))
-         .select("event_type",
-                 ((F.col("ub") - F.col("ua"))
-                  / (F.col("hb") - F.col("ha")).cast("double"))
-                 .alias("slope")))
-    wt = Window.partitionBy("event_type")
-    r = p.select(
-        "event_type", "slope",
-        F.row_number().over(wt.orderBy("slope")).alias("rn"),
-        F.count("*").over(wt).alias("n_pairs"))
-    return (r.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
-            .select("event_type", "n_pairs",
+    if hist_mode is None:
+        # auto: one cheap action over the bounded hourly frame decides;
+        # the default (False) keeps the driver-measured path single-pass
+        longest = (h.groupBy("event_type").count()
+                   .agg(F.max("count")).first()[0]) or 0
+        hist_mode = longest > span_threshold
+
+    def pairs() -> DataFrame:
+        a = h.select(F.col("event_type"), F.col("hr").alias("ha"),
+                     F.col("u").alias("ua"))
+        b = h.select(F.col("event_type"), F.col("hr").alias("hb"),
+                     F.col("u").alias("ub"))
+        return (a.join(b, "event_type")
+                .filter(F.col("ha") < F.col("hb"))
+                .select("event_type",
+                        ((F.col("ub") - F.col("ua"))
+                         / (F.col("hb") - F.col("ha")).cast("double"))
+                        .alias("slope")))
+
+    if not hist_mode:
+        p = pairs()
+        wt = Window.partitionBy("event_type")
+        r = p.select(
+            "event_type", "slope",
+            F.row_number().over(wt.orderBy("slope")).alias("rn"),
+            F.count("*").over(wt).alias("n_pairs"))
+        return (r.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+                .select("event_type", "n_pairs",
+                        (F.col("slope") / TS_SCALE).alias("theilsen_slope")))
+    return _theilsen_hist(spark, pairs)
+
+
+def _theilsen_hist(spark: SparkSession, pairs) -> DataFrame:
+    """Two-pass histogram median over the pairwise-slope stream — the
+    exact_median_selection machinery (relational_queries.py) applied to
+    a DERIVED stream instead of a base table: the C(H,2)-row pair join
+    re-streams per pass (its inputs are the tiny hourly frame) and each
+    pass reduces it map-side, so no task ever holds or sorts a type's
+    full slope multiset.  Bin edges derive from exact min/max doubles;
+    bin index is subtract/divide/floor — engine-internal only (the
+    oracle never bins), so cross-engine float identity is not in play."""
+    # pass 0: per-type slope extent + pair count (one partial-agg shuffle)
+    ext = {r["event_type"]: r for r in
+           pairs().groupBy("event_type")
+           .agg(F.min("slope").alias("lo"), F.max("slope").alias("hi"),
+                F.count("*").alias("n")).collect()}
+
+    def bin_of(t):
+        lo, hi = ext[t]["lo"], ext[t]["hi"]
+        w = (hi - lo) / TS_HIST_BINS or 1.0
+        return F.least(F.floor((F.col("slope") - F.lit(lo)) / F.lit(w)),
+                       F.lit(TS_HIST_BINS - 1)).cast("long")
+
+    bin_col = F.coalesce(*[
+        F.when(F.col("event_type") == t, bin_of(t)) for t in ext])
+    # pass 1: histogram (partial-agg; |types| x bins cells to the driver)
+    hist = {(r["event_type"], r["bin"]): r["cnt"] for r in
+            pairs().select("event_type", bin_col.alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.count("*").alias("cnt")).collect()}
+    target = {}          # type -> (median_bin, rank_within_bin)
+    for t, info in ext.items():
+        k = (info["n"] + 1) // 2
+        cum = 0
+        for bn in range(TS_HIST_BINS):
+            c = hist.get((t, bn), 0)
+            if cum + c >= k:
+                target[t] = (bn, k - cum)
+                break
+            cum += c
+    # pass 2: rank only the slopes inside each type's median bin
+    binned = pairs().withColumn("bin", bin_col)
+    in_bin = F.coalesce(*[
+        F.when(F.col("event_type") == t, F.col("bin") == target[t][0])
+        for t in ext])
+    k_in = F.coalesce(*[
+        F.when(F.col("event_type") == t, F.lit(target[t][1]))
+        for t in ext])
+    ranked = binned.filter(in_bin).withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("event_type").orderBy("slope")))
+    return (ranked.filter(F.col("rn") == k_in)
+            .select("event_type",
+                    F.coalesce(*[
+                        F.when(F.col("event_type") == t,
+                               F.lit(ext[t]["n"]))
+                        for t in ext]).alias("n_pairs"),
                     (F.col("slope") / TS_SCALE).alias("theilsen_slope")))
 
 

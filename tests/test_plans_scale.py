@@ -1100,3 +1100,80 @@ def test_freshness_bounded_broadcast(spark):
     assert "partial" in plan.lower(), plan
     assert "windowspecdefinition" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_theilsen_hist_escape_parity_and_plan(spark, duck_oracle):
+    """The histogram escape (hist_mode=True) must emit exactly the
+    window path's answer AND replace the per-type full sort of C(H,2)
+    slopes with partial-agg passes: in the final plan the only Sort
+    feeds the window over the median-bin SURVIVORS (a Filter on the bin
+    predicate sits below it), never the raw pair stream."""
+    from flinkapps_spark.plans.timeseries_queries import (
+        events_trend_theilsen,
+    )
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_harness import compare
+
+    hist = events_trend_theilsen(spark, SF_ORACLE, hist_mode=True)
+    q = REG["events_trend_theilsen"]
+    compare(hist, duck_oracle.sql(q.oracle), "events_trend_theilsen[hist]")
+    window = sorted(tuple(r) for r in q.build(spark, SF_ORACLE).collect())
+    assert sorted(tuple(r) for r in hist.collect()) == window
+
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    # the median-bin predicate (least(FLOOR(...)) = target, driver-
+    # coalesced literals) gates the sort — Catalyst pushes it all the
+    # way INTO the pair-join condition, so survivors are dropped during
+    # the join itself and the Sort never sees the raw C(H,2) stream
+    assert "Sort" in plan, plan
+    sort_at = plan.index("Sort")
+    assert "least(FLOOR" in plan[sort_at:], plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_theilsen_auto_switch(spark):
+    """hist_mode=None auto-selects: below the span threshold the window
+    path runs (single plan, row_number over all pairs); above it the
+    histogram path runs (driver-coalesced literals in the plan)."""
+    from flinkapps_spark.plans.timeseries_queries import (
+        events_trend_theilsen,
+    )
+    from tests.conftest import SF_ORACLE
+
+    low = events_trend_theilsen(spark, SF_ORACLE, hist_mode=None,
+                                span_threshold=10 ** 9)
+    lp = low._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in lp and "least(FLOOR" not in lp, lp
+    high = events_trend_theilsen(spark, SF_ORACLE, hist_mode=None,
+                                 span_threshold=1)
+    hp = high._jdf.queryExecution().executedPlan().toString()
+    assert "least(FLOOR" in hp, hp
+    assert (sorted(tuple(r) for r in low.collect())
+            == sorted(tuple(r) for r in high.collect()))
+
+
+def test_graph_reliable_checkpoint_mode(spark, duck_oracle, tmp_path):
+    """Both lineage-cut modes — localCheckpoint (default) and reliable
+    checkpoint(checkpoint_dir=) — produce identical, oracle-green
+    results; the reliable mode really writes round state to the DFS
+    dir (durability is the point: executor loss recovers from files)."""
+    import os
+
+    from flinkapps_spark.plans.graph_queries import (
+        graph_label_propagation, graph_pagerank,
+    )
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_harness import compare
+
+    ck = str(tmp_path / "ck")
+    for name, fn in (("graph_pagerank", graph_pagerank),
+                     ("graph_label_propagation", graph_label_propagation)):
+        reliable = fn(spark, SF_ORACLE, checkpoint_dir=ck)
+        compare(reliable, duck_oracle.sql(REG[name].oracle),
+                f"{name}[reliable-ckpt]")
+        local = sorted(tuple(r)
+                       for r in REG[name].build(spark, SF_ORACLE).collect())
+        assert sorted(tuple(r) for r in reliable.collect()) == local
+    # round state actually hit the reliable dir
+    found = [os.path.join(r, f) for r, _, fs in os.walk(ck) for f in fs]
+    assert found, "reliable checkpoint wrote nothing"
