@@ -73,10 +73,28 @@ def kafka_source(spark: SparkSession, brokers: str, topic: str,
     return raw.selectExpr("CAST(value AS STRING) AS value")
 
 
-def file_stream_source(spark: SparkSession, sf_dir: str,
-                       table: str) -> DataFrame:
+def file_stream_source(spark: SparkSession, sf_dir: str, table: str,
+                       max_files_per_trigger: int | None = None,
+                       max_bytes_per_trigger: int | None = None
+                       ) -> DataFrame:
     """File-replay stream over a fixture table: the deterministic stand-in
     for Kafka replay (same rows as the batch table, delivered as a stream).
+
+    Rate control (VERDICT r5 #6 — the backpressure surface a 100 TB
+    stream needs; without it the first micro-batch swallows the whole
+    backlog and the query sizes its state/shuffles for the worst case):
+
+    - ``max_files_per_trigger``: passed straight through as the file
+      source's ``maxFilesPerTrigger`` — each micro-batch admits at most
+      this many files (also honored by availableNow backfills, which is
+      what makes the multi-batch replay tests deterministic).
+    - ``max_bytes_per_trigger``: Spark's OSS file source has no byte
+      knob (that is a Delta source option), so this is translated
+      honestly: the target dir's file sizes are listed once and the
+      byte budget becomes ``ceil(budget / max_file_size)`` files —
+      admitted bytes per batch never exceed the budget by more than one
+      file, the same guarantee Delta documents.  Ignored when
+      ``max_files_per_trigger`` is set explicitly.
     """
     tune_session(spark)
     batch = load_table(spark, sf_dir, table)
@@ -84,10 +102,20 @@ def file_stream_source(spark: SparkSession, sf_dir: str,
     # (pre ns→µs conversion) then re-apply the conversion.
     raw_schema = spark.read.parquet(
         os.path.join(sf_dir, f"{table}.parquet")).schema
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is None and max_bytes_per_trigger is not None:
+        import glob as _glob
+        target = os.path.join(sf_dir, f"{table}*.parquet")
+        sizes = [os.path.getsize(p) for p in _glob.glob(target)
+                 if os.path.isfile(p)] or [1]
+        max_files_per_trigger = max(
+            1, int(max_bytes_per_trigger) // max(max(sizes), 1))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
     # glob form: the file source requires a directory basePath; a glob over
     # the fixture dir scopes it to this one table's file
-    stream = (spark.readStream.schema(raw_schema)
-              .parquet(os.path.join(sf_dir, f"{table}*.parquet")))
+    stream = reader.parquet(os.path.join(sf_dir, f"{table}*.parquet"))
     from flinkapps_spark.schemas import NANOS_TS_COLUMNS
     from flinkapps_spark.sources.batch import normalize_ntz
     from pyspark.sql import functions as F
@@ -101,13 +129,18 @@ def file_stream_source(spark: SparkSession, sf_dir: str,
 
 
 def run_stream_to_memory(transformed: DataFrame, *, output_mode: str,
-                         name: str | None = None) -> DataFrame:
+                         name: str | None = None,
+                         progress_sink: list | None = None) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow trigger →
     processes all available input, then stops) into a memory sink; returns
     the sink contents as a batch DataFrame.
 
     This is the harness for batch≡stream equivalence: the returned frame is
-    comparable against the batch plan / SQL oracle.
+    comparable against the batch plan / SQL oracle.  availableNow honors
+    the source's rate-control options (maxFilesPerTrigger), so a throttled
+    backfill really executes as multiple micro-batches; pass
+    ``progress_sink`` (a list) to receive the per-batch progress dicts and
+    assert on batch structure.
     """
     spark = transformed.sparkSession
     qname = name or f"mem_{uuid.uuid4().hex[:12]}"
@@ -120,6 +153,8 @@ def run_stream_to_memory(transformed: DataFrame, *, output_mode: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    if progress_sink is not None:
+        progress_sink.extend(q.recentProgress)
     return spark.table(qname)
 
 
@@ -166,3 +201,39 @@ def time_split_replay(spark: SparkSession, sf_dir: str, table: str,
               .option("maxFilesPerTrigger", 1)
               .parquet(os.path.join(staged, "*.parquet")))
     return stream, staged
+
+
+def multifile_replay(spark: SparkSession, sf_dir: str, table: str,
+                     columns=None, n_files: int = 4,
+                     max_files_per_trigger: int = 1):
+    """Stage a fixture table as ``n_files`` parquet files and open them as
+    a rate-limited file stream (``maxFilesPerTrigger``) — the generic
+    multi-micro-batch replay for tables WITHOUT a time axis (the
+    time-ordered variant is time_split_replay).  Files are row-range
+    splits on the first column (repartitionByRange), names and mtimes
+    pinned so the source's modification-time ordering is deterministic.
+    Returns ``(stream_df, staged_dir, n_files)``; the caller removes
+    ``staged_dir`` after the sink is materialized.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, table)
+    if columns is not None:
+        df = df.select(*columns)
+    key = df.columns[0]
+    staged = tempfile.mkdtemp(prefix=f"replay_{table}_")
+    part = tempfile.mkdtemp(prefix=f"replay_rows_{table}_")
+    (df.repartitionByRange(n_files, F.col(key))
+     .write.mode("overwrite").parquet(part))
+    files = sorted(f for f in os.listdir(part) if f.endswith(".parquet"))
+    for i, f in enumerate(files):
+        dst = os.path.join(staged, f"{i:02d}_chunk.parquet")
+        shutil.copy(os.path.join(part, f), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(part, ignore_errors=True)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(os.path.join(staged, "*.parquet")))
+    return stream, staged, len(files)

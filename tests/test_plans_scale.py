@@ -1177,3 +1177,14 @@ def test_graph_reliable_checkpoint_mode(spark, duck_oracle, tmp_path):
     # round state actually hit the reliable dir
     found = [os.path.join(r, f) for r, _, fs in os.walk(ck) for f in fs]
     assert found, "reliable checkpoint wrote nothing"
+
+
+def test_bpe_encode_map_only(spark):
+    """Encoding with the learned merges is a pure map over the corpus:
+    the returned plan has NO join (no vocabulary lookup), NO exchange
+    (the per-doc fold replaces explode+groupBy), and NO Python stage —
+    the learned rules ride as literal replace ops in codegen."""
+    plan = plan_of(spark, "bpe_encode")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "Python" not in plan, plan

@@ -271,3 +271,55 @@ def test_kafka_sink_contract(spark):
     rows = rec.collect()
     assert all(r["headers"][0]["key"] == "spark_batch_id" and
                bytes(r["headers"][0]["value"]) == b"7" for r in rows)
+
+
+def test_file_stream_rate_control_multibatch(spark):
+    """Rate-controlled replay (VERDICT r5 #6): a 4-file staging read with
+    maxFilesPerTrigger=1 must execute as >= 3 data micro-batches under
+    availableNow AND converge to exactly the batch answer — throttling
+    changes batch structure, never results."""
+    import shutil
+
+    from flinkapps_spark.sources.batch import load_table
+    from flinkapps_spark.streaming.jobs import (
+        multifile_replay, run_stream_to_memory,
+    )
+    from tests.conftest import SF_ORACLE
+
+    stream, staged, n_files = multifile_replay(
+        spark, SF_ORACLE, "events", columns=["event_id", "event_type"],
+        n_files=4, max_files_per_trigger=1)
+    try:
+        agg = stream.groupBy("event_type").count()
+        progress = []
+        got = run_stream_to_memory(agg, output_mode="complete",
+                                   progress_sink=progress)
+        data_batches = [p for p in progress
+                        if p.get("numInputRows", 0) > 0]
+        assert len(data_batches) >= 3, progress
+        expect = sorted(tuple(r) for r in
+                        load_table(spark, SF_ORACLE, "events")
+                        .groupBy("event_type").count().collect())
+        assert sorted(tuple(r) for r in got.collect()) == expect
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
+def test_file_stream_source_byte_budget(spark):
+    """max_bytes_per_trigger translates to a >=1 maxFilesPerTrigger and
+    the stream still converges to the full table (the knob throttles,
+    never drops)."""
+    from flinkapps_spark.sources.batch import load_table
+    from flinkapps_spark.streaming.jobs import (
+        file_stream_source, run_stream_to_memory,
+    )
+    from tests.conftest import SF_ORACLE
+
+    stream = file_stream_source(spark, SF_ORACLE, "events",
+                                max_bytes_per_trigger=1)
+    got = run_stream_to_memory(
+        stream.groupBy("event_type").count(), output_mode="complete")
+    expect = sorted(tuple(r) for r in
+                    load_table(spark, SF_ORACLE, "events")
+                    .groupBy("event_type").count().collect())
+    assert sorted(tuple(r) for r in got.collect()) == expect
