@@ -1360,3 +1360,50 @@ def stream_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         return converged
     finally:
         shutil.rmtree(staged, ignore_errors=True)
+
+
+@query(
+    "stream_rate_limited_counts",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+    category="streaming: rate-controlled backfill (T6 backpressure)",
+    doc="Backfill under admission control (VERDICT r5 #6): the events "
+        "table replays as 4 row-range files through maxFilesPerTrigger=1 "
+        "(streaming/jobs.multifile_replay), so the availableNow backfill "
+        "executes as >= 3 data micro-batches instead of swallowing the "
+        "whole backlog in one — the build FAILS LOUDLY if fewer batches "
+        "ran, so the driver check pins the batch structure, and the "
+        "converged complete-mode counts must equal the batch GROUP BY "
+        "(the oracle): throttling changes batch boundaries, never "
+        "results. This is the knob that keeps first-deploy state sizes "
+        "and shuffle spills bounded when a 100 TB topic backlog hits a "
+        "new streaming job; at cluster scale the same option rides on "
+        "the Kafka source as maxOffsetsPerTrigger.",
+)
+def stream_rate_limited_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from flinkapps_spark.streaming.jobs import (
+        multifile_replay, run_stream_to_memory,
+    )
+
+    stream, staged, n_files = multifile_replay(
+        spark, sf_dir, "events", columns=["event_id", "event_type"],
+        n_files=4, max_files_per_trigger=1)
+    try:
+        progress: list = []
+        got = run_stream_to_memory(
+            stream.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n")),
+            output_mode="complete", progress_sink=progress)
+        got.count()      # materialize before the staged files vanish
+        data_batches = sum(1 for p in progress
+                           if p.get("numInputRows", 0) > 0)
+        if data_batches < 3:
+            raise RuntimeError(
+                f"rate control did not split the backfill: "
+                f"{data_batches} data batches over {n_files} files")
+        return got
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)

@@ -776,8 +776,18 @@ def test_drawdown_window_partitioned_by_segment(spark):
 def test_recursive_cte_native_loop(spark):
     """The recursive hierarchy runs through Spark's native recursive-CTE
     execution (a union-loop node, not a Python driver loop), and the
-    per-step frontier work stays codegen'd JVM."""
-    plan = plan_of(spark, "sql_recursive_hierarchy")
+    per-step frontier work stays codegen'd JVM.  Since round 6 the
+    catalog build returns the PINNED (localCheckpoint) result — the
+    row-limit raise is scoped to the eager execution, see
+    test_cte_row_limit_restored — so the native-loop property is
+    asserted on the underlying SQL's own plan."""
+    from flinkapps_spark.plans.relational_queries import _REC_HIER_SQL
+    from flinkapps_spark.sources.batch import load_table
+
+    load_table(spark, SF_ORACLE, "customer") \
+        .createOrReplaceTempView("rec_cte_plan_v")
+    df = spark.sql(_REC_HIER_SQL.format(table="rec_cte_plan_v"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Loop" in plan or "Recursion" in plan, plan
     assert "Python" not in plan, plan
 
@@ -1077,8 +1087,16 @@ def test_novelty_inverted_index_shape(spark):
 def test_holt_recursive_native_over_day_grid(spark):
     """Holt smoothing: Spark executes the WITH RECURSIVE natively
     (union-loop), the recursion joins only the bounded day grid, and
-    no Python appears anywhere."""
-    plan = plan_of(spark, "events_holt_linear")
+    no Python appears anywhere.  The catalog build returns the pinned
+    result (scoped row-limit raise, round 6), so assert on the
+    underlying SQL's own plan."""
+    from flinkapps_spark.plans.timeseries_queries import _HOLT_SQL
+    from flinkapps_spark.sources.batch import load_table
+
+    load_table(spark, SF_ORACLE, "events") \
+        .createOrReplaceTempView("holt_cte_plan_v")
+    df = spark.sql(_HOLT_SQL.format(table="holt_cte_plan_v"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Loop" in plan or "Recursion" in plan, plan
     assert "Python" not in plan, plan
 
