@@ -55,7 +55,8 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: Sequence[str],
               tolerance=None,
               tie_cols: Sequence[str] = (),
               num_buckets: int = 64,
-              time_slice: str | None = None) -> DataFrame:
+              time_slice: str | None = None,
+              slice_hot_threshold: int | None = None) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right.ts <= left.ts (direction='backward') within the same key group.
     ``direction='forward'`` matches the earliest right row with
@@ -86,8 +87,45 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: Sequence[str],
     Matches inside the slice then supersede the carry-in in merge_asof
     order, which reproduces the unsplit semantics exactly (tolerance still
     applies to the carried row's original timestamp).
+
+    Adaptive split (``slice_hot_threshold``, round 6): slicing EVERY key
+    pays explode/carry-in overhead on the cold majority that never
+    needed it (SKEWBENCH.md measured the full-slice path slower than
+    naive on a 30%-hot fixture).  With a threshold set alongside
+    ``time_slice``, one partial-agg pass counts rows per key across both
+    sides, keys above the threshold (≤ total/threshold keys by
+    pigeonhole — broadcastable) route through the sliced path, and
+    every other key takes the direct bucketed path; the union is the
+    answer because an as-of join is independent per key.  Straggler
+    bound and near-naive cost at once.
     """
     import pandas as pd
+
+    if time_slice is not None and slice_hot_threshold is not None:
+        keys = list(key_cols)
+        occ = (left.select(*keys).unionByName(right.select(*keys))
+               .groupBy(*keys).count())
+        hot = occ.filter(F.col("count") > slice_hot_threshold).select(*keys)
+        kwargs = dict(
+            right_ts_col=right_ts_col, value_cols=value_cols,
+            direction=direction, tolerance=tolerance, tie_cols=tie_cols,
+            num_buckets=num_buckets)
+        # .select(*columns): a string-key semi/anti join moves the key
+        # columns to the front — restore the caller's column order so
+        # both branches (and the final union) match the unsplit output
+        sliced = asof_join(
+            left.join(F.broadcast(hot), keys, "left_semi")
+                .select(*left.columns),
+            right.join(F.broadcast(hot), keys, "left_semi")
+                .select(*right.columns),
+            keys, ts_col, time_slice=time_slice, **kwargs)
+        direct = asof_join(
+            left.join(F.broadcast(hot), keys, "left_anti")
+                .select(*left.columns),
+            right.join(F.broadcast(hot), keys, "left_anti")
+                .select(*right.columns),
+            keys, ts_col, time_slice=None, **kwargs)
+        return sliced.unionByName(direct)
 
     right_ts = right_ts_col or ts_col
     keys = list(key_cols)

@@ -66,6 +66,13 @@ def asof_guarded(spark, d):
                            time_slice="6h")
 
 
+def asof_adaptive(spark, d):
+    p, s = _events_sides(spark, d)
+    return joins.asof_join(p, s, key_cols=["user_id"], ts_col="ts",
+                           value_cols=["signup_ts", "signup_value"],
+                           time_slice="6h", slice_hot_threshold=100_000)
+
+
 def join_naive(spark, d):
     ev = load_table(spark, d, "events")
     cu = (load_table(spark, d, "customer")
@@ -171,8 +178,10 @@ PAIRS = [
     ("basket pair expansion", "pop_cap=1000 drops the ultra-popular items",
      basket_naive, basket_guarded, False, balance_basket,
      "pair volume (of naive)"),
-    ("as-of join", "time_slice=6h splits the hot user's bucket",
+    ("as-of join (slice all)", "time_slice=6h splits EVERY key's bucket",
      asof_naive, asof_guarded, True, balance_asof, "max key share"),
+    ("as-of join (adaptive)", "slice only keys > 100k rows; cold keys direct",
+     asof_naive, asof_adaptive, True, balance_asof, "max key share"),
     ("fact-dim join", "salt x8 + dim replication vs pinned shuffle join",
      join_naive, join_guarded, True, balance_agg_join, "max key share"),
     ("aggregation", "salted two-phase vs direct groupBy",
@@ -264,10 +273,12 @@ def main():
             "partial-agg-disabled sessions, per-task hash-table "
             "eviction under huge key cardinality) — the guards stay "
             "opt-in flags for exactly that reason.\n"
-            "- **as-of** slicing pays explode+carry-in overhead; it "
-            "wins when one key's rows exceed what one task can hold/"
-            "process in its micro-batch life — the bound column shows "
-            "the 30% hot bucket split to sub-1% slices.\n"
+            "- **as-of** slice-all pays carry-in overhead on every cold "
+            "key; the ADAPTIVE row (slice_hot_threshold) routes only "
+            "keys above a row-count threshold through the sliced path "
+            "and keeps the cold majority on the direct path — "
+            "near-naive cost with the same straggler bound on the hot "
+            "key, which is the form a 100 TB job should run.\n"
             "- **fact-dim join** naive pins a shuffle-merge join: with "
             "a broadcastable dim Spark broadcasts and skew is moot; the "
             "salted pattern targets dims past broadcast size.\n")

@@ -181,3 +181,27 @@ def test_dedup_skew_guard_on_hot_digest(spark, skew_dir):
     assert plain == guarded
     hot = max(n for _, _, n in plain)
     assert hot >= 0.29 * docs.count()   # the fixture shape really is hot
+
+
+def test_asof_adaptive_hot_split(spark, skew_dir):
+    """slice_hot_threshold routes ONLY the hot key through the sliced
+    path (cold keys stay on the cheap direct path); the union equals the
+    unsplit join row-for-row on the zipf fixture."""
+    from flinkapps_spark.operators import joins
+
+    ev = load_table(spark, skew_dir, "events")
+    left = (ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts", "value"))
+    right = (ev.filter(F.col("event_type") == "signup")
+             .select("user_id", "ts",
+                     F.col("ts").alias("signup_ts"),
+                     F.col("value").alias("signup_value")))
+    kw = dict(key_cols=["user_id"], ts_col="ts",
+              value_cols=["signup_ts", "signup_value"])
+    plain = sorted(tuple(r) for r in
+                   joins.asof_join(left, right, **kw).collect())
+    adaptive = sorted(tuple(r) for r in
+                      joins.asof_join(left, right, time_slice="6h",
+                                      slice_hot_threshold=5000,
+                                      **kw).collect())
+    assert plain == adaptive
