@@ -149,7 +149,11 @@ SHOWCASE = [
     ("events_holt_linear",
      "Holt smoothing: native WITH RECURSIVE (union-loop) over the "
      "bounded day grid, joining the static grid inside the recursive "
-     "member; integer floor-div state, no Python."),
+     "member; integer floor-div state, no Python.  Shown on the "
+     "underlying SQL: since round 6 the catalog build returns the "
+     "PINNED (localCheckpoint) result so the scoped row-limit raise "
+     "can be restored — the recursion plan below is what executes "
+     "inside that pin."),
     ("text_ngram_novelty",
      "novelty: one explode pass, window MIN on the shingle key (no "
      "join-back recompute), partial-agg to the source frame."),
@@ -183,8 +187,20 @@ def main() -> None:
         "(plan SHAPE is scale-invariant; AQE may re-plan sizes at "
         "runtime).  What to check per plan is noted above each block.",
     ]
+    def build_unpinned(name):
+        """The two recursive-CTE queries return a pinned localCheckpoint
+        result (scoped row-limit raise, round 6); show the underlying
+        recursion's own plan instead of the pin's LogicalRDD scan."""
+        if name == "events_holt_linear":
+            from flinkapps_spark.plans.timeseries_queries import _HOLT_SQL
+            from flinkapps_spark.sources.batch import load_table
+            load_table(spark, sf_dir, "events") \
+                .createOrReplaceTempView("holt_plan_v")
+            return spark.sql(_HOLT_SQL.format(table="holt_plan_v"))
+        return reg[name].build(spark, sf_dir)
+
     for name, note in SHOWCASE:
-        df = reg[name].build(spark, sf_dir)
+        df = build_unpinned(name)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain(mode="formatted")
