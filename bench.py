@@ -134,6 +134,8 @@ HEADLINE = [
     "bpe_encode",
     "events_holt_linear",
     "graph_pagerank",
+    "source_overlap_jaccard",
+    "bpe_fertility_by_lang",
 ]
 
 

@@ -1108,3 +1108,84 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.orderBy(F.col("su").desc(), "vec_id").limit(OUT_TOPK)
             .select("vec_id", "label", "su",
                     (F.col("su") / float(OUT_SCALE)).alias("score")))
+
+
+# ---------------------------------------------------------------------------
+# bpe_fertility_by_lang — per-language tokenizer fertility
+# ---------------------------------------------------------------------------
+
+
+def _bpe_fertility_oracle() -> str:
+    ctes = list(_bpe_learn_ctes())
+    ctes.append(f"""
+        docw AS (
+            SELECT lang, unnest({SQL_WORDS}) AS word FROM documents),
+        d0 AS (
+            SELECT lang, word,
+                   ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sp
+            FROM docw)""")
+    for i in range(1, BPE_MERGES + 1):
+        ctes.append(f"""
+        d{i} AS (
+            SELECT lang, word,
+                   replace(sp,
+                       ' ' || (SELECT l FROM m{i}) || ' '
+                           || (SELECT r FROM m{i}) || ' ',
+                       ' ' || (SELECT l FROM m{i})
+                           || (SELECT r FROM m{i}) || ' ') AS sp
+            FROM d{i - 1}
+        )""")
+    return "WITH " + ",".join(ctes) + f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(string_split(trim(sp), ' '))) AS BIGINT)
+                   AS n_bpe_tokens,
+               CAST(SUM(len(string_split(trim(sp), ' '))) AS BIGINT)
+                   / CAST(COUNT(*) AS DOUBLE) AS fertility,
+               CAST(SUM(len(word)) AS BIGINT)
+                   / CAST(SUM(len(string_split(trim(sp), ' ')))
+                          AS DOUBLE) AS chars_per_token
+        FROM d{BPE_MERGES} GROUP BY lang
+    """
+
+
+@query(
+    "bpe_fertility_by_lang",
+    oracle=_bpe_fertility_oracle(),
+    category="extension: curation (tokenizer fertility by language)",
+    doc="Per-LANGUAGE tokenizer fertility (tokens per word) and "
+        "chars-per-token under the corpus-learned BPE merges — the "
+        "standard multilingual-tokenizer QA readout: a language whose "
+        "fertility is far above the corpus mean is being shattered into "
+        "symbols (its text is under-represented in merge training) and "
+        "will consume context budget disproportionately.  Same learned "
+        "model and literal-replace encode expression as bpe_encode; the "
+        "per-doc frame collapses straight to |langs| rows through one "
+        "partial-agg shuffle of exact int64 sums, divided once per "
+        "ratio — engine-identical doubles.",
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _learn_bpe_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+
+    def n_syms(w):
+        sp = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
+        for _, l, r, _m, _c in merges:
+            sp = F.replace(sp, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+        return F.size(F.split(F.trim(sp), " ")).cast("long")
+
+    words = tokenize(F.col("text"))
+    per_doc = docs.select(
+        "lang",
+        F.size(words).cast("long").alias("w"),
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)).alias("c"),
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, x: acc + n_syms(x)).alias("t"))
+    return (per_doc.groupBy("lang")
+            .agg(F.sum("w").alias("n_words"),
+                 F.sum("t").alias("n_bpe_tokens"),
+                 (F.sum("t") / F.sum("w").cast("double"))
+                 .alias("fertility"),
+                 (F.sum("c") / F.sum("t").cast("double"))
+                 .alias("chars_per_token")))

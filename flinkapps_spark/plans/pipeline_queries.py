@@ -2584,3 +2584,83 @@ def embedding_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pool.mapInPandas(
         greedy, schema="rank int, vec_id bigint, rel double, "
                        "mmr_score double")
+
+
+# ---------------------------------------------------------------------------
+# source_overlap_jaccard — cross-source shingle-overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def _source_overlap_oracle() -> str:
+    return f"""
+        WITH docs_w AS (
+            SELECT doc_id, source, {SQL_WORDS} AS ws FROM documents),
+        wcodes AS (
+            SELECT source,
+                   list_transform(ws, w -> {_sql_word_code('w')}) AS wc
+            FROM docs_w WHERE len(ws) >= 3),
+        codes AS (
+            SELECT source, unnest({_sql_shingle_codes('wc')}) AS code
+            FROM wcodes),
+        sc AS (SELECT DISTINCT source, code FROM codes),
+        sizes AS (SELECT source, COUNT(*) AS n_sh FROM sc GROUP BY source),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   COUNT(*) AS n_common
+            FROM sc a JOIN sc b
+              ON a.code = b.code AND a.source < b.source
+            GROUP BY 1, 2)
+        SELECT src_a, src_b, n_common,
+               sa.n_sh AS n_a, sb.n_sh AS n_b,
+               CAST(n_common AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = src_a
+        JOIN sizes sb ON sb.source = src_b
+    """
+
+
+@query(
+    "source_overlap_jaccard",
+    oracle=_source_overlap_oracle(),
+    category="extension: curation (cross-source overlap matrix)",
+    doc="Pairwise shingle-set Jaccard between SOURCES (domains): which "
+        "crawls/feeds duplicate each other — the planning signal for "
+        "cross-source dedup order and for dropping a feed that is a "
+        "strict subset of another (high containment → its marginal "
+        "value is near zero).  Shares the engine-portable poly-31 "
+        "3-word shingle codes with the dedup family "
+        "(operators/dedup.doc_shingle_table), collapsed to the DISTINCT "
+        "(source, code) level before any join.  Scale: the self-join "
+        "key is the shingle code and its per-code fan-out is bounded by "
+        "C(|sources|, 2) — a function of the SOURCE COUNT, never the "
+        "corpus (a shingle present in every one of S sources yields "
+        "S(S-1)/2 pair rows, ~190 at S=20); one partial-agg shuffle "
+        "aggregates pair intersections and the S-row size table "
+        "broadcasts.  Jaccard is one double division of exact int64 "
+        "counts — engine-identical unrounded.",
+)
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.operators.dedup import doc_shingle_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingle_table(docs)
+    src = docs.select(F.col("doc_id").alias("doc"), "source")
+    sc = sh.join(src, "doc").select("source", "code").distinct()
+    sizes = sc.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sc.select(F.col("source").alias("src_a"), "code")
+    b = sc.select(F.col("source").alias("src_b"), "code")
+    inter = (a.join(b, "code")
+             .filter(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("source").alias("src_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (inter.join(F.broadcast(sa), "src_a")
+            .join(F.broadcast(sb), "src_b")
+            .select("src_a", "src_b", "n_common", "n_a", "n_b",
+                    (F.col("n_common").cast("double")
+                     / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+                    .alias("jaccard")))
