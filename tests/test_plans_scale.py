@@ -1206,3 +1206,14 @@ def test_bpe_encode_map_only(spark):
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 0, plan
     assert "Python" not in plan, plan
+
+
+def test_source_overlap_bounded_join(spark):
+    """The cross-source overlap matrix joins on the shingle code after a
+    distinct (source, code) collapse — per-code fan-out is bounded by
+    C(|sources|,2) — and the size table rides a broadcast; never a
+    cartesian."""
+    plan = plan_of(spark, "source_overlap_jaccard")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan

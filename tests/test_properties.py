@@ -131,8 +131,14 @@ def test_asof_engines_agree_property(spark, inputs, direction, tolerance):
     b = sorted(map(tuple, asof_join(left, right, num_buckets=4,
                                     time_slice="2 minutes", **kw).collect()))
     c = sorted(map(tuple, asof_join_jvm(left, right, **kw).collect()))
+    # adaptive split: threshold 3 puts some keys on the sliced path and
+    # some on the direct path within one call (round 6)
+    d = sorted(map(tuple, asof_join(left, right, num_buckets=4,
+                                    time_slice="2 minutes",
+                                    slice_hot_threshold=3, **kw).collect()))
     assert a == b, (direction, tolerance, a[:3], b[:3])
     assert a == c, (direction, tolerance, a[:3], c[:3])
+    assert a == d, (direction, tolerance, a[:3], d[:3])
 
 
 # ---------------------------------------------------------------------------
@@ -625,3 +631,37 @@ def test_spearman_rho_matches_scipy_free_reference(vals):
     cov = sum((a - mean) * (b - mean) for a, b in zip(rx, ry)) / n
     var = (n * n - 1) / 12
     assert abs(rho_d2 - cov / var) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# popularity cap invariants (operators/baskets.py)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 8), st.integers(1, 6)),
+                min_size=1, max_size=60),
+       st.integers(1, 10))
+def test_pop_cap_invariants_property(spark, pairs, cap):
+    """cap_popular_items on ARBITRARY (basket, item) multisets: after
+    distinct-collapse and capping, (1) no surviving item's support
+    exceeds the cap, (2) every dropped item's support exceeded it, and
+    (3) surviving rows are exactly the original rows of surviving items
+    (the guard never invents or partially drops rows)."""
+    from pyspark.sql import functions as F
+
+    from flinkapps_spark.operators.baskets import cap_popular_items
+
+    op = spark.createDataFrame(pairs, "okey long, item long").distinct()
+    capped = cap_popular_items(op, "item", cap)
+    sup = {r["item"]: r["cnt"] for r in
+           op.groupBy("item").agg(F.count("*").alias("cnt")).collect()}
+    kept_rows = {(r["okey"], r["item"]) for r in capped.collect()}
+    kept_items = {i for _, i in kept_rows}
+    for item in kept_items:
+        assert sup[item] <= cap, (item, sup[item], cap)
+    for item in set(sup) - kept_items:
+        assert sup[item] > cap, (item, sup[item], cap)
+    expect = {(r["okey"], r["item"]) for r in op.collect()
+              if sup[r["item"]] <= cap}
+    assert kept_rows == expect
