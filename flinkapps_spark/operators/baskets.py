@@ -39,6 +39,14 @@ def cap_popular_items(op: DataFrame, item_col: str,
     basket then expands to at most C(k, 2) pairs where every item's
     reach is <= pop_cap, so pair volume is <= sum_baskets C(k,2) AND no
     (hot, x) reduce key can exceed pop_cap — both failure axes bounded.
+
+    NULL-key contract: a NULL item never matches the equality anti-join,
+    so NULL-item rows are KEPT (never capped) — NULL is a malformed item
+    id, not a product, and silently dropping every malformed row under a
+    popularity guard would be surprising; cap them upstream if a table
+    really carries hot NULLs.  The oracle twin uses NOT EXISTS (not
+    NOT IN, whose three-valued logic would drop ALL rows once the hot
+    list contains NULL) so both engines share this semantics exactly.
     """
     sup = op.groupBy(item_col).agg(F.count(F.lit(1)).alias("__sup"))
     hot = sup.filter(F.col("__sup") > pop_cap).select(item_col)
@@ -49,9 +57,13 @@ def sql_cap_popular_items(base_cte: str, item_col: str,
                           pop_cap: int) -> str:
     """The oracle-side twin of cap_popular_items: wraps a distinct
     (basket, item) CTE body so tests can run the capped semantics on
-    DuckDB and prove the guarded Spark plan lossless."""
+    DuckDB and prove the guarded Spark plan lossless.  NOT EXISTS, not
+    NOT IN — equality anti-join semantics on NULL keys must match
+    Spark's left_anti (NULL rows kept), while NOT IN would evaluate to
+    NULL for every row as soon as the hot list holds a NULL."""
     return f"""(
-        SELECT * FROM {base_cte}
-        WHERE {item_col} NOT IN (
-            SELECT {item_col} FROM {base_cte}
-            GROUP BY {item_col} HAVING COUNT(*) > {pop_cap}))"""
+        SELECT t.* FROM {base_cte} t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM {base_cte} h
+            GROUP BY h.{item_col}
+            HAVING COUNT(*) > {pop_cap} AND h.{item_col} = t.{item_col}))"""

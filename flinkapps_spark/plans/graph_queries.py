@@ -32,19 +32,35 @@ PR_ITERATIONS = 5
 
 def _iter_checkpoint(spark: SparkSession, checkpoint_dir: str | None):
     """Per-iteration lineage cut for the iterative queries (VERDICT r5
-    #4).  Default: ``localCheckpoint`` — blocks live in executor memory,
-    zero I/O, but NOT durable (an executor loss mid-iteration fails the
-    query instead of recomputing, because the truncated lineage cannot
-    be replayed).  With ``checkpoint_dir`` set: RELIABLE ``checkpoint()``
-    — each round's state is written to the fault-tolerant FS and an
-    executor loss recovers from it; the right trade for a multi-hour
-    100 TB run where losing round 40 of 50 costs more than 50 round-trip
-    writes.  Values are identical either way (both modes are pure
-    materialization); tests pin both modes against one oracle."""
+    #4): returns ``(cut, restore)``.  Default: ``localCheckpoint`` —
+    blocks live in executor memory, zero I/O, but NOT durable (an
+    executor loss mid-iteration fails the query instead of recomputing,
+    because the truncated lineage cannot be replayed).  With
+    ``checkpoint_dir`` set: RELIABLE ``checkpoint()`` — each round's
+    state is written to the fault-tolerant FS and an executor loss
+    recovers from it; the right trade for a multi-hour 100 TB run where
+    losing round 40 of 50 costs more than 50 round-trip writes.  Values
+    are identical either way (both modes are pure materialization);
+    tests pin both modes against one oracle.
+
+    The checkpoint dir is SESSION-GLOBAL state: ``restore()`` (call in a
+    finally after the last eager cut) puts back the prior dir so a later
+    unrelated ``.checkpoint()`` does not land here.  Round files persist
+    for recovery by design — clean the dir after the job, or build the
+    session with spark.cleaner.referenceTracking.cleanCheckpoints=true
+    to have out-of-scope rounds GC'd."""
     if checkpoint_dir is None:
-        return lambda df: df.localCheckpoint()
-    spark.sparkContext.setCheckpointDir(checkpoint_dir)
-    return lambda df: df.checkpoint()
+        return (lambda df: df.localCheckpoint()), (lambda: None)
+    sc = spark.sparkContext
+    prior = sc.getCheckpointDir()
+    sc.setCheckpointDir(checkpoint_dir)
+
+    def restore() -> None:
+        # no unset API: with no prior dir there is nothing to put back
+        if prior is not None:
+            sc.setCheckpointDir(prior)
+
+    return (lambda df: df.checkpoint()), restore
 _SQL_EDGES = ("SELECT user_id AS src, "
               "(user_id + 1 + event_id % 97) % 150 AS dst FROM events")
 
@@ -101,36 +117,40 @@ def _sql_pagerank() -> str:
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str,
                    checkpoint_dir: str | None = None) -> DataFrame:
-    cut = _iter_checkpoint(spark, checkpoint_dir)
-    ev = load_table(spark, sf_dir, "events")
-    edges = ev.select(
-        F.col("user_id").alias("src"),
-        ((F.col("user_id") + 1 + F.col("event_id") % 97) % 150)
-        .alias("dst")).persist()
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node")))
-             .distinct().persist())
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    base = int(round((1 - PR_DAMPING) * PR_SCALE))
-    ranks = nodes.withColumn("pr", F.lit(PR_SCALE).cast("long"))
-    for _ in range(PR_ITERATIONS):
-        contrib = (edges
-                   .join(ranks, edges.src == ranks.node)
-                   .join(F.broadcast(deg), "src")
-                   .select("dst", F.expr("pr div d").alias("c")))
-        inbound = contrib.groupBy("dst").agg(F.sum("c").alias("m"))
-        ranks = (nodes.join(inbound, nodes.node == inbound.dst, "left")
-                 .select("node",
-                         (F.lit(base) + F.floor(
-                             F.lit(PR_DAMPING) * F.coalesce("m", F.lit(0))
-                             + F.lit(0.5))).cast("long").alias("pr"))
-                 )
-        ranks = cut(ranks)
-    out = ranks.select(F.col("node").alias("user_id"),
-                       (F.col("pr") / float(PR_SCALE)).alias("pagerank"))
-    edges.unpersist()
-    nodes.unpersist()
-    return out
+    cut, restore_ckpt_dir = _iter_checkpoint(spark, checkpoint_dir)
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        edges = ev.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") + 1 + F.col("event_id") % 97) % 150)
+            .alias("dst")).persist()
+        nodes = (edges.select(F.col("src").alias("node"))
+                 .union(edges.select(F.col("dst").alias("node")))
+                 .distinct().persist())
+        deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+        base = int(round((1 - PR_DAMPING) * PR_SCALE))
+        ranks = nodes.withColumn("pr", F.lit(PR_SCALE).cast("long"))
+        for _ in range(PR_ITERATIONS):
+            contrib = (edges
+                       .join(ranks, edges.src == ranks.node)
+                       .join(F.broadcast(deg), "src")
+                       .select("dst", F.expr("pr div d").alias("c")))
+            inbound = contrib.groupBy("dst").agg(F.sum("c").alias("m"))
+            ranks = (nodes.join(inbound, nodes.node == inbound.dst, "left")
+                     .select("node",
+                             (F.lit(base) + F.floor(
+                                 F.lit(PR_DAMPING)
+                                 * F.coalesce("m", F.lit(0))
+                                 + F.lit(0.5))).cast("long").alias("pr"))
+                     )
+            ranks = cut(ranks)
+        out = ranks.select(F.col("node").alias("user_id"),
+                           (F.col("pr") / float(PR_SCALE)).alias("pagerank"))
+        edges.unpersist()
+        nodes.unpersist()
+        return out
+    finally:
+        restore_ckpt_dir()
 
 
 @query(
@@ -222,30 +242,34 @@ def _sql_labelprop() -> str:
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str,
                             checkpoint_dir: str | None = None) -> DataFrame:
-    cut = _iter_checkpoint(spark, checkpoint_dir)
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        F.col("user_id").alias("src"),
-        ((F.col("user_id") + 1 + F.col("event_id") % 97) % 150)
-        .alias("dst")).filter(F.col("src") != F.col("dst"))
-    adj = (e.select(F.col("src").alias("v"), F.col("dst").alias("n"))
-           .union(e.select(F.col("dst").alias("v"), F.col("src").alias("n")))
-           .distinct().persist())
-    nodes = adj.select(F.col("v").alias("node")).distinct().persist()
-    labs = nodes.select("node", F.col("node").alias("lab"))
-    from pyspark.sql import Window
-    w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("lab"))
-    for _ in range(LP_ITERATIONS):
-        counted = (adj.join(labs, adj.n == labs.node)
-                   .groupBy("v", "lab").agg(F.count("*").alias("c")))
-        mode = (counted.withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") == 1).select("v", "lab"))
-        labs = (nodes.join(mode, nodes.node == mode.v, "left")
-                .select("node", F.coalesce("lab", "node").alias("lab"))
-                )
-        labs = cut(labs)
-    out = labs.select(F.col("node").alias("user_id"),
-                      F.col("lab").alias("label"))
-    adj.unpersist()
-    nodes.unpersist()
-    return out
+    cut, restore_ckpt_dir = _iter_checkpoint(spark, checkpoint_dir)
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        e = ev.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") + 1 + F.col("event_id") % 97) % 150)
+            .alias("dst")).filter(F.col("src") != F.col("dst"))
+        adj = (e.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+               .union(e.select(F.col("dst").alias("v"),
+                               F.col("src").alias("n")))
+               .distinct().persist())
+        nodes = adj.select(F.col("v").alias("node")).distinct().persist()
+        labs = nodes.select("node", F.col("node").alias("lab"))
+        from pyspark.sql import Window
+        w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("lab"))
+        for _ in range(LP_ITERATIONS):
+            counted = (adj.join(labs, adj.n == labs.node)
+                       .groupBy("v", "lab").agg(F.count("*").alias("c")))
+            mode = (counted.withColumn("rk", F.row_number().over(w))
+                    .filter(F.col("rk") == 1).select("v", "lab"))
+            labs = (nodes.join(mode, nodes.node == mode.v, "left")
+                    .select("node", F.coalesce("lab", "node").alias("lab"))
+                    )
+            labs = cut(labs)
+        out = labs.select(F.col("node").alias("user_id"),
+                          F.col("lab").alias("label"))
+        adj.unpersist()
+        nodes.unpersist()
+        return out
+    finally:
+        restore_ckpt_dir()

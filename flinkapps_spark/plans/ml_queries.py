@@ -539,19 +539,22 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_encode_oracle() -> str:
+def _bpe_apply_ctes(key_col: str) -> list[str]:
+    """Learning chain + merge APPLICATION to the corpus words, keyed by
+    ``key_col`` (doc_id for per-doc encode, lang for fertility) — ONE
+    definition of the apply semantics for both oracles."""
     ctes = list(_bpe_learn_ctes())
     ctes.append(f"""
         docw AS (
-            SELECT doc_id, unnest({SQL_WORDS}) AS word FROM documents),
+            SELECT {key_col}, unnest({SQL_WORDS}) AS word FROM documents),
         d0 AS (
-            SELECT doc_id, word,
+            SELECT {key_col}, word,
                    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sp
             FROM docw)""")
     for i in range(1, BPE_MERGES + 1):
         ctes.append(f"""
         d{i} AS (
-            SELECT doc_id, word,
+            SELECT {key_col}, word,
                    replace(sp,
                        ' ' || (SELECT l FROM m{i}) || ' '
                            || (SELECT r FROM m{i}) || ' ',
@@ -559,7 +562,11 @@ def _bpe_encode_oracle() -> str:
                            || (SELECT r FROM m{i}) || ' ') AS sp
             FROM d{i - 1}
         )""")
-    return "WITH " + ",".join(ctes) + f"""
+    return ctes
+
+
+def _bpe_encode_oracle() -> str:
+    return "WITH " + ",".join(_bpe_apply_ctes("doc_id")) + f"""
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_words,
                CAST(SUM(len(word)) AS BIGINT) AS n_chars,
@@ -572,6 +579,29 @@ def _bpe_encode_oracle() -> str:
                           AS DOUBLE) AS chars_per_token
         FROM d{BPE_MERGES} GROUP BY doc_id
     """
+
+
+def _bpe_doc_metrics(docs: DataFrame, merges, key_col: str) -> DataFrame:
+    """(key_col, w, c, t) per document under the learned merges — the
+    ONE Spark-side definition of the literal-replace encode fold, shared
+    by bpe_encode and bpe_fertility_by_lang.  Zero-word docs are dropped
+    (w > 0), mirroring the oracle's unnest semantics on both consumers."""
+
+    def n_syms(w):
+        sp = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
+        for _, l, r, _m, _c in merges:
+            sp = F.replace(sp, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+        return F.size(F.split(F.trim(sp), " ")).cast("long")
+
+    words = tokenize(F.col("text"))
+    return (docs.select(
+        key_col,
+        F.size(words).cast("long").alias("w"),
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)).alias("c"),
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, x: acc + n_syms(x)).alias("t"))
+        .filter(F.col("w") > 0))
 
 
 @query(
@@ -598,27 +628,14 @@ def _bpe_encode_oracle() -> str:
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _learn_bpe_merges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-
-    def n_syms(w):
-        sp = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
-        for _, l, r, _m, _c in merges:
-            sp = F.replace(sp, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
-        return F.size(F.split(F.trim(sp), " ")).cast("long")
-
-    words = tokenize(F.col("text"))
-    enc = docs.select(
+    enc = _bpe_doc_metrics(docs, merges, "doc_id")
+    return enc.select(
         "doc_id",
-        F.size(words).cast("long").alias("n_words"),
-        F.aggregate(words, F.lit(0).cast("long"),
-                    lambda acc, w: acc + F.length(w)).alias("n_chars"),
-        F.aggregate(words, F.lit(0).cast("long"),
-                    lambda acc, w: acc + n_syms(w)).alias("n_bpe_tokens"))
-    return (enc.filter(F.col("n_words") > 0)
-            .select("doc_id", "n_words", "n_chars", "n_bpe_tokens",
-                    (F.col("n_bpe_tokens") / F.col("n_words")
-                     .cast("double")).alias("tokens_per_word"),
-                    (F.col("n_chars") / F.col("n_bpe_tokens")
-                     .cast("double")).alias("chars_per_token")))
+        F.col("w").alias("n_words"),
+        F.col("c").alias("n_chars"),
+        F.col("t").alias("n_bpe_tokens"),
+        (F.col("t") / F.col("w").cast("double")).alias("tokens_per_word"),
+        (F.col("c") / F.col("t").cast("double")).alias("chars_per_token"))
 
 
 # ---------------------------------------------------------------------------
@@ -1116,26 +1133,7 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_fertility_oracle() -> str:
-    ctes = list(_bpe_learn_ctes())
-    ctes.append(f"""
-        docw AS (
-            SELECT lang, unnest({SQL_WORDS}) AS word FROM documents),
-        d0 AS (
-            SELECT lang, word,
-                   ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sp
-            FROM docw)""")
-    for i in range(1, BPE_MERGES + 1):
-        ctes.append(f"""
-        d{i} AS (
-            SELECT lang, word,
-                   replace(sp,
-                       ' ' || (SELECT l FROM m{i}) || ' '
-                           || (SELECT r FROM m{i}) || ' ',
-                       ' ' || (SELECT l FROM m{i})
-                           || (SELECT r FROM m{i}) || ' ') AS sp
-            FROM d{i - 1}
-        )""")
-    return "WITH " + ",".join(ctes) + f"""
+    return "WITH " + ",".join(_bpe_apply_ctes("lang")) + f"""
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_words,
                CAST(SUM(len(string_split(trim(sp), ' '))) AS BIGINT)
@@ -1167,21 +1165,7 @@ def _bpe_fertility_oracle() -> str:
 def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _learn_bpe_merges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-
-    def n_syms(w):
-        sp = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
-        for _, l, r, _m, _c in merges:
-            sp = F.replace(sp, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
-        return F.size(F.split(F.trim(sp), " ")).cast("long")
-
-    words = tokenize(F.col("text"))
-    per_doc = docs.select(
-        "lang",
-        F.size(words).cast("long").alias("w"),
-        F.aggregate(words, F.lit(0).cast("long"),
-                    lambda acc, x: acc + F.length(x)).alias("c"),
-        F.aggregate(words, F.lit(0).cast("long"),
-                    lambda acc, x: acc + n_syms(x)).alias("t"))
+    per_doc = _bpe_doc_metrics(docs, merges, "lang")
     return (per_doc.groupBy("lang")
             .agg(F.sum("w").alias("n_words"),
                  F.sum("t").alias("n_bpe_tokens"),

@@ -1031,6 +1031,11 @@ def _theilsen_hist(spark: SparkSession, pairs) -> DataFrame:
            pairs().groupBy("event_type")
            .agg(F.min("slope").alias("lo"), F.max("slope").alias("hi"),
                 F.count("*").alias("n")).collect()}
+    if not ext:
+        # no type has >= 2 hourly buckets: same empty frame (and schema)
+        # the window path returns — F.coalesce() with zero branches throws
+        return spark.createDataFrame(
+            [], "event_type string, n_pairs long, theilsen_slope double")
 
     def bin_of(t):
         lo, hi = ext[t]["lo"], ext[t]["hi"]
@@ -1071,7 +1076,7 @@ def _theilsen_hist(spark: SparkSession, pairs) -> DataFrame:
                     F.coalesce(*[
                         F.when(F.col("event_type") == t,
                                F.lit(ext[t]["n"]))
-                        for t in ext]).alias("n_pairs"),
+                        for t in ext]).cast("long").alias("n_pairs"),
                     (F.col("slope") / TS_SCALE).alias("theilsen_slope")))
 
 

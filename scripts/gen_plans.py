@@ -120,7 +120,9 @@ SHOWCASE = [
     ("sql_recursive_hierarchy",
      "native WITH RECURSIVE (Spark 4 union-loop execution): per-step "
      "frontier projection+filter stays codegen'd; no Python driver "
-     "loop."),
+     "loop.  Shown on the underlying SQL (the catalog build returns "
+     "the pinned localCheckpoint result — see events_holt_linear's "
+     "note)."),
     ("ml_auc_roc",
      "exact ROC AUC: distinct-score grouping bounds the frame, the "
      "cumulative negative count is the shared two-phase prefix, and "
@@ -191,12 +193,19 @@ def main() -> None:
         """The two recursive-CTE queries return a pinned localCheckpoint
         result (scoped row-limit raise, round 6); show the underlying
         recursion's own plan instead of the pin's LogicalRDD scan."""
+        from flinkapps_spark.sources.batch import load_table
         if name == "events_holt_linear":
             from flinkapps_spark.plans.timeseries_queries import _HOLT_SQL
-            from flinkapps_spark.sources.batch import load_table
             load_table(spark, sf_dir, "events") \
                 .createOrReplaceTempView("holt_plan_v")
             return spark.sql(_HOLT_SQL.format(table="holt_plan_v"))
+        if name == "sql_recursive_hierarchy":
+            from flinkapps_spark.plans.relational_queries import (
+                _REC_HIER_SQL,
+            )
+            load_table(spark, sf_dir, "customer") \
+                .createOrReplaceTempView("rec_hier_plan_v")
+            return spark.sql(_REC_HIER_SQL.format(table="rec_hier_plan_v"))
         return reg[name].build(spark, sf_dir)
 
     for name, note in SHOWCASE:

@@ -205,3 +205,61 @@ def test_asof_adaptive_hot_split(spark, skew_dir):
                                       slice_hot_threshold=5000,
                                       **kw).collect())
     assert plain == adaptive
+
+
+def test_pop_cap_null_item_contract(spark):
+    """NULL item keys are KEPT (never capped) on BOTH engines: Spark's
+    left_anti never matches NULL, and the oracle twin uses NOT EXISTS
+    precisely because NOT IN would three-valued-logic every row to NULL
+    once the hot list contains a NULL (review r6 finding)."""
+    import duckdb
+
+    from flinkapps_spark.operators.baskets import (
+        cap_popular_items, sql_cap_popular_items,
+    )
+
+    rows = [(1, None), (2, None), (3, 5), (4, 5), (5, 6)]
+    op = spark.createDataFrame(rows, "okey long, item long")
+    got_spark = sorted(
+        (r["okey"], r["item"])
+        for r in cap_popular_items(op, "item", 1).collect())
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE b (okey BIGINT, item BIGINT)")
+        con.executemany("INSERT INTO b VALUES (?, ?)", rows)
+        got_duck = sorted(map(tuple, con.sql(
+            f"SELECT okey, item FROM {sql_cap_popular_items('b', 'item', 1)}"
+            " q").fetchall()))
+    finally:
+        con.close()
+    expect = [(1, None), (2, None), (5, 6)]   # item 5 (support 2) capped
+    assert got_spark == expect, got_spark
+    assert got_duck == expect, got_duck
+
+
+def test_theilsen_hist_empty_pairs(spark):
+    """hist_mode=True on an events set where no type has two hourly
+    buckets returns the SAME empty frame (and schema) the window path
+    returns, instead of crashing on a zero-branch coalesce (review r6
+    finding)."""
+    import os
+    import tempfile
+
+    from flinkapps_spark.plans.timeseries_queries import (
+        events_trend_theilsen,
+    )
+
+    d = tempfile.mkdtemp(prefix="ts_single_hour_")
+    (spark.createDataFrame(
+        [(1, "2024-01-01 10:00:05", 7, "view", 1.0),
+         (2, "2024-01-01 10:30:00", 8, "click", 2.0)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double")
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .write.mode("overwrite").parquet(os.path.join(d, "events.parquet")))
+    hist = events_trend_theilsen(spark, d, hist_mode=True)
+    window = events_trend_theilsen(spark, d, hist_mode=False)
+    assert hist.count() == 0 and window.count() == 0
+    assert [f.dataType for f in hist.schema.fields] == \
+        [f.dataType for f in window.schema.fields], (hist.schema,
+                                                     window.schema)
