@@ -101,6 +101,13 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: Sequence[str],
     """
     import pandas as pd
 
+    if slice_hot_threshold is not None and time_slice is None:
+        # silently falling through to the unsliced path would hand a
+        # caller who opted into the hot-key split an unbounded straggler
+        raise ValueError(
+            "slice_hot_threshold requires time_slice: the threshold only "
+            "selects WHICH keys take the sliced path; time_slice defines "
+            "the slicing itself")
     if time_slice is not None and slice_hot_threshold is not None:
         keys = list(key_cols)
         occ = (left.select(*keys).unionByName(right.select(*keys))

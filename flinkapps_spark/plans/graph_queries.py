@@ -20,6 +20,8 @@ operators/dedup.py as min-label propagation (dedup_clusters).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flinkapps_spark.plans.catalog import query
@@ -28,6 +30,9 @@ from flinkapps_spark.sources.batch import load_table
 PR_SCALE = 1_000_000     # fixed-point units per 1.0 of rank
 PR_DAMPING = 0.85
 PR_ITERATIONS = 5
+
+# serializes setCheckpointDir → restore windows (see _iter_checkpoint)
+_CKPT_DIR_LOCK = threading.Lock()
 
 
 def _iter_checkpoint(spark: SparkSession, checkpoint_dir: str | None):
@@ -45,20 +50,30 @@ def _iter_checkpoint(spark: SparkSession, checkpoint_dir: str | None):
 
     The checkpoint dir is SESSION-GLOBAL state: ``restore()`` (call in a
     finally after the last eager cut) puts back the prior dir so a later
-    unrelated ``.checkpoint()`` does not land here.  Round files persist
-    for recovery by design — clean the dir after the job, or build the
-    session with spark.cleaner.referenceTracking.cleanCheckpoints=true
-    to have out-of-scope rounds GC'd."""
+    unrelated ``.checkpoint()`` does not land here.  A module lock is
+    held from set to ``restore()`` so two concurrent reliable-checkpoint
+    builds on a shared session cannot interleave setCheckpointDir /
+    restore and checkpoint into the wrong dir (same shared-session race
+    class that view_tag closes for temp views) — callers MUST call
+    ``restore()`` in a finally or the next reliable-mode build blocks.
+    Round files persist for recovery by design — clean the dir after the
+    job, or build the session with
+    spark.cleaner.referenceTracking.cleanCheckpoints=true to have
+    out-of-scope rounds GC'd."""
     if checkpoint_dir is None:
         return (lambda df: df.localCheckpoint()), (lambda: None)
     sc = spark.sparkContext
+    _CKPT_DIR_LOCK.acquire()
     prior = sc.getCheckpointDir()
     sc.setCheckpointDir(checkpoint_dir)
 
     def restore() -> None:
-        # no unset API: with no prior dir there is nothing to put back
-        if prior is not None:
-            sc.setCheckpointDir(prior)
+        try:
+            # no unset API: with no prior dir there is nothing to put back
+            if prior is not None:
+                sc.setCheckpointDir(prior)
+        finally:
+            _CKPT_DIR_LOCK.release()
 
     return (lambda df: df.checkpoint()), restore
 _SQL_EDGES = ("SELECT user_id AS src, "

@@ -1033,50 +1033,52 @@ def _theilsen_hist(spark: SparkSession, pairs) -> DataFrame:
                 F.count("*").alias("n")).collect()}
     if not ext:
         # no type has >= 2 hourly buckets: same empty frame (and schema)
-        # the window path returns — F.coalesce() with zero branches throws
+        # the window path returns
         return spark.createDataFrame(
             [], "event_type string, n_pairs long, theilsen_slope double")
 
-    def bin_of(t):
-        lo, hi = ext[t]["lo"], ext[t]["hi"]
-        w = (hi - lo) / TS_HIST_BINS or 1.0
-        return F.least(F.floor((F.col("slope") - F.lit(lo)) / F.lit(w)),
-                       F.lit(TS_HIST_BINS - 1)).cast("long")
-
-    bin_col = F.coalesce(*[
-        F.when(F.col("event_type") == t, bin_of(t)) for t in ext])
+    # Per-type bin params ride in a BROADCAST frame, not per-type when()
+    # branches: with T event types an inlined CASE chain is O(T) deep per
+    # row and blows past codegen limits on exactly the high-cardinality
+    # long-span path this escape targets; a broadcast hash join is O(1)
+    # per row at any T (ADVICE r6).  Bin width is computed driver-side
+    # (same IEEE double the when-chain form shipped as literals).
+    meta = spark.createDataFrame(
+        [(t, float(r["lo"]),
+          float((r["hi"] - r["lo"]) / TS_HIST_BINS or 1.0), int(r["n"]))
+         for t, r in ext.items()],
+        "event_type string, lo double, w double, n long")
+    bin_col = F.least(
+        F.floor((F.col("slope") - F.col("lo")) / F.col("w")),
+        F.lit(TS_HIST_BINS - 1)).cast("long")
     # pass 1: histogram (partial-agg; |types| x bins cells to the driver)
     hist = {(r["event_type"], r["bin"]): r["cnt"] for r in
-            pairs().select("event_type", bin_col.alias("bin"))
+            pairs().join(F.broadcast(meta), "event_type")
+            .select("event_type", bin_col.alias("bin"))
             .groupBy("event_type", "bin")
             .agg(F.count("*").alias("cnt")).collect()}
-    target = {}          # type -> (median_bin, rank_within_bin)
+    target = []          # (type, median_bin, rank_within_bin) rows
     for t, info in ext.items():
         k = (info["n"] + 1) // 2
         cum = 0
         for bn in range(TS_HIST_BINS):
             c = hist.get((t, bn), 0)
             if cum + c >= k:
-                target[t] = (bn, k - cum)
+                target.append((t, bn, k - cum))
                 break
             cum += c
+    tgt = spark.createDataFrame(
+        target, "event_type string, target_bin long, k_in long")
     # pass 2: rank only the slopes inside each type's median bin
-    binned = pairs().withColumn("bin", bin_col)
-    in_bin = F.coalesce(*[
-        F.when(F.col("event_type") == t, F.col("bin") == target[t][0])
-        for t in ext])
-    k_in = F.coalesce(*[
-        F.when(F.col("event_type") == t, F.lit(target[t][1]))
-        for t in ext])
-    ranked = binned.filter(in_bin).withColumn(
-        "rn", F.row_number().over(
-            Window.partitionBy("event_type").orderBy("slope")))
-    return (ranked.filter(F.col("rn") == k_in)
+    binned = (pairs()
+              .join(F.broadcast(meta.join(tgt, "event_type")), "event_type")
+              .withColumn("bin", bin_col))
+    ranked = (binned.filter(F.col("bin") == F.col("target_bin"))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("event_type").orderBy("slope"))))
+    return (ranked.filter(F.col("rn") == F.col("k_in"))
             .select("event_type",
-                    F.coalesce(*[
-                        F.when(F.col("event_type") == t,
-                               F.lit(ext[t]["n"]))
-                        for t in ext]).cast("long").alias("n_pairs"),
+                    F.col("n").alias("n_pairs"),
                     (F.col("slope") / TS_SCALE).alias("theilsen_slope")))
 
 

@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from flinkapps_spark.session import tune_session
 from flinkapps_spark.sources.batch import load_table
 
+# recentProgress buffer size used while a caller collects progress_sink;
+# well above any replay the tests (or a plausible local backfill) produce.
+_PROGRESS_RETENTION = 10_000
+
 
 def socket_source(spark: SparkSession, host: str = "localhost",
                   port: int = 9999) -> DataFrame:
@@ -91,10 +95,10 @@ def file_stream_source(spark: SparkSession, sf_dir: str, table: str,
     - ``max_bytes_per_trigger``: Spark's OSS file source has no byte
       knob (that is a Delta source option), so this is translated
       honestly: the target dir's file sizes are listed once and the
-      byte budget becomes ``ceil(budget / max_file_size)`` files —
-      admitted bytes per batch never exceed the budget by more than one
-      file, the same guarantee Delta documents.  Ignored when
-      ``max_files_per_trigger`` is set explicitly.
+      byte budget becomes ``floor(budget / max_file_size)`` files
+      (min 1 file) — admitted bytes per batch never exceed the budget
+      by more than one file, the same guarantee Delta documents.
+      Ignored when ``max_files_per_trigger`` is set explicitly.
     """
     tune_session(spark)
     batch = load_table(spark, sf_dir, table)
@@ -141,20 +145,37 @@ def run_stream_to_memory(transformed: DataFrame, *, output_mode: str,
     backfill really executes as multiple micro-batches; pass
     ``progress_sink`` (a list) to receive the per-batch progress dicts and
     assert on batch structure.
+
+    ``recentProgress`` retains only the most recent
+    ``spark.sql.streaming.numRecentProgressUpdates`` entries (default
+    ~100), which would silently undercount micro-batches on a long
+    backfill — so when ``progress_sink`` is requested the retention is
+    raised to ``_PROGRESS_RETENTION`` for the duration of the query
+    (restored after), making batch-structure assertions reliable up to
+    that many micro-batches.
     """
     spark = transformed.sparkSession
     qname = name or f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
-    q = (transformed.writeStream
-         .format("memory")
-         .queryName(qname)
-         .outputMode(output_mode)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    retention_key = "spark.sql.streaming.numRecentProgressUpdates"
+    prior_retention = (spark.conf.get(retention_key)
+                       if progress_sink is not None else None)
     if progress_sink is not None:
-        progress_sink.extend(q.recentProgress)
+        spark.conf.set(retention_key, str(_PROGRESS_RETENTION))
+    try:
+        q = (transformed.writeStream
+             .format("memory")
+             .queryName(qname)
+             .outputMode(output_mode)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        if progress_sink is not None:
+            progress_sink.extend(q.recentProgress)
+    finally:
+        if prior_retention is not None:
+            spark.conf.set(retention_key, prior_retention)
     return spark.table(qname)
 
 

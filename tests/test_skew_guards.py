@@ -207,6 +207,20 @@ def test_asof_adaptive_hot_split(spark, skew_dir):
     assert plain == adaptive
 
 
+def test_asof_hot_threshold_without_time_slice_raises(spark):
+    """slice_hot_threshold without time_slice must fail loudly — the
+    silent fall-through would hand a caller who opted into the hot-key
+    split the unsliced path with no straggler bound (ADVICE r6)."""
+    from flinkapps_spark.operators import joins
+
+    df = spark.createDataFrame(
+        [(1, 1)], "user_id long, ts long").withColumn(
+        "ts", F.timestamp_seconds(F.col("ts")))
+    with pytest.raises(ValueError, match="time_slice"):
+        joins.asof_join(df, df, key_cols=["user_id"], ts_col="ts",
+                        slice_hot_threshold=10)
+
+
 def test_pop_cap_null_item_contract(spark):
     """NULL item keys are KEPT (never capped) on BOTH engines: Spark's
     left_anti never matches NULL, and the oracle twin uses NOT EXISTS
