@@ -136,6 +136,9 @@ HEADLINE = [
     "graph_pagerank",
     "source_overlap_jaccard",
     "bpe_fertility_by_lang",
+    # round-7 additions
+    "events_holt_linear_weekly",
+    "dedup_clusters",
 ]
 
 

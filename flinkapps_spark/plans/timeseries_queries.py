@@ -1334,14 +1334,18 @@ HOLT_SCALE = 10 ** 6      # fixed-point units per daily count
 _HOLT_LNEXT = ("CAST(floor(CAST(b.cnt * 1000000 + h.l_u + h.b_u "
                "AS DOUBLE) / 2) AS BIGINT)")
 
-_HOLT_SQL = f"""
+
+def _holt_recursion(daily_src: str, unit: str = "day") -> str:
+    """The Holt recursion over a (event_type, d, cnt) period grid —
+    ``daily_src`` is either the inline corpus agg (oracle form) or a
+    pre-materialized grid view (engine form; see events_holt_linear for
+    why).  ``unit`` names the output columns (day/week grain)."""
+    return f"""
     WITH RECURSIVE base AS (
         SELECT event_type, d, cnt,
                ROW_NUMBER() OVER (PARTITION BY event_type
                                   ORDER BY d) AS k
-        FROM (SELECT event_type, CAST(ts AS DATE) AS d,
-                     CAST(COUNT(*) AS BIGINT) AS cnt
-              FROM {{table}} GROUP BY 1, 2)
+        FROM {daily_src}
     ),
     holt AS (
         SELECT event_type, k, CAST(cnt * 1000000 AS BIGINT) AS l_u,
@@ -1357,13 +1361,28 @@ _HOLT_SQL = f"""
     ),
     last AS (SELECT event_type, MAX(k) AS kmax FROM base
              GROUP BY event_type)
-    SELECT h.event_type, h.k AS n_days, h.l_u, h.b_u,
+    SELECT h.event_type, h.k AS n_{unit}s, h.l_u, h.b_u,
            h.l_u / CAST(1000000 AS DOUBLE) AS level_smoothed,
-           h.b_u / CAST(1000000 AS DOUBLE) AS trend_per_day,
+           h.b_u / CAST(1000000 AS DOUBLE) AS trend_per_{unit},
            (h.l_u + h.b_u) / CAST(1000000 AS DOUBLE) AS forecast_next
     FROM holt h JOIN last l
       ON l.event_type = h.event_type AND l.kmax = h.k
 """
+
+
+_HOLT_DAY_EXPR = "CAST(ts AS DATE)"
+_HOLT_WEEK_EXPR = "CAST(date_trunc('week', ts) AS DATE)"
+
+
+def _holt_daily_agg(table: str, day_expr: str) -> str:
+    return (f"(SELECT event_type, {day_expr} AS d, "
+            f"CAST(COUNT(*) AS BIGINT) AS cnt FROM {table} "
+            f"GROUP BY 1, 2)")
+
+
+# day-grain template over a raw events view (oracle form; also the
+# plan-pin fixture in tests/test_plans_scale.py)
+_HOLT_SQL = _holt_recursion(_holt_daily_agg("{table}", _HOLT_DAY_EXPR))
 
 
 @query(
@@ -1386,22 +1405,57 @@ _HOLT_SQL = f"""
         "calendar, not the corpus); the corpus contributes one "
         "partial-agg shuffle. Depth = #days; raise "
         "spark.sql.cteRecursionLevelLimit (default 100) or coarsen to "
-        "weeks past a ~3-month window.",
+        "weeks past a ~3-month window (events_holt_linear_weekly — "
+        "grain='week' — cuts depth 7x). Engine plan (round 7): the "
+        "corpus agg is materialized ONCE into a checkpointed period "
+        "grid and the recursion runs over that view — UnionLoop "
+        "re-executes the recursion's base relations every step, so "
+        "inlining the agg re-scanned the corpus #days times (measured "
+        "7.6 s -> ~1 s at sf0.1).",
 )
-def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_holt_linear(spark: SparkSession, sf_dir: str,
+                       grain: str = "day") -> DataFrame:
     # view name unique per sf_dir; row-limit raise scoped to THIS
     # execution (prior value restored, tripwire re-armed — ADVICE r5);
     # result is one row per event_type, pinned by localCheckpoint so the
     # recursion never re-runs under the restored (low) limit.
-    view = f"events_holt_{view_tag(sf_dir)}"
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    if grain not in ("day", "week"):
+        raise ValueError(f"grain must be 'day' or 'week', got {grain!r}")
+    period = (F.to_date("ts") if grain == "day"
+              else F.date_trunc("week", F.col("ts")).cast("date"))
+    # materialize the bounded (type, period) grid ONCE: the recursive
+    # member executes per step, so anything inside it re-runs #periods
+    # times — the corpus-sized agg must sit behind the loop, not in it
+    grid = (load_table(spark, sf_dir, "events")
+            .groupBy("event_type", period.alias("d"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .localCheckpoint(eager=True))
+    view = f"events_holt_{grain}_{view_tag(sf_dir)}"
+    grid.createOrReplaceTempView(view)
+    sql = _holt_recursion(view, unit=grain)
     prior = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
     try:
-        return spark.sql(_HOLT_SQL.format(table=view)) \
-            .localCheckpoint(eager=True)
+        return spark.sql(sql).localCheckpoint(eager=True)
     finally:
         if prior is None:
             spark.conf.unset("spark.sql.cteRecursionRowLimit")
         else:
             spark.conf.set("spark.sql.cteRecursionRowLimit", prior)
+
+
+@query(
+    "events_holt_linear_weekly",
+    oracle=_holt_recursion(_holt_daily_agg("events", _HOLT_WEEK_EXPR),
+                           unit="week"),
+    category="extension: time-series (Holt linear smoothing, recursive CTE)",
+    doc="Weekly-grain Holt smoothing (VERDICT r6 #5): identical "
+        "recursion to events_holt_linear but over the Monday-truncated "
+        "week grid — date_trunc('week') is Monday on BOTH engines — "
+        "cutting recursion depth ~7x, the prescribed coarsening once "
+        "the window outgrows ~3 months (a year of days = 365 UnionLoop "
+        "steps; of weeks = 53). Same fixed-point state arithmetic, so "
+        "cross-engine parity stays exact at any depth.",
+)
+def events_holt_linear_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_holt_linear(spark, sf_dir, grain="week")

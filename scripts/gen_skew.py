@@ -41,6 +41,8 @@ HOT_PART_RATE = 0.50   # each hot part appears in this fraction of orders
 HOT_USER_RATE = 0.30   # fraction of events owned by the single hot user
 HOT_DOC_RATE = 0.30    # fraction of documents sharing one duplicated text
 
+FULL_DOC_GROUPS = 30   # duplicate groups in the full-schema fixture
+
 N_ORDERS = 20_000
 N_PARTS = 2_000
 BASKET_UNIFORM = 4     # uniform items per order beside the hot ones
@@ -127,8 +129,148 @@ def generate(out_dir: str, scale: int = 1, seed: int = 0) -> str:
     return out_dir
 
 
+# ---------------------------------------------------------------------------
+# Full-schema skew fixture (VERDICT r6 #1)
+# ---------------------------------------------------------------------------
+# The 4-table fixture above is the MICRO fixture: minimal schemas, only
+# the columns the guarded operators touch — right for the guard parity
+# tests and SKEWBENCH, unusable for the other ~290 catalog queries.  The
+# full-catalog skew sweep needs all 10 tables with the driver schemas
+# but ADVERSARIAL key/text distributions.  ``generate_full`` rewrites an
+# existing uniform fixture dir (default /root/testdata/sf0.1) in place
+# of re-deriving every marginal: non-key columns are carried verbatim,
+# only the skew-bearing columns are replaced — so every catalog query
+# still type-checks and joins stay within their key domains, while every
+# hot-key code path (agg, join, window, dedup, pair expansion) sees a
+# zipf/hot-spot shape.  Parity sweeps compare Spark vs DuckDB on the
+# SAME files, so no semantic invariant beyond schema+domain is required.
+#
+# Skews applied (all deterministic, fixed seed):
+# - events.user_id: 30% of events to user 1, tail zipf(1.3) over the
+#   customer key domain (hot groupBy/window/as-of keys).
+# - orders.o_custkey: 30% of orders to customer 1 (hot join fan-out).
+# - lineitem.l_partkey: 30% of lines to HOT_PARTS parts (hot pair keys);
+#   l_suppkey: 30% of lines to supplier 1 (hot fact-dim join key).
+# - documents.text: 30% of docs duplicated across FULL_DOC_GROUPS
+#   distinct texts (hot digests ~30-60x the uniform dup density);
+#   n_chars updated to match so length-derived stats stay coherent.
+# - embeddings.embedding: 30% of vectors duplicated across
+#   FULL_DOC_GROUPS prototype vectors (hot ANN/near-dup buckets).
+# - customer/part/supplier/nation/region: copied verbatim.
+#
+# Why GROUPS for documents/embeddings but a SINGLE hot key for
+# events/orders/lineitem: hot-key skew stresses aggregation, window,
+# join and as-of paths whose OUTPUT stays linear no matter how hot the
+# key — the adversarial shape is free.  Near-dup corpora are different:
+# the pair queries' ANSWER is quadratic in the duplicate-clique size
+# (one text in 30% of 5,000 docs = a 1,500-clique = 1.1M result pairs,
+# each re-verified by exact Jaccard/Levenshtein on BOTH engines —
+# hours of per-pair verify work that measures output volume, not skew
+# handling).  Thirty groups of ~1% keep every digest/bucket/band
+# adversarially hot while pair answers stay ~C(50,2) x 30 — the sweep
+# then checks CORRECTNESS under shape, which is its job; the
+# single-giant-clique wall-clock story lives in SKEWBENCH.md via the
+# micro fixture's guarded operators.
+
+
+def _skew_choice(rng: np.random.Generator, n: int, hot_vals: np.ndarray,
+                 tail_lo: int, tail_hi: int, hot_rate: float) -> np.ndarray:
+    """hot_rate of n rows drawn uniformly from hot_vals, the rest
+    zipf-tailed over [tail_lo, tail_hi]; positions shuffled."""
+    hot_n = int(n * hot_rate)
+    hot = hot_vals[rng.integers(0, len(hot_vals), size=hot_n)]
+    tail = rng.zipf(1.3, size=n - hot_n) % (tail_hi - tail_lo + 1) + tail_lo
+    out = np.concatenate([hot.astype(np.int64), tail.astype(np.int64)])
+    rng.shuffle(out)
+    return out
+
+
+def generate_full(out_dir: str, src_dir: str = "/root/testdata/sf0.1",
+                  seed: int = 0) -> str:
+    import pyarrow.compute as pc
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    def read(name: str) -> pa.Table:
+        return pq.read_table(os.path.join(src_dir, f"{name}.parquet"))
+
+    def replace(t: pa.Table, col: str, arr: pa.Array) -> pa.Table:
+        return t.set_column(t.schema.get_field_index(col), col, arr)
+
+    for name in ("region", "nation", "customer", "part", "supplier"):
+        _write(out_dir, name, read(name))
+
+    cust = read("customer")
+    n_cust = cust.num_rows
+
+    ev = read("events")
+    n = ev.num_rows
+    uid = _skew_choice(rng, n, np.array([1]), 2, n_cust, HOT_USER_RATE)
+    # ts carried verbatim (driver fixtures store TIMESTAMP(MICROS); the
+    # ns→µs load path keeps its own pinned-unit regression fixtures)
+    _write(out_dir, "events", replace(ev, "user_id",
+                                      pa.array(uid, pa.int64())))
+
+    od = read("orders")
+    n = od.num_rows
+    ck = _skew_choice(rng, n, np.array([1]), 2, n_cust, HOT_USER_RATE)
+    _write(out_dir, "orders", replace(od, "o_custkey",
+                                      pa.array(ck, pa.int64())))
+
+    li = read("lineitem")
+    part = read("part")
+    supp = read("supplier")
+    n = li.num_rows
+    pk = _skew_choice(rng, n, np.arange(1, HOT_PARTS + 1),
+                      HOT_PARTS + 1, part.num_rows, HOT_PART_RATE * 0.6)
+    sk = _skew_choice(rng, n, np.array([1]), 2, supp.num_rows,
+                      HOT_USER_RATE)
+    li = replace(li, "l_partkey", pa.array(pk, pa.int64()))
+    li = replace(li, "l_suppkey", pa.array(sk, pa.int64()))
+    _write(out_dir, "lineitem", li)
+
+    doc = read("documents")
+    n = doc.num_rows
+    hot_n = int(n * HOT_DOC_RATE)
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    group_texts = [base + f"variant {g}" for g in range(FULL_DOC_GROUPS)]
+    hot_rows = rng.permutation(n)[:hot_n]
+    texts = doc.column("text").to_pylist()
+    for i, row in enumerate(hot_rows):
+        texts[row] = group_texts[i % FULL_DOC_GROUPS]
+    text = pa.array(texts, pa.string())
+    doc = replace(doc, "text", text)
+    doc = replace(doc, "n_chars",
+                  pc.cast(pc.utf8_length(text), pa.int64()))
+    _write(out_dir, "documents", doc)
+
+    emb = read("embeddings")
+    n = emb.num_rows
+    hot_n = int(n * HOT_DOC_RATE)
+    vecs = emb.column("embedding").combine_chunks()
+    dim = len(vecs[0])
+    flat = np.array(vecs.flatten(), dtype=np.float32).reshape(n, dim)
+    protos = flat[:FULL_DOC_GROUPS].copy()
+    hot_rows = rng.permutation(n)[:hot_n]
+    flat[hot_rows] = protos[np.arange(hot_n) % FULL_DOC_GROUPS]
+    value_type = emb.schema.field("embedding").type.value_type
+    arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(flat.reshape(-1), type=value_type), dim) \
+        if pa.types.is_fixed_size_list(emb.schema.field("embedding").type) \
+        else pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32)),
+            pa.array(flat.reshape(-1), type=value_type))
+    _write(out_dir, "embeddings", replace(emb, "embedding", arr))
+    return out_dir
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "testdata_skew"
+    if "--full-from" in sys.argv:
+        src = sys.argv[sys.argv.index("--full-from") + 1]
+        print(generate_full(out, src))
+        sys.exit(0)
     scale = 1
     if "--scale" in sys.argv:
         scale = int(sys.argv[sys.argv.index("--scale") + 1])

@@ -420,6 +420,41 @@ def test_connected_components_long_path_converges(spark):
     assert got == {i: 0 for i in range(n) if i != 15}
 
 
+def test_connected_components_edge_volume_decays(spark):
+    """Per-round edge contraction (VERDICT r6 #4): on a clique+chain
+    graph the per-round edge-join volume must SHRINK, not stay |E| — a
+    40-node clique (1,560 directed edges) collapses to one rep after
+    round 1 and contributes ZERO edges to every later round, while the
+    chain keeps the loop running long enough to observe the decay.
+    Labels must equal the uncontracted semantics (component min)."""
+    from flinkapps_spark.operators.dedup import connected_components
+
+    k, chain = 40, 33
+    clique = [(i, j) for i in range(1, k + 1)
+              for j in range(i + 1, k + 1)]
+    path = [(100 + i, 100 + i + 1) for i in range(chain)]
+    pairs = spark.createDataFrame(clique + path, "doc_a long, doc_b long")
+    node_ids = sorted({x for e in clique + path for x in e})
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "node long")
+    stats: list = []
+    got = {r["node"]: r["label"]
+           for r in connected_components(
+               nodes, pairs, round_stats=stats).collect()}
+    expect = {i: 1 for i in range(1, k + 1)}
+    expect.update({100 + i: 100 for i in range(chain + 1)})
+    assert got == expect
+    edge_counts = [s["edges"] for s in stats]
+    assert len(edge_counts) >= 3                      # chain needs rounds
+    assert edge_counts[0] == 2 * (len(clique) + len(path))
+    # decay: strictly fewer edges every round until the rep graph is
+    # empty (labels may still propagate through jumps for a round or
+    # two after edges hit zero — that tail is node-sized, not edge-sized)
+    assert all(a > b or a == b == 0
+               for a, b in zip(edge_counts, edge_counts[1:]))
+    assert edge_counts[1] <= 2 * len(path)   # clique gone after round 1
+    assert edge_counts[-1] == 0 and stats[-1]["changed"] == 0
+
+
 def test_cep_stream_matches_batch_on_same_us_ties(spark):
     """The batch CEP's RANGE frames include same-microsecond peers, so a
     view at the same us as a click MASKS the click (and a qualified
