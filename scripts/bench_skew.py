@@ -200,6 +200,85 @@ def timed(fn, spark, d, runs):
     return statistics.median(ts)
 
 
+AQE_SKEW_CONFS = {
+    # byte thresholds scaled to the fixture: the defaults (256MB/64MB)
+    # are sized for real clusters; the micro fixture's whole shuffle is
+    # a few MB, so detection needs fixture-scale numbers
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def aqe_fact_dim_rows(spark, d, runs):
+    """AQE-on column for the fact-dim join (VERDICT r6 #6): the same
+    hot-key merge join, wide rows (64-byte payload — AQE's skew
+    detector triggers on SHUFFLE BYTES, and the micro fixture's
+    constant-key rows lz4-compress below any sane byte threshold), run
+    with (1) AQE defaults, (2) skew-split thresholds scaled to the
+    fixture, (3) the manual salted join under the same forced-split
+    confs (composition).  Returns (rows, split_seen, parity_ok)."""
+    def wide_sides():
+        ev = (load_table(spark, d, "events")
+              .withColumn("payload",
+                          F.sha2(F.col("event_id").cast("string"), 256)))
+        cu = (load_table(spark, d, "customer")
+              .select("c_custkey", "c_mktsegment"))
+        return ev, cu
+
+    def wide_join(spark, d):
+        ev, cu = wide_sides()
+        return ev.join(cu.hint("merge"), ev.user_id == cu.c_custkey)
+
+    def salted_wide(spark, d):
+        n_salt = 8
+        ev, cu = wide_sides()
+        ev = ev.withColumn("salt", (F.col("event_id") % n_salt).cast("int"))
+        cu = cu.withColumn("salt", F.explode(
+            F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>")))
+        return ev.join(F.broadcast(cu),
+                       (ev.user_id == cu.c_custkey) & (ev.salt == cu.salt))
+
+    prior = {k: spark.conf.get(k, None) for k in AQE_SKEW_CONFS}
+
+    def set_confs(vals):
+        for k, v in vals.items():
+            (spark.conf.unset(k) if v is None
+             else spark.conf.set(k, str(v)))
+
+    t_default = timed(wide_join, spark, d, runs)
+    base = wide_join(spark, d)
+    try:
+        set_confs(AQE_SKEW_CONFS)
+        t_split = timed(wide_join, spark, d, runs)
+        # marker must come from THIS dataset's executed (final) plan —
+        # collect (not count: column pruning would drop the payload
+        # bytes the detector triggers on); 1/5 subset bounds driver mem
+        j = wide_join(spark, d).filter(F.col("event_id") % 5 == 0)
+        _ = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        split_seen = "skew=true" in plan
+        t_salted = timed(salted_wide, spark, d, runs)
+        g = salted_wide(spark, d).select(*base.columns)
+        parity_ok = (base.exceptAll(g).count()
+                     + g.exceptAll(base).count()) == 0
+    finally:
+        set_confs(prior)
+    rows = [
+        ("merge join, AQE defaults", t_default,
+         "no split: 256MB-class thresholds are cluster-sized"),
+        ("merge join, thresholds fixture-scaled", t_split,
+         "hot partition split at runtime"
+         if split_seen else "SPLIT NOT OBSERVED"),
+        ("salted join under forced split", t_salted,
+         "guards compose with AQE"
+         if parity_ok else "PARITY MISMATCH"),
+    ]
+    return rows, split_seen, parity_ok
+
+
 def main():
     scale = int(sys.argv[sys.argv.index("--scale") + 1]) \
         if "--scale" in sys.argv else 5
@@ -229,6 +308,10 @@ def main():
         rows.append((name, note, tn, tg, tn / max(tg, 1e-9), bal, parity))
         print(f"{name}: naive={tn:.2f}s guarded={tg:.2f}s "
               f"balance {bal} parity={parity}")
+
+    aqe_rows, split_seen, parity_ok = aqe_fact_dim_rows(spark, d, runs)
+    for name, t, note in aqe_rows:
+        print(f"AQE: {name}: {t:.2f}s ({note})")
 
     ev_n = load_table(spark, d, "events").count()
     li_n = load_table(spark, d, "lineitem").count()
@@ -282,6 +365,41 @@ def main():
             "- **fact-dim join** naive pins a shuffle-merge join: with "
             "a broadcastable dim Spark broadcasts and skew is moot; the "
             "salted pattern targets dims past broadcast size.\n")
+        f.write(
+            "\n## AQE-native skew split — fact-dim join, AQE-on column\n\n"
+            "The same hot-key merge join with WIDE rows (64-byte "
+            "payload: AQE's detector triggers on shuffle BYTES, and the "
+            "micro fixture's constant-key narrow rows lz4-compress "
+            "below any sane byte threshold — a real 100 TB row does "
+            "not).  Medians of the same run count as above; parity "
+            "checked via exceptAll; the runtime-split marker "
+            "(SortMergeJoin(skew=true)) is also pinned by "
+            "tests/test_skew_guards.py::"
+            "test_aqe_skew_split_and_guard_composition.\n\n"
+            "| config | s | outcome |\n|---|---|---|\n")
+        for name, t, note in aqe_rows:
+            f.write(f"| {name} | {t:.2f} | {note} |\n")
+        f.write(
+            "\nDivision of labor (pinned by the composition test):\n\n"
+            "- **Rely on AQE** for hot post-shuffle partitions of "
+            "shuffle EQUI-joins (sort-merge / shuffled-hash): it splits "
+            "the skewed reduce partition at runtime and replicates the "
+            "matching side — zero code, correct by construction.  On a "
+            "real cluster the 256MB-class default thresholds are the "
+            "right ones; this bench scales them to fixture size only "
+            "to force the decision locally.\n"
+            "- **Rely on the manual guards** where AQE structurally "
+            "cannot act: pair expansion inside a broadcast-join task "
+            "(pop_cap), per-key pandas buckets in the as-of "
+            "(time_slice / slice_hot_threshold), the FIRST shuffle's "
+            "key placement for holistic aggregation and dedup (salted "
+            "two-phase) — AQE only rewrites post-shuffle reads of "
+            "shuffle joins, never the inside of a task or a "
+            "non-join exchange consumer.\n"
+            "- **Composition**: the salted join under forced skew-split "
+            "returns identical results — salting changes the join KEY "
+            "(key, salt), so AQE sees an ordinary join and the two "
+            "mechanisms never contend for the same partition.\n")
     print("wrote SKEWBENCH.md")
     spark.stop()
 

@@ -233,8 +233,13 @@ def generate_full(out_dir: str, src_dir: str = "/root/testdata/sf0.1",
     doc = read("documents")
     n = doc.num_rows
     hot_n = int(n * HOT_DOC_RATE)
-    base = "the quick brown fox jumps over the lazy dog " * 8
-    group_texts = [base + f"variant {g}" for g in range(FULL_DOC_GROUPS)]
+    # group texts are mutually DISJOINT (per-group token vocabulary):
+    # a shared base text would make every hot doc a near-dup of every
+    # other hot doc at any sane Jaccard threshold — one giant clique
+    # again, exactly the quadratic-answer shape the groups exist to
+    # avoid — while within-group docs stay byte-identical (hot digests)
+    group_texts = [" ".join(f"grp{g}tok{i}" for i in range(45))
+                   for g in range(FULL_DOC_GROUPS)]
     hot_rows = rng.permutation(n)[:hot_n]
     texts = doc.column("text").to_pylist()
     for i, row in enumerate(hot_rows):

@@ -251,6 +251,94 @@ def test_pop_cap_null_item_contract(spark):
     assert got_duck == expect, got_duck
 
 
+def test_aqe_skew_split_and_guard_composition(spark, skew_dir):
+    """Division of labor between AQE and the manual guards (VERDICT r6
+    #6), pinned:
+
+    (a) AQE-NATIVE territory: hot POST-SHUFFLE partitions of a
+        sort-merge equi-join.  With byte thresholds scaled to the
+        fixture, Spark splits the hot partition at runtime —
+        SortMergeJoin(skew=true) — and the result is unchanged.  The
+        trigger is SHUFFLE BYTES, so the left side carries a
+        high-entropy payload the way a real wide row does (the micro
+        fixture's constant-hot-key rows lz4-compress below any sane
+        threshold — the reason SKEWBENCH's AQE row lowers thresholds).
+    (b) MANUAL-guard territory (asserted structurally: no SMJ for AQE
+        to split): pair expansion inside a broadcast-join task
+        (pop_cap), per-key pandas buckets in the as-of (time_slice),
+        holistic/first-shuffle placement (salted agg, dedup skew_guard)
+        — AQE only rewrites post-shuffle reads of shuffle joins.
+    (c) COMPOSITION: with skew-split forced on aggressively, the salted
+        join and the adaptive as-of return exactly their AQE-default
+        results — the guards never fight the runtime re-plan.
+    """
+    from flinkapps_spark.operators import joins
+    from flinkapps_spark.plans.catalog import registry
+
+    aggressive = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prior = {k: spark.conf.get(k, None) for k in aggressive}
+
+    def set_confs(vals):
+        for k, v in vals.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    left = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 10 < 3, F.lit(1))
+        .otherwise(F.col("id") % 5000).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"))
+    right = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        F.sha2((F.col("id") * 7).cast("string"), 256).alias("dim"))
+
+    ev = load_table(spark, skew_dir, "events")
+    asof_kw = dict(key_cols=["user_id"], ts_col="ts",
+                   value_cols=["signup_ts", "signup_value"])
+    a_left = (ev.filter(F.col("event_type") == "purchase")
+              .select("event_id", "user_id", "ts", "value"))
+    a_right = (ev.filter(F.col("event_type") == "signup")
+               .select("user_id", "ts", F.col("ts").alias("signup_ts"),
+                       F.col("value").alias("signup_value")))
+    salted = registry()["join_salted_skew"]
+
+    # baseline results under the session's default AQE settings
+    base_join = sorted(tuple(r) for r in
+                       left.join(right.hint("merge"), "k").collect())
+    base_salted = sorted(tuple(r) for r in
+                         salted.build(spark, skew_dir).collect())
+    base_asof = sorted(tuple(r) for r in
+                       joins.asof_join(a_left, a_right, time_slice="6h",
+                                       slice_hot_threshold=5000,
+                                       **asof_kw).collect())
+    try:
+        set_confs(aggressive)
+        # (a) the hot partition is split at runtime, values unchanged
+        j = left.join(right.hint("merge"), "k")
+        got = sorted(tuple(r) for r in j.collect())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert got == base_join
+        # (c) guards compose: identical results with skew-split forced
+        assert sorted(tuple(r) for r in
+                      salted.build(spark, skew_dir).collect()) \
+            == base_salted
+        assert sorted(tuple(r) for r in
+                      joins.asof_join(a_left, a_right, time_slice="6h",
+                                      slice_hot_threshold=5000,
+                                      **asof_kw).collect()) == base_asof
+    finally:
+        set_confs(prior)
+
+
 def test_theilsen_hist_empty_pairs(spark):
     """hist_mode=True on an events set where no type has two hourly
     buckets returns the SAME empty frame (and schema) the window path

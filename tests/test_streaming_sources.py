@@ -158,6 +158,71 @@ def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
     assert got.select("doc_id").distinct().count() == n_total  # no dupes
 
 
+def test_rate_limited_backfill_crash_recovery(spark, tmp_path):
+    """Exactly-once under FAILURE, not just clean stop (VERDICT r6 #3):
+    a rate-limited 4-file backfill (the stream_rate_limited_counts
+    machinery) crashes mid-batch-1 — the foreachBatch sink raises before
+    emitting, so batch 1's offsets are in the WAL but its commit is not
+    — then restarts from the same checkpoint.  The restart must (a)
+    never re-emit committed batch 0, (b) replay crashed batch 1 exactly
+    once with the SAME cumulative state (versioned state store), and
+    (c) converge to the batch GROUP BY oracle."""
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from flinkapps_spark.streaming.jobs import multifile_replay
+
+    stream, staged, n_files = multifile_replay(
+        spark, SF_SMOKE, "events", columns=["event_id", "event_type"],
+        n_files=4, max_files_per_trigger=1)
+    ckpt = str(tmp_path / "ckpt")
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    emitted: list[tuple[int, dict]] = []   # (batch_id, {type: count})
+    crash_at = {1}
+
+    def sink(crash: bool):
+        def emit(batch_df, batch_id):
+            if crash and batch_id in crash_at:
+                raise RuntimeError("injected crash before emit")
+            emitted.append(
+                (batch_id,
+                 {r["event_type"]: r["n"] for r in batch_df.collect()}))
+        return emit
+
+    def run(crash: bool):
+        q = (agg.writeStream.foreachBatch(sink(crash))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    try:
+        with pytest.raises(StreamingQueryException,
+                           match="injected crash"):
+            run(crash=True)
+        ids_run1 = [b for b, _ in emitted]
+        assert ids_run1 == [0], emitted          # batch 0 committed only
+        run(crash=False)                          # recover, drain rest
+        ids_run2 = [b for b, _ in emitted[len(ids_run1):]]
+        assert ids_run2[0] == 1, ids_run2        # crashed batch replays...
+        assert 0 not in ids_run2                 # ...committed one doesn't
+        assert sorted(ids_run1 + ids_run2) == \
+            sorted(set(ids_run1 + ids_run2))     # every batch exactly once
+        # converged update-mode state: last emission per key == oracle
+        final: dict[str, int] = {}
+        for _, upd in emitted:
+            final.update(upd)
+        expect = {r["event_type"]: r["count"] for r in
+                  load_table(spark, SF_SMOKE, "events")
+                  .groupBy("event_type").count().collect()}
+        assert final == expect
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
 def test_foreachbatch_multi_sink_fanout(spark, tmp_path):
     """foreachBatch fan-out: each micro-batch lands in TWO sinks — raw
     parquet (append) and an accumulated per-key aggregate table — from
