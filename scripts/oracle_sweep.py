@@ -124,6 +124,13 @@ def main() -> None:
                    help="skip queries already recorded pass/rows-only in "
                         "--json (which is now written incrementally, so a "
                         "killed sweep resumes where it stopped)")
+    p.add_argument("--oracle-timeout", type=float, default=None,
+                   help="seconds before a DuckDB oracle is interrupted; "
+                        "the query is then recorded as status "
+                        "'oracle-timeout' with the Spark rows/seconds "
+                        "kept (the sf10 rung: some sf1-heavy oracles — "
+                        "pair closures, recursive reachability — are "
+                        "DuckDB-bound long before Spark is)")
     p.add_argument("--duck-mem", default="40GB",
                    help="DuckDB memory_limit — heavy oracles (recursive-CTE "
                         "reachability at sf1) spill to disk instead of "
@@ -192,13 +199,34 @@ def main() -> None:
                 df.write.mode("overwrite").parquet(dest)
                 r["spark_sec"] = round(time.perf_counter() - t0, 2)
                 t1 = time.perf_counter()
-                r.update(compare_engine_side(con, dest, q.oracle))
+                watchdog = None
+                timed_out = False
+                if ns.oracle_timeout:
+                    import threading
+                    watchdog = threading.Timer(ns.oracle_timeout,
+                                               con.interrupt)
+                    watchdog.start()
+                try:
+                    r.update(compare_engine_side(con, dest, q.oracle))
+                except duckdb.InterruptException:
+                    timed_out = True
+                finally:
+                    if watchdog is not None:
+                        watchdog.cancel()
                 r["oracle_sec"] = round(time.perf_counter() - t1, 2)
-                ok = r["rows_match"] and r["schema_match"] and \
-                    r["hash_match"]
-                r["status"] = "pass" if ok else "FAIL"
-                n_pass += ok
-                n_fail += not ok
+                if timed_out:
+                    r["spark_rows"] = spark.read.parquet(dest).count()
+                    r["status"] = "oracle-timeout"
+                    r["err"] = (f"oracle interrupted after "
+                                f"{ns.oracle_timeout:.0f}s (DuckDB-bound; "
+                                f"spark side completed)")
+                    n_rows_only += 1
+                else:
+                    ok = r["rows_match"] and r["schema_match"] and \
+                        r["hash_match"]
+                    r["status"] = "pass" if ok else "FAIL"
+                    n_pass += ok
+                    n_fail += not ok
                 shutil.rmtree(dest, ignore_errors=True)
         except Exception as e:  # noqa: BLE001 — sweep must finish the list
             r["status"] = "ERROR"
@@ -214,7 +242,8 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — cleanup must not kill the sweep
             pass
         _flush()
-        flag = "" if r["status"] in ("pass", "rows-only") else "   <<<<"
+        flag = ("" if r["status"] in ("pass", "rows-only",
+                                      "oracle-timeout") else "   <<<<")
         print(f"[{i + 1}/{len(names)}] {name}: {r['status']} "
               f"({r.get('spark_sec')}s spark"
               f"{', ' + str(r.get('oracle_sec')) + 's oracle' if 'oracle_sec' in r else ''})"

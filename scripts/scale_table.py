@@ -1,8 +1,15 @@
-"""Emit the sf0.1 → sf1 scaling table (VERDICT r3 #1 evidence): per
-headline query, median seconds at both scales and the runtime ratio
+"""Emit a small-sf → big-sf scaling table (VERDICT r3 #1 / r6 #2
+evidence): per query, seconds at both scales and the runtime ratio
 against the 10x data ratio.
 
-Usage: python scripts/scale_table.py bench_sf01.json bench_sf1.json > tbl.md
+Usage:
+    python scripts/scale_table.py bench_sf01.json bench_sf1.json > tbl.md
+    python scripts/scale_table.py --sweep sf1.json sf10.json > tbl.md
+
+The default mode reads bench.py outputs ({"queries": {name: sec}});
+--sweep reads oracle_sweep.py outputs and uses each query's spark_sec —
+the sf1→sf10 heavy-family rung is measured through the sweep so the
+timing AND the correctness evidence come from the same runs.
 """
 
 from __future__ import annotations
@@ -13,12 +20,20 @@ import sys
 DATA_RATIO = 10.0
 
 
+def _load(path: str, sweep: bool) -> dict:
+    with open(path) as f:
+        d = json.load(f)
+    if not sweep:
+        return d["queries"]
+    return {n: r["spark_sec"] for n, r in d["results"].items()
+            if r.get("spark_sec") is not None}
+
+
 def main() -> None:
-    with open(sys.argv[1]) as f:
-        small = json.load(f)
-    with open(sys.argv[2]) as f:
-        big = json.load(f)
-    qs, qb = small["queries"], big["queries"]
+    args = [a for a in sys.argv[1:] if a != "--sweep"]
+    sweep = "--sweep" in sys.argv
+    qs = _load(args[0], sweep)
+    qb = _load(args[1], sweep)
     names = [n for n in qs if n in qb]
     lines = [
         "| query | sf0.1 s | sf1 s | runtime ratio | scaling |",
