@@ -787,7 +787,13 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     Returns DataFrame[node, label] with exactly one row per ``nodes`` row.
     """
     a, b = pairs.columns[0], pairs.columns[1]
-    pairs = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    # materialize the DIRECTED pairs once BEFORE symmetrizing: the union
+    # references the pair plan twice, and a near-dup pair generator
+    # (prefix join + verify) is the expensive half of clustering — the
+    # un-checkpointed form re-executed it per union branch (measured 2x
+    # the whole query at sf1: 103 s -> ~55 s)
+    pairs = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")) \
+        .localCheckpoint()
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"),
                      F.col("src").alias("dst"))).localCheckpoint()
