@@ -64,8 +64,14 @@ def _iter_checkpoint(spark: SparkSession, checkpoint_dir: str | None):
         return (lambda df: df.localCheckpoint()), (lambda: None)
     sc = spark.sparkContext
     _CKPT_DIR_LOCK.acquire()
-    prior = sc.getCheckpointDir()
-    sc.setCheckpointDir(checkpoint_dir)
+    try:
+        prior = sc.getCheckpointDir()
+        sc.setCheckpointDir(checkpoint_dir)
+    except BaseException:
+        # a bad dir (unreachable DFS) must not leak the lock and
+        # deadlock every later reliable-checkpoint build
+        _CKPT_DIR_LOCK.release()
+        raise
 
     def restore() -> None:
         try:

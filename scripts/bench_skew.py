@@ -253,10 +253,14 @@ def aqe_fact_dim_rows(spark, d, runs):
     try:
         set_confs(AQE_SKEW_CONFS)
         t_split = timed(wide_join, spark, d, runs)
-        # marker must come from THIS dataset's executed (final) plan —
-        # collect (not count: column pruning would drop the payload
-        # bytes the detector triggers on); 1/5 subset bounds driver mem
-        j = wide_join(spark, d).filter(F.col("event_id") % 5 == 0)
+        # marker must come from THIS dataset's executed (final) plan:
+        # a .write runs through its own command QueryExecution and the
+        # dataset's QE is never AQE-finalized, so collect (not noop
+        # write) is required; collect also keeps the payload column in
+        # the shuffle (a count/agg would prune it and kill the byte
+        # trigger).  1/20 row subset bounds driver memory while the hot
+        # partition stays megabytes above the 256KB threshold.
+        j = wide_join(spark, d).filter(F.col("event_id") % 20 == 0)
         _ = j.collect()
         plan = j._jdf.queryExecution().executedPlan().toString()
         split_seen = "skew=true" in plan

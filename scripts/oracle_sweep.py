@@ -209,6 +209,12 @@ def main() -> None:
                 try:
                     r.update(compare_engine_side(con, dest, q.oracle))
                 except duckdb.InterruptException:
+                    # trust the interrupt only if the timer plausibly
+                    # fired: a stale interrupt from the PREVIOUS query's
+                    # timer (fired in its cancel window) must not
+                    # mis-record a healthy fast query as a timeout
+                    if (time.perf_counter() - t1) < ns.oracle_timeout * 0.9:
+                        raise
                     timed_out = True
                 finally:
                     if watchdog is not None:

@@ -25,8 +25,11 @@ def _load(path: str, sweep: bool) -> dict:
         d = json.load(f)
     if not sweep:
         return d["queries"]
+    # only completed runs: an ERROR'd query still records its
+    # time-until-crash, which must not masquerade as a scaling ratio
+    ok = ("pass", "rows-only", "oracle-timeout")
     return {n: r["spark_sec"] for n, r in d["results"].items()
-            if r.get("spark_sec") is not None}
+            if r.get("spark_sec") is not None and r.get("status") in ok}
 
 
 def main() -> None:

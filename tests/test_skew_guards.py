@@ -274,15 +274,10 @@ def test_aqe_skew_split_and_guard_composition(spark, skew_dir):
     """
     from flinkapps_spark.operators import joins
     from flinkapps_spark.plans.catalog import registry
+    # the SAME conf set SKEWBENCH's AQE section benches — import, don't
+    # copy, so a retune can never leave the test pinning a stale config
+    from scripts.bench_skew import AQE_SKEW_CONFS as aggressive
 
-    aggressive = {
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
-            "256KB",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
-        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
     prior = {k: spark.conf.get(k, None) for k in aggressive}
 
     def set_confs(vals):
