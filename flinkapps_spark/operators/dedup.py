@@ -736,6 +736,41 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
         .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def _ckpt_tracked(df: DataFrame, sc) -> tuple[DataFrame, set]:
+    """Eager localCheckpoint plus the ids of the persistent-RDD blocks it
+    pinned (before/after diff of the context's persistent-RDD registry).
+    DataFrame.unpersist() does NOT release localCheckpoint blocks — they
+    belong to the checkpointed internal RDD, not the plan cache — so the
+    ids are the only handle for freeing them (ADVICE r7: without this,
+    every round of an iterative loop stays pinned until driver GC)."""
+    try:
+        before = set(sc._jsc.getPersistentRDDs().keySet())
+    except Exception:  # noqa: BLE001 — tracking is an optimization only
+        return df.localCheckpoint(), set()
+    out = df.localCheckpoint()
+    try:
+        after = set(sc._jsc.getPersistentRDDs().keySet())
+    except Exception:  # noqa: BLE001
+        return out, set()
+    return out, after - before
+
+
+def _free_ckpt_blocks(sc, rdd_ids: set) -> None:
+    """Unpersist the given checkpointed RDDs' blocks (non-blocking).
+    ONLY call once no live plan references them — a locally-checkpointed
+    RDD cannot be recomputed after unpersist."""
+    if not rdd_ids:
+        return
+    try:
+        reg = sc._jsc.getPersistentRDDs()
+        for rid in rdd_ids:
+            r = reg.get(rid)
+            if r is not None:
+                r.unpersist(False)
+    except Exception:  # noqa: BLE001 — freeing is best-effort
+        pass
+
+
 def connected_components(nodes: DataFrame, pairs: DataFrame,
                          max_iter: int = 50,
                          round_stats: list | None = None) -> DataFrame:
@@ -786,22 +821,26 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
 
     Returns DataFrame[node, label] with exactly one row per ``nodes`` row.
     """
+    sc = nodes.sparkSession.sparkContext
     a, b = pairs.columns[0], pairs.columns[1]
     # materialize the DIRECTED pairs once BEFORE symmetrizing: the union
     # references the pair plan twice, and a near-dup pair generator
     # (prefix join + verify) is the expensive half of clustering — the
     # un-checkpointed form re-executed it per union branch (measured 2x
     # the whole query at sf1: 103 s -> ~55 s)
-    pairs = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")) \
-        .localCheckpoint()
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"),
-                     F.col("src").alias("dst"))).localCheckpoint()
-    touched = edges.select(F.col("src").alias("node")).distinct() \
-        .localCheckpoint()
+    pairs, pairs_ids = _ckpt_tracked(
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")), sc)
+    edges, edges_ids = _ckpt_tracked(
+        pairs.union(pairs.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"))), sc)
+    touched, _ = _ckpt_tracked(  # lives past the loop (isolated anti-join)
+        edges.select(F.col("src").alias("node")).distinct(), sc)
+    # edges and touched are materialized — the directed half is unreachable
+    _free_ckpt_blocks(sc, pairs_ids)
     labels = touched.withColumn("label", F.col("node"))
 
     converged = False
+    prev_stepped_ids: set = set()  # last round's labels blocks
     for rnd in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -819,12 +858,11 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         # doubles propagation distance per round (O(log d) convergence)
         lbl2 = labels.select(F.col("node").alias("label"),
                              F.col("label").alias("jump"))
-        stepped = (
+        stepped, stepped_ids = _ckpt_tracked(
             half.join(lbl2, "label", "left")
             .select("node", "old_label",
                     F.least("label", F.coalesce("jump", F.col("label")))
-                    .alias("label"))
-        ).localCheckpoint()
+                    .alias("label")), sc)
         changed = stepped.filter(
             F.col("label") != F.col("old_label")).count()
         labels = stepped.select("node", "label")
@@ -833,6 +871,11 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                 {"round": rnd, "edges": edges.count(), "changed": changed})
         if changed == 0:
             converged = True
+            # this round's stepped IS the result labels — keep its blocks;
+            # the previous round's labels and the last edge frame are now
+            # unreachable from any live plan
+            _free_ckpt_blocks(sc, prev_stepped_ids)
+            _free_ckpt_blocks(sc, edges_ids)
             break
         # edge contraction: remap endpoints to their new labels, drop
         # now-intra-cluster edges, merge duplicates — the next round's
@@ -842,11 +885,20 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                               F.col("label").alias("src_l"))
         dst_l = labels.select(F.col("node").alias("dst"),
                               F.col("label").alias("dst_l"))
-        edges = (edges.join(src_l, "src").join(dst_l, "dst")
-                 .filter(F.col("src_l") != F.col("dst_l"))
-                 .select(F.col("src_l").alias("src"),
-                         F.col("dst_l").alias("dst"))
-                 .distinct()).localCheckpoint()
+        edges, new_edges_ids = _ckpt_tracked(
+            edges.join(src_l, "src").join(dst_l, "dst")
+            .filter(F.col("src_l") != F.col("dst_l"))
+            .select(F.col("src_l").alias("src"),
+                    F.col("dst_l").alias("dst"))
+            .distinct(), sc)
+        # both of this round's artifacts (stepped, contracted edges) are
+        # materialized: the previous round's blocks are unreachable —
+        # free them instead of pinning every round until driver GC
+        # (ADVICE r7)
+        _free_ckpt_blocks(sc, prev_stepped_ids)
+        _free_ckpt_blocks(sc, edges_ids)
+        prev_stepped_ids = stepped_ids
+        edges_ids = new_edges_ids
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "

@@ -33,6 +33,10 @@ PR_ITERATIONS = 5
 
 # serializes setCheckpointDir → restore windows (see _iter_checkpoint)
 _CKPT_DIR_LOCK = threading.Lock()
+# bounded acquire (ADVICE r7): a nested reliable-mode build on the same
+# thread, or a caller that skipped restore(), must surface as a loud
+# diagnostic instead of a silent forever-deadlock of every later build
+_CKPT_LOCK_TIMEOUT_S = 300.0
 
 
 def _iter_checkpoint(spark: SparkSession, checkpoint_dir: str | None):
@@ -63,7 +67,15 @@ def _iter_checkpoint(spark: SparkSession, checkpoint_dir: str | None):
     if checkpoint_dir is None:
         return (lambda df: df.localCheckpoint()), (lambda: None)
     sc = spark.sparkContext
-    _CKPT_DIR_LOCK.acquire()
+    if not _CKPT_DIR_LOCK.acquire(timeout=_CKPT_LOCK_TIMEOUT_S):
+        raise RuntimeError(
+            "reliable-checkpoint dir lock not acquired within "
+            f"{_CKPT_LOCK_TIMEOUT_S:.0f}s — either a concurrent "
+            "reliable-mode graph build is still running, a prior caller "
+            "skipped restore(), or this is a NESTED reliable-mode build "
+            "on the same thread (unsupported: the checkpoint dir is "
+            "session-global). Call restore() in a finally, or run the "
+            "inner build with checkpoint_dir=None (localCheckpoint).")
     try:
         prior = sc.getCheckpointDir()
         sc.setCheckpointDir(checkpoint_dir)
@@ -73,7 +85,14 @@ def _iter_checkpoint(spark: SparkSession, checkpoint_dir: str | None):
         _CKPT_DIR_LOCK.release()
         raise
 
+    restored = [False]
+
     def restore() -> None:
+        # idempotent: a double restore() (finally + explicit) must not
+        # over-release and corrupt the lock for unrelated builds
+        if restored[0]:
+            return
+        restored[0] = True
         try:
             # no unset API: with no prior dir there is nothing to put back
             if prior is not None:

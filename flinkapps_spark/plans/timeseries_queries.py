@@ -1411,7 +1411,8 @@ _HOLT_SQL = _holt_recursion(_holt_daily_agg("{table}", _HOLT_DAY_EXPR))
         "grid and the recursion runs over that view — UnionLoop "
         "re-executes the recursion's base relations every step, so "
         "inlining the agg re-scanned the corpus #days times (measured "
-        "7.6 s -> ~1 s at sf0.1).",
+        "7.6 s -> 3.6 s at sf0.1, BENCH_r07; the weekly grain lands "
+        "at ~0.9 s).",
 )
 def events_holt_linear(spark: SparkSession, sf_dir: str,
                        grain: str = "day") -> DataFrame:

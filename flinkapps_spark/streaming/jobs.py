@@ -158,7 +158,11 @@ def run_stream_to_memory(transformed: DataFrame, *, output_mode: str,
     qname = name or f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
     retention_key = "spark.sql.streaming.numRecentProgressUpdates"
-    prior_retention = (spark.conf.get(retention_key)
+    # capture with an explicit None default (ADVICE r7): single-arg get
+    # returns the REGISTERED DEFAULT for this key, so restoring that
+    # value in the finally would pin a session override that was never
+    # set; None → unset restores the true prior state
+    prior_retention = (spark.conf.get(retention_key, None)
                        if progress_sink is not None else None)
     if progress_sink is not None:
         spark.conf.set(retention_key, str(_PROGRESS_RETENTION))
@@ -174,8 +178,11 @@ def run_stream_to_memory(transformed: DataFrame, *, output_mode: str,
         if progress_sink is not None:
             progress_sink.extend(q.recentProgress)
     finally:
-        if prior_retention is not None:
-            spark.conf.set(retention_key, prior_retention)
+        if progress_sink is not None:
+            if prior_retention is None:
+                spark.conf.unset(retention_key)
+            else:
+                spark.conf.set(retention_key, prior_retention)
     return spark.table(qname)
 
 

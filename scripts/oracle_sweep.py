@@ -198,22 +198,31 @@ def main() -> None:
                 dest = os.path.join(tmp, name)
                 df.write.mode("overwrite").parquet(dest)
                 r["spark_sec"] = round(time.perf_counter() - t0, 2)
+                # drain any interrupt left pending by a PREVIOUS query's
+                # watchdog firing in its cancel window — otherwise it
+                # surfaces on this query's first call and a healthy query
+                # is recorded as ERROR (ADVICE r7)
+                try:
+                    con.execute("SELECT 1")
+                except duckdb.InterruptException:
+                    pass
                 t1 = time.perf_counter()
                 watchdog = None
                 timed_out = False
+                fired = None
                 if ns.oracle_timeout:
                     import threading
-                    watchdog = threading.Timer(ns.oracle_timeout,
-                                               con.interrupt)
+                    fired = threading.Event()
+                    watchdog = threading.Timer(
+                        ns.oracle_timeout,
+                        lambda: (fired.set(), con.interrupt()))
                     watchdog.start()
                 try:
                     r.update(compare_engine_side(con, dest, q.oracle))
                 except duckdb.InterruptException:
-                    # trust the interrupt only if the timer plausibly
-                    # fired: a stale interrupt from the PREVIOUS query's
-                    # timer (fired in its cancel window) must not
-                    # mis-record a healthy fast query as a timeout
-                    if (time.perf_counter() - t1) < ns.oracle_timeout * 0.9:
+                    # trust the interrupt only if OUR timer actually
+                    # fired (explicit flag — no elapsed-time guessing)
+                    if fired is None or not fired.is_set():
                         raise
                     timed_out = True
                 finally:
