@@ -101,6 +101,143 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "vec_id", "cosine", "rank"))
 
 
+# ---------------------------------------------------------------------------
+# LSH-banded near-dup candidates (VERDICT r7 #1): the isotropic-input path.
+#
+# Grid blocking (below) is recall-lossless but prunes by SPATIAL
+# LOCALITY — when embeddings don't cluster (the sf10 isotropic fixture),
+# every vector lands in a handful of cells and candidates go quadratic.
+# Hyperplane banding prunes by ANGLE instead: a pair collides in a band
+# with probability (1 − θ/π)^LSH_BITS regardless of where the pair sits
+# in space, so candidate volume stays ~n²·LSH_BANDS/2^LSH_BITS on ANY
+# input shape — subquadratic knob: LSH_BITS grows with log2(n) to hold
+# candidates-per-vector constant (16 bits ≈ 65k buckets/band carries
+# ~10^6-row corpora; a 100 TB run sizes bits ≈ 2·log2(n) − log2(budget)).
+#
+# Determinism contract (what makes the DuckDB oracle EXACT, not a recall
+# gate): signatures are computed in integer arithmetic end-to-end.
+# Each vector is unit-normalized (the norm is a LEFT-TO-RIGHT fold on
+# both engines — bit-identical), quantized to ints via
+# floor(u_i·LSH_Q + 0.5), and dotted with integer-quantized deterministic
+# planes floor(sin(p·10007 + i·101)·LSH_Q + 0.5) (same sin-mixed family
+# as knn_lsh, but materialized to INTS in Python so neither engine's
+# libm is on the hot path).  Every product ≤ (LSH_Q+1)·LSH_Q ≈ 1.7e7 and
+# every 64-term sum ≤ 1.1e9 — integer-valued doubles far below 2^53, so
+# numpy BLAS matmul, DuckDB list_sum, and any parallel reduction compute
+# the EXACT same integer and the sign bit can never flip across engines.
+# ---------------------------------------------------------------------------
+
+LSH_BANDS = 12   # bands b: miss probability (1 − p^r)^b — at cosine 0.99
+LSH_BITS = 16    # bits/band r: p = 1 − θ/π = 0.955, p^16 ≈ 0.48,
+#                  miss ≈ 0.52^12 ≈ 4e-4; fixture pairs (cos .9987) miss
+#                  ≈ 2e-8. Recall measured vs the lossless grid path by
+#                  the neardup_lsh_recall catalog query.
+LSH_Q = 4096.0   # quantization scale (2^12): |q_i| ≤ 4097 for unit input
+
+
+def lsh_plane_ints(n_planes: int, dim: int) -> list[list[int]]:
+    """Integer-quantized deterministic hyperplanes — THE shared constant
+    between the Spark operator and the DuckDB oracle (both receive these
+    exact ints, so no engine evaluates sin() on the comparison path)."""
+    import math
+    return [[int(math.floor(math.sin(float(p * 10007 + i * 101))
+                            * LSH_Q + 0.5))
+             for i in range(dim)]
+            for p in range(n_planes)]
+
+
+def _band_signature_udf(dim: int, n_bands: int, band_bits: int):
+    """Arrow-batched band signatures: one exact float64 matmul per batch
+    (all values integer-valued < 2^53 → order-independent, see module
+    note), sign bits packed per band.  Map-only; planes in the closure."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    P = np.asarray(lsh_plane_ints(n_bands * band_bits, dim),
+                   dtype=np.float64)
+    W = (1 << np.arange(band_bits, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def _sigs(vs):
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        # norm as a LEFT-TO-RIGHT fold: matches the oracle's unrolled
+        # v[1]*v[1] + v[2]*v[2] + ... bit-for-bit (pairwise-summed
+        # np.sum would differ in ulps and could flip a floor boundary)
+        acc = np.zeros(len(X))
+        for i in range(X.shape[1]):
+            acc += X[:, i] * X[:, i]
+        nrm = np.sqrt(acc)
+        U = X / np.where(nrm > 0, nrm, 1.0)[:, None]
+        Q = np.floor(U * LSH_Q + 0.5)       # integer-valued float64
+        D = Q @ P.T                          # exact: ints < 2^53 throughout
+        bits = (D >= 0).astype(np.int64)
+        sigs = np.stack([bits[:, b * band_bits:(b + 1) * band_bits] @ W
+                         for b in range(n_bands)], axis=1)
+        return pd.Series(list(sigs))
+
+    return _sigs
+
+
+def embedding_neardup_pairs_lsh(df: DataFrame, threshold: float = 0.99,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                dim: int = 64,
+                                n_bands: int = LSH_BANDS,
+                                band_bits: int = LSH_BITS) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-banded LSH + exact cosine
+    verify — the candidate generator whose volume does NOT depend on the
+    corpus clustering (grid blocking's failure mode on isotropic inputs,
+    measured at sf10: CORRECTNESS_SF10.json disk exhaustion).
+
+    Plan: one Arrow map pass computes ``n_bands`` integer band signatures
+    per vector (module note: exact integer arithmetic, oracle-mirrorable
+    bit-for-bit); candidates are the same-(band, signature) self-join —
+    shuffle keyed by a (int, long) pair, ~n·b rows; only candidate pairs
+    ever see a full 64-term cosine.  Expected candidates on an isotropic
+    corpus: n²·b/2^r/2 pairs (sf10: 8e5² · 12/65536/2 ≈ 6e7 — vs the
+    grid path's measured 4.6e10).  Near-identical clusters still pair
+    quadratically within their bucket — those pairs ARE the output.
+
+    Zero vectors drop out (cosine undefined; norm>0 filter — exact in
+    any arithmetic order since norm=0 ⟺ all components zero).
+
+    Unlike the lossless grid path, banding is probabilistic: a true pair
+    escapes all bands with probability (1−p^r)^b (≈4e-4 at the 0.99
+    boundary with the default 12×16; ≈2e-8 for the fixture's 0.9987
+    pairs).  The DuckDB oracle mirrors the banding EXACTLY (same integer
+    signatures), so correctness checks are exact-hash, not recall gates;
+    recall vs the lossless grid path is measured by neardup_lsh_recall.
+    """
+    a = df.select(F.col(id_col).alias("id_a"),
+                  _as_double(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  _as_double(F.col(vec_col)).alias("vb"))
+    # spread the corpus before the Arrow stage (the parquet scan often
+    # yields 1-2 input splits at test sf — same fix as the grid path)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (a.select(F.col("id_a").alias("id"), F.col("va").alias("v"))
+            .filter(l2_norm(F.col("v")) > 0)
+            .repartition(par))
+    sigs = base.select(
+        "id", _band_signature_udf(dim, n_bands, band_bits)(F.col("v"))
+        .alias("sigs"))
+    bands = sigs.select(
+        "id", F.posexplode("sigs").alias("band", "sig"))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (x.join(y, (F.col("x.band") == F.col("y.band"))
+                   & (F.col("x.sig") == F.col("y.sig"))
+                   & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"),
+                    F.col("y.id").alias("id_b"))
+            .distinct())
+    # verify joins shuffle BY ID (corpus-sized build sides, candidate-
+    # sized probe) — never broadcast: candidates can be ≫ driver memory
+    pairs = cand.join(a, "id_a").join(b, "id_b")
+    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return (pairs.select("id_a", "id_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
 GRID_DIMS = 6  # leading normalized components used as blocking keys:
 # candidate fraction shrinks ~0.67× per dim on diffuse vectors while the
 # probe fan-out (3^d rows on ONE side pre-join) stays linear and tiny

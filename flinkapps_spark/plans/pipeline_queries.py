@@ -338,10 +338,14 @@ def _sql_band_keys() -> str:
     return ", ".join(keys)
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-        WITH aug AS ({SQL_AUG_NEAR}),
+def _sql_minhash_pair_ctes(threshold: float) -> str:
+    """CTE chain ``aug``→``mh_pairs`` reproducing minhash_lsh_pairs in
+    DuckDB: poly-31 shingle codes → affine-permutation MinHash signature
+    → band keys → band self-join candidates → exact-Jaccard verify at
+    ``threshold``.  Shared by dedup_minhash_lsh and the LSH-fed cluster
+    pipeline (dedup_clusters_lsh)."""
+    return f"""
+        aug AS ({SQL_AUG_NEAR}),
         docs_w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM aug),
         wcodes AS (
             SELECT doc_id,
@@ -366,18 +370,30 @@ def _sql_band_keys() -> str:
               ON x.band_idx = y.band_idx AND x.band_key = y.band_key
              AND x.doc < y.doc
             GROUP BY x.doc, y.doc
-        )
-        SELECT c.doc_a, c.doc_b, c.shared_bands,
-               ROUND(CAST(len(list_intersect(ca.cset, cb.cset)) AS DOUBLE)
-                     / (len(ca.cset) + len(cb.cset)
-                        - len(list_intersect(ca.cset, cb.cset))), 6)
-                   AS jaccard
-        FROM cand c
-        JOIN codes ca ON ca.doc_id = c.doc_a
-        JOIN codes cb ON cb.doc_id = c.doc_b
-        WHERE ROUND(CAST(len(list_intersect(ca.cset, cb.cset)) AS DOUBLE)
-                    / (len(ca.cset) + len(cb.cset)
-                       - len(list_intersect(ca.cset, cb.cset))), 6) >= 0.5
+        ),
+        mh_pairs AS (
+            SELECT c.doc_a, c.doc_b, c.shared_bands,
+                   ROUND(CAST(len(list_intersect(ca.cset, cb.cset))
+                              AS DOUBLE)
+                         / (len(ca.cset) + len(cb.cset)
+                            - len(list_intersect(ca.cset, cb.cset))), 6)
+                       AS jaccard
+            FROM cand c
+            JOIN codes ca ON ca.doc_id = c.doc_a
+            JOIN codes cb ON cb.doc_id = c.doc_b
+            WHERE ROUND(CAST(len(list_intersect(ca.cset, cb.cset))
+                             AS DOUBLE)
+                        / (len(ca.cset) + len(cb.cset)
+                           - len(list_intersect(ca.cset, cb.cset))), 6)
+                  >= {threshold!r}
+        )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH {_sql_minhash_pair_ctes(0.5)}
+        SELECT doc_a, doc_b, shared_bands, jaccard FROM mh_pairs
     """,
     category="extension: dedup (MinHash+LSH)",
     doc="MinHash(16 hashes)+LSH(4 bands×4 rows) near-dup candidates, "
@@ -557,6 +573,71 @@ def _sql_blocked_pair_ctes(threshold: float) -> str:
             JOIN bp_n bpa ON bpa.vec_id = c.id_a
             JOIN bp_n bpb ON bpb.vec_id = c.id_b
             WHERE ROUND(({dot}) / (bpa.nrm * bpb.nrm), 6) >= {threshold!r}
+        )"""
+
+
+def _sql_lsh_pair_ctes(threshold: float, final: str = "lsh_pairs",
+                       with_emb: bool = True) -> str:
+    """CTE chain ``emb``→``{final}`` reproducing the hyperplane-banded
+    LSH near-dup generator (operators/similarity.py
+    embedding_neardup_pairs_lsh) in independent DuckDB SQL.  This is an
+    EXACT mirror, not a recall gate: signatures are integer arithmetic
+    end-to-end (unit-normalize with a left-to-right norm fold, quantize
+    via floor(u·Q + 0.5), integer plane dots — every intermediate an
+    integer-valued double < 2^53, so numpy matmul and list_sum compute
+    the identical integer and the sign bit can never diverge).  The
+    plane ints are built ONCE in Python (lsh_plane_ints) and inlined
+    into both engines.  ``with_emb=False`` skips re-declaring the
+    ``emb`` CTE (for composition after _sql_blocked_pair_ctes)."""
+    from flinkapps_spark.operators.similarity import (
+        LSH_BANDS, LSH_BITS, LSH_Q, lsh_plane_ints)
+    planes = lsh_plane_ints(LSH_BANDS * LSH_BITS, EMB_DIM)
+    vals = ", ".join(f"({p}, {w})" for p, w in enumerate(planes))
+    nrm = " + ".join(f"v[{i}]*v[{i}]" for i in range(1, EMB_DIM + 1))
+    dot = " + ".join(f"lna.v[{i}]*lnb.v[{i}]"
+                     for i in range(1, EMB_DIM + 1))
+    emb = f"""
+        emb AS (
+            SELECT vec_id, {SQL_EMB_D} AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   [v2[1] + 0.05] || v2[2:]
+            FROM (SELECT vec_id, {SQL_EMB_D} AS v2 FROM embeddings)
+        ),""" if with_emb else ""
+    return f"""{emb}
+        lshn AS (SELECT vec_id, v, sqrt({nrm}) AS nrm FROM emb),
+        lshq AS (
+            SELECT vec_id,
+                   list_transform(v, x -> CAST(floor(x / nrm * {LSH_Q!r}
+                                                     + 0.5) AS BIGINT)) AS q
+            FROM lshn WHERE nrm > 0
+        ),
+        lshp(pid, w) AS (VALUES {vals}),
+        lshd AS (
+            SELECT vec_id, pid,
+                   list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                           i -> q[i] * w[i])) AS d
+            FROM lshq, lshp
+        ),
+        lshs AS (
+            SELECT vec_id, pid // {LSH_BITS} AS band,
+                   SUM(CASE WHEN d >= 0
+                       THEN CAST(1 << (pid % {LSH_BITS}) AS BIGINT)
+                       ELSE 0 END) AS sig
+            FROM lshd GROUP BY vec_id, pid // {LSH_BITS}
+        ),
+        lshc AS (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM lshs x JOIN lshs y
+              ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
+        ),
+        {final} AS (
+            SELECT c.id_a, c.id_b,
+                   ROUND(({dot}) / (lna.nrm * lnb.nrm), 6) AS cosine
+            FROM lshc c
+            JOIN lshn lna ON lna.vec_id = c.id_a
+            JOIN lshn lnb ON lnb.vec_id = c.id_b
+            WHERE ROUND(({dot}) / (lna.nrm * lnb.nrm), 6) >= {threshold!r}
         )"""
 
 
@@ -763,6 +844,118 @@ _SQL_SEM_PAIRS = _sql_blocked_pair_ctes(0.99)
 def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = _aug_embeddings(spark, sf_dir)
     pairs = similarity.embedding_neardup_pairs(aug, threshold=0.99) \
+        .select("id_a", "id_b")
+    nodes = aug.select(F.col("vec_id").alias("node"))
+    comp = dedup.connected_components(nodes, pairs)
+    sizes = comp.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (comp.join(sizes, "label")
+            .select(F.col("node").alias("vec_id"),
+                    F.col("label").alias("cluster_id"),
+                    "cluster_size",
+                    (F.col("node") == F.col("label")).alias("is_kept")))
+
+
+@query(
+    "embedding_neardup_lsh",
+    oracle=f"""
+        WITH {_sql_lsh_pair_ctes(0.99)}
+        SELECT id_a, id_b, cosine FROM lsh_pairs
+    """,
+    category="extension: dedup (embedding cosine, LSH-banded)",
+    doc="Embedding near-dup pairs (cosine ≥ 0.99) via hyperplane-banded "
+        "LSH + exact cosine verify — the candidate generator whose "
+        "volume does NOT depend on corpus clustering (VERDICT r7 #1: the "
+        "grid-blocked path goes quadratic on isotropic embeddings — sf10 "
+        "measured 4.6e10 candidates / disk exhaustion; banding prunes by "
+        "ANGLE, ~n²·b/2^r candidates on any shape). Signatures are "
+        "integer arithmetic end-to-end (quantized unit components × "
+        "integer planes, every intermediate < 2^53), so the oracle "
+        "mirrors the banding BIT-FOR-BIT — an exact-hash check, not a "
+        "recall gate. Recall vs the lossless grid path is measured by "
+        "neardup_lsh_recall (theory: miss ≈ 4e-4 at the 0.99 boundary, "
+        "2e-8 for the fixture's 0.9987 pairs).",
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs_lsh(
+        _aug_embeddings(spark, sf_dir), threshold=0.99)
+
+
+@query(
+    "neardup_lsh_recall",
+    oracle=f"""
+        WITH {_sql_blocked_pair_ctes(0.99)},
+        {_sql_lsh_pair_ctes(0.99, with_emb=False)},
+        rc AS (
+            SELECT (SELECT COUNT(*) FROM pairs) AS n_exact,
+                   (SELECT COUNT(*) FROM lsh_pairs) AS n_lsh,
+                   (SELECT COUNT(*) FROM pairs p JOIN lsh_pairs l
+                      ON p.id_a = l.id_a AND p.id_b = l.id_b) AS n_common
+        )
+        SELECT n_exact, n_lsh, n_common,
+               ROUND(CAST(n_common AS DOUBLE) / n_exact, 6) AS recall
+        FROM rc
+    """,
+    category="extension: dedup (LSH recall audit)",
+    doc="Measured recall of the LSH-banded near-dup generator against "
+        "the recall-LOSSLESS grid path at the same threshold (0.99), in "
+        "ONE plan: pair counts from both generators plus their overlap. "
+        "Every LSH pair passes the exact cosine verify, so lsh ⊆ exact "
+        "and n_common = n_lsh — the join PROVES the subset property "
+        "rather than assuming it. Runs both generators, so this query "
+        "is bounded by the grid path's input-shape behavior — it is the "
+        "sf≤1 calibration table, not the sf10 scale path.",
+)
+def neardup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _aug_embeddings(spark, sf_dir)
+    exact = similarity.embedding_neardup_pairs(aug, threshold=0.99) \
+        .select("id_a", "id_b")
+    lsh = similarity.embedding_neardup_pairs_lsh(aug, threshold=0.99) \
+        .select("id_a", "id_b").withColumn("hit", F.lit(1))
+    stats = (exact.join(lsh, ["id_a", "id_b"], "left")
+             .agg(F.count(F.lit(1)).alias("n_exact"),
+                  F.coalesce(F.sum("hit"), F.lit(0)).alias("n_common")))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    return (stats.crossJoin(n_lsh)
+            .select("n_exact", "n_lsh", "n_common",
+                    F.round(F.col("n_common") / F.col("n_exact"), 6)
+                    .alias("recall")))
+
+
+@query(
+    "semdedup_keep_lsh",
+    oracle=f"""
+        WITH RECURSIVE {_sql_lsh_pair_ctes(0.99)},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+            UNION ALL
+            SELECT id_b, id_a FROM lsh_pairs
+        ),
+        reach AS (
+            SELECT vec_id AS node, vec_id AS r FROM emb
+            UNION
+            SELECT reach.node, e.dst
+            FROM reach JOIN edges e ON reach.r = e.src
+        ),
+        comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+        sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                  FROM comp GROUP BY cluster_id)
+        SELECT comp.node AS vec_id, comp.cluster_id, s.cluster_size,
+               comp.node = comp.cluster_id AS is_kept
+        FROM comp JOIN sizes s USING (cluster_id)
+    """,
+    category="extension: dedup (semantic / embedding clusters, LSH)",
+    doc="Semantic dedup end-to-end on the SCALE path (VERDICT r7 #1-2): "
+        "near-dup pairs from the hyperplane-banded LSH generator (exact "
+        "oracle mirror — see embedding_neardup_lsh), transitive closure "
+        "via edge-contracting connected components, keep the minimum "
+        "vec_id per cluster. Same output contract as semdedup_keep; the "
+        "pair generator is the only difference — grid blocking needs "
+        "clustered embeddings to prune, banding stays ~n²·b/2^r on any "
+        "input shape, which is what survives an isotropic 100 TB corpus.",
+)
+def semdedup_keep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _aug_embeddings(spark, sf_dir)
+    pairs = similarity.embedding_neardup_pairs_lsh(aug, threshold=0.99) \
         .select("id_a", "id_b")
     nodes = aug.select(F.col("vec_id").alias("node"))
     comp = dedup.connected_components(nodes, pairs)
@@ -1194,6 +1387,47 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augment_near(load_table(spark, sf_dir, "documents"))
     return dedup.dedup_clusters(docs, threshold=0.6)
+
+
+@query(
+    "dedup_clusters_lsh",
+    oracle=("WITH RECURSIVE " + _sql_minhash_pair_ctes(0.6) + """,
+        edges AS MATERIALIZED (
+            SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM mh_pairs
+        ),
+        reach AS (
+            SELECT doc_id AS doc, doc_id AS r FROM aug
+            UNION
+            SELECT reach.doc, e.dst
+            FROM reach JOIN edges e ON reach.r = e.src
+        )
+        SELECT doc AS doc_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY doc
+    """),
+    category="extension: dedup (connected components, LSH-fed)",
+    doc="The cluster pipeline on the SCALE path (VERDICT r7 #2): "
+        "transitive near-dup clusters whose pair graph comes from "
+        "MinHash-LSH banding (verified at Jaccard ≥ 0.6) instead of the "
+        "Bayardo prefix join — banded candidate volume is "
+        "~n²·b/|band-key-space| regardless of vocabulary shape, where "
+        "the prefix path measured 99.5× candidate growth for 10× data "
+        "on the uniform-vocabulary sf10 fixture (no rare head to prune). "
+        "Same edge-contracting min-label connected components; the "
+        "oracle mirrors every signature bit, so the check is exact. "
+        "Banding recall < 1 vs the exact pair set (the S-curve — "
+        "dedup_lsh_scurve documents it); both engines see the identical "
+        "banded graph.",
+)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augment_near(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.6) \
+        .select("doc_a", "doc_b")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return dedup.connected_components(nodes, pairs) \
+        .select(F.col("node").alias("doc_id"),
+                F.col("label").alias("cluster_id"))
 
 
 @query(

@@ -376,6 +376,28 @@ def test_neardup_blocking_lossless(spark):
     assert len(blocked) > 0  # augmentation plants one pair per vector
 
 
+def test_neardup_lsh_subset_and_recall(spark):
+    """LSH-banded near-dup pairs are a SUBSET of the exhaustive all-pairs
+    result (every candidate passes the exact cosine verify, so no false
+    positives are possible) with recall ≈ 1 on the fixture — the
+    augmented pairs sit at cosine ≈ 0.9987, where the 12×16 banding's
+    theoretical miss probability is ~2e-8. Verified cosines must be
+    bit-identical to the exhaustive path's (same verify expression)."""
+    from flinkapps_spark.operators.similarity import (
+        embedding_neardup_pairs, embedding_neardup_pairs_lsh)
+    from flinkapps_spark.plans.pipeline_queries import _aug_embeddings
+    aug = _aug_embeddings(spark, SF_SMOKE)
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in embedding_neardup_pairs_lsh(aug, 0.99).collect()}
+    allpairs = {(r["id_a"], r["id_b"]): r["cosine"]
+                for r in embedding_neardup_pairs(
+                    aug, 0.99, exhaustive=True).collect()}
+    assert set(lsh) <= set(allpairs)
+    assert all(lsh[k] == allpairs[k] for k in lsh)
+    assert len(allpairs) > 0
+    assert len(lsh) / len(allpairs) >= 0.99
+
+
 def test_ivf_recall(spark):
     from flinkapps_spark.operators.similarity import knn_bruteforce, knn_ivf
     emb = load_table(spark, SF_SMOKE, "embeddings")
