@@ -139,6 +139,10 @@ HEADLINE = [
     # round-7 additions
     "events_holt_linear_weekly",
     "dedup_clusters",
+    # round-8 additions
+    "embedding_neardup_lsh",
+    "semdedup_keep_lsh",
+    "dedup_clusters_lsh",
 ]
 
 

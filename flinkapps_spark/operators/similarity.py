@@ -118,10 +118,11 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
 # gate): signatures are computed in integer arithmetic end-to-end.
 # Each vector is unit-normalized (the norm is a LEFT-TO-RIGHT fold on
 # both engines — bit-identical), quantized to ints via
-# floor(u_i·LSH_Q + 0.5), and dotted with integer-quantized deterministic
-# planes floor(sin(p·10007 + i·101)·LSH_Q + 0.5) (same sin-mixed family
-# as knn_lsh, but materialized to INTS in Python so neither engine's
-# libm is on the hot path).  Every product ≤ (LSH_Q+1)·LSH_Q ≈ 1.7e7 and
+# floor(u_i·LSH_Q + 0.5), and dotted with integer deterministic planes
+# (splitmix64-hashed uniform ints in [-Q, Q] — see _splitmix64 for why
+# the sin-mixed family knn_lsh uses is NOT usable here; all plane ints
+# are materialized in Python so neither engine's libm is on the
+# comparison path).  Every product ≤ (LSH_Q+1)·LSH_Q ≈ 1.7e7 and
 # every 64-term sum ≤ 1.1e9 — integer-valued doubles far below 2^53, so
 # numpy BLAS matmul, DuckDB list_sum, and any parallel reduction compute
 # the EXACT same integer and the sign bit can never flip across engines.
@@ -135,13 +136,32 @@ LSH_BITS = 16    # bits/band r: p = 1 − θ/π = 0.955, p^16 ≈ 0.48,
 LSH_Q = 4096.0   # quantization scale (2^12): |q_i| ≤ 4097 for unit input
 
 
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """splitmix64 finalizer (public-domain constant set) — the plane
+    component PRNG.  NOT the sin-mixed family knn_lsh uses: sin(p·10007 +
+    i·101) steps only ~0.47 rad between adjacent components and ~0.6 rad
+    between planes three apart, making planes SMOOTH and mutually
+    correlated — measured at sf1, band signatures collapsed to 384
+    distinct buckets (period-3 bit patterns) and candidates went to
+    9.3e8.  An integer avalanche hash gives i.i.d.-uniform components:
+    the same corpus spreads over ~65k buckets/band."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    z = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return z ^ (z >> 31)
+
+
 def lsh_plane_ints(n_planes: int, dim: int) -> list[list[int]]:
     """Integer-quantized deterministic hyperplanes — THE shared constant
     between the Spark operator and the DuckDB oracle (both receive these
-    exact ints, so no engine evaluates sin() on the comparison path)."""
-    import math
-    return [[int(math.floor(math.sin(float(p * 10007 + i * 101))
-                            * LSH_Q + 0.5))
+    exact ints, so neither engine evaluates any transcendental on the
+    comparison path).  Component (p, i) = splitmix64(p·dim + i) mapped
+    uniformly to [-Q, Q]."""
+    q = int(LSH_Q)
+    return [[int(_splitmix64(p * dim + i) % (2 * q + 1)) - q
              for i in range(dim)]
             for p in range(n_planes)]
 

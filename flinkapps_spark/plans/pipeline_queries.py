@@ -614,9 +614,11 @@ def _sql_lsh_pair_ctes(threshold: float, final: str = "lsh_pairs",
         ),
         lshp(pid, w) AS (VALUES {vals}),
         lshd AS (
-            SELECT vec_id, pid,
-                   list_sum(list_transform(range(1, {EMB_DIM + 1}),
-                                           i -> q[i] * w[i])) AS d
+            -- list_dot_product returns DOUBLE, but every operand is an
+            -- integer-valued double < 2^53, so the result is the EXACT
+            -- integer in any evaluation order (native vectorized form:
+            -- 13 s at sf1 vs ~20 min for the list_transform lambda)
+            SELECT vec_id, pid, list_dot_product(q, w) AS d
             FROM lshq, lshp
         ),
         lshs AS (

@@ -4,6 +4,12 @@ must make per-round shuffle volume DECAY, and cut dedup_clusters
 wall-clock at sf1).
 
 Usage: python scripts/cc_rounds.py [sf_dir] [--threshold 0.6]
+                                   [--pairs prefix|lsh]
+``--pairs lsh`` feeds the components from the MinHash-LSH banded pair
+generator instead of the Bayardo prefix join — the fixture-shape-robust
+path (VERDICT r7 #2: the prefix join is candidate-quadratic on the
+uniform-vocabulary synthetic fixture, so the sf10 cluster-pipeline
+evidence runs through LSH).
 Prints one JSON line: {"sf_dir", "wall_sec", "n_rows", "rounds":
 [{"round", "edges", "changed"}, ...]}.
 """
@@ -29,12 +35,19 @@ def main() -> None:
     threshold = 0.6
     if "--threshold" in sys.argv:
         threshold = float(sys.argv[sys.argv.index("--threshold") + 1])
+    pair_gen = "prefix"
+    if "--pairs" in sys.argv:
+        pair_gen = sys.argv[sys.argv.index("--pairs") + 1]
     spark = get_spark("cc-rounds")
     spark.sparkContext.setLogLevel("ERROR")
     docs = _augment_near(load_table(spark, sf_dir, "documents"))
     t0 = time.perf_counter()
-    pairs = dedup.jaccard_pairs(docs, threshold=threshold) \
-        .select("doc_a", "doc_b")
+    if pair_gen == "lsh":
+        pairs = dedup.minhash_lsh_pairs(docs, threshold=threshold) \
+            .select("doc_a", "doc_b")
+    else:
+        pairs = dedup.jaccard_pairs(docs, threshold=threshold) \
+            .select("doc_a", "doc_b")
     nodes = docs.select(F.col("doc_id").alias("node"))
     stats: list = []
     out = dedup.connected_components(nodes, pairs, round_stats=stats)

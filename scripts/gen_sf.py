@@ -47,7 +47,18 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-ROW_GROUP = 512 * 1024
+ROW_GROUP = 64 * 1024
+# multi-file layout (VERDICT r7 #3): Spark assigns scan splits by BYTE
+# RANGE (spark.sql.files.maxPartitionBytes = 128 MB), so a single 59 MB
+# documents file is ONE task no matter how many row groups it has — at
+# sf10 that bound every CPU-heavy map-only stage (levenshtein, shingle
+# expressions) to a single core (533 s / 491 s measured).  A real 100 TB
+# corpus is thousands of files; tables above _CHUNK_MIN rows are written
+# as a {name}.parquet/ DIRECTORY of ~n/32 row chunks so local fixtures
+# parallelize the same way.  Spark reads dirs transparently; DuckDB view
+# creation globs (oracle_sweep/conftest _duck_path).
+_TARGET_FILES = 32
+_CHUNK_MIN = 16 * 1024
 
 VOCAB = [
     "a", "agg", "batch", "big", "column", "customer", "data", "dup",
@@ -76,8 +87,23 @@ def _days(lo: str, hi: str, n: int, rng) -> np.ndarray:
 
 def _write(out: str, name: str, table: pa.Table) -> None:
     path = os.path.join(out, f"{name}.parquet")
-    pq.write_table(table, path, row_group_size=ROW_GROUP)
-    print(f"  {name}: {table.num_rows} rows -> {path}")
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    n = table.num_rows
+    chunk = max(n // _TARGET_FILES, _CHUNK_MIN)
+    if n <= chunk:
+        pq.write_table(table, path, row_group_size=ROW_GROUP)
+        print(f"  {name}: {n} rows -> {path}")
+        return
+    os.makedirs(path)
+    n_files = (n + chunk - 1) // chunk
+    for i in range(n_files):
+        pq.write_table(table.slice(i * chunk, chunk),
+                       os.path.join(path, f"part-{i:05d}.parquet"),
+                       row_group_size=ROW_GROUP)
+    print(f"  {name}: {n} rows -> {path} ({n_files} files)")
 
 
 def gen(sf: float, out: str, src_copy_dir: str) -> None:

@@ -160,6 +160,8 @@ def main() -> None:
     for t in TESTDATA_TABLES:
         path = os.path.join(ns.sf_dir, f"{t}.parquet")
         if os.path.exists(path):
+            if os.path.isdir(path):  # multi-file fixture (gen_sf.py)
+                path = os.path.join(path, "*.parquet")
             con.execute(f"CREATE VIEW {t} AS "
                         f"SELECT * FROM read_parquet('{path}')")
 

@@ -38,6 +38,8 @@ def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
+            if os.path.isdir(path):  # multi-file fixture (gen_sf.py)
+                path = os.path.join(path, "*.parquet")
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
