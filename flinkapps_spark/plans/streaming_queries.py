@@ -759,7 +759,11 @@ def stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "watermark PROVES no match can still arrive — Spark holds it in "
         "state until watermark > signup_ts + interval, then emits it "
         "with nulls.  The replay therefore stages the fixture into a "
-        "multi-batch file stream (maxFilesPerTrigger=1) and appends "
+        "multi-batch file stream (maxFilesPerTrigger=1) of TIME-"
+        "CONTIGUOUS chunks (time_split_replay — event-time order across "
+        "batches; row-sliced chunks each spanning the full time range "
+        "would advance the watermark past later chunks' early rows and "
+        "silently drop them) and appends "
         "far-future sentinel files: sentinel 1 advances the watermark "
         "past every signup's upper bound, sentinel 2 provides the "
         "micro-batch in which the flushed non-matches actually emit "
@@ -771,61 +775,44 @@ def stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "by the 1-hour range condition.",
 )
 def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
     import os
     import shutil
     import tempfile
 
-    from flinkapps_spark.sources.batch import load_table, normalize_ntz
+    from flinkapps_spark.sources.batch import load_table
+    from flinkapps_spark.streaming.jobs import time_split_replay
 
     batch = load_table(spark, sf_dir, "events")
     max_ts = batch.agg(F.max("ts")).first()[0]
 
-    staged = tempfile.mkdtemp(prefix="lj_replay_")
-    src_pq = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(src_pq):      # directory-style parquet fixture
-        parts = sorted(f for f in os.listdir(src_pq)
-                       if f.endswith(".parquet"))
-        for i, f in enumerate(parts):
-            shutil.copy(os.path.join(src_pq, f),
-                        os.path.join(staged, f"00_{i:04d}.parquet"))
-    else:
-        shutil.copy(src_pq, os.path.join(staged, "00_events.parquet"))
-    raw_schema = spark.read.parquet(src_pq).schema
-    ts_is_nanos = dict((f.name, f.dataType.simpleString())
-                       for f in raw_schema).get("ts") == "bigint"
-    import datetime as _dt
+    # time-contiguous chunks: replay order == event-time order, so the
+    # watermark only ever moves FORWARD relative to arriving data (a
+    # row-sliced multi-file copy each spanning the whole time range
+    # dropped later chunks' rows as late — 187997-row diff at sf1)
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    stream, staged = time_split_replay(spark, sf_dir, "events", cols,
+                                       n_chunks=3)
     sent_ts = max_ts + _dt.timedelta(days=10)
     for i in (1, 2, 3):
         # sentinels must survive the event_type filters to reach the
         # withWatermark nodes (a filtered-out row advances nothing): one
         # signup and one purchase row per file, on disjoint negative
         # user ids so they can never join each other or real rows
-        ts_val = (int(sent_ts.timestamp() * 1e9) if ts_is_nanos
-                  else sent_ts)
         rows = [
-            {"event_id": -i, "user_id": -1, "event_type": "signup",
-             "value": 0.0, "props": None, "ts": ts_val},
-            {"event_id": -1000 - i, "user_id": -2,
-             "event_type": "purchase", "value": 0.0, "props": None,
-             "ts": ts_val},
+            (-i, -1, "signup", 0.0, sent_ts),
+            (-1000 - i, -2, "purchase", 0.0, sent_ts),
         ]
-        sdf = spark.createDataFrame(
-            [tuple(r[f.name] for f in raw_schema.fields) for r in rows],
-            raw_schema)
+        sdf = spark.createDataFrame(rows, stream.schema)
         part = tempfile.mkdtemp(prefix=f"lj_sent{i}_")
         sdf.coalesce(1).write.mode("overwrite").parquet(part)
         pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
-        shutil.copy(os.path.join(part, pf),
-                    os.path.join(staged, f"zz_sentinel_{i}.parquet"))
+        dst = os.path.join(staged, f"zz_sentinel_{i}.parquet")
+        shutil.copy(os.path.join(part, pf), dst)
+        # mtimes after every chunk's (1_700_000_000 + i): the file
+        # source replays by modification time, sentinels come last
+        os.utime(dst, (1_700_000_100 + i, 1_700_000_100 + i))
         shutil.rmtree(part, ignore_errors=True)
-
-    stream = (spark.readStream.schema(raw_schema)
-              .option("maxFilesPerTrigger", 1)
-              .parquet(os.path.join(staged, "*.parquet")))
-    if ts_is_nanos:
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(`ts` div 1000)"))
-    stream = normalize_ntz(stream)
 
     s = (stream.filter(F.col("event_type") == "signup")
          .select(F.col("event_id").alias("signup_id"),

@@ -110,8 +110,13 @@ def file_stream_source(spark: SparkSession, sf_dir: str, table: str,
     if max_files_per_trigger is None and max_bytes_per_trigger is not None:
         import glob as _glob
         target = os.path.join(sf_dir, f"{table}*.parquet")
-        sizes = [os.path.getsize(p) for p in _glob.glob(target)
-                 if os.path.isfile(p)] or [1]
+        matched = _glob.glob(target)
+        # a multi-file fixture is a {table}.parquet/ DIRECTORY of parts —
+        # size the budget on the leaf files, not the (skipped) dir entry
+        leaves = [p for p in matched if os.path.isfile(p)] + [
+            q for p in matched if os.path.isdir(p)
+            for q in _glob.glob(os.path.join(p, "*.parquet"))]
+        sizes = [os.path.getsize(p) for p in leaves] or [1]
         max_files_per_trigger = max(
             1, int(max_bytes_per_trigger) // max(max(sizes), 1))
     if max_files_per_trigger is not None:

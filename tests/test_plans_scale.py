@@ -1217,3 +1217,18 @@ def test_source_overlap_bounded_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_neardup_lsh_banded_equi_join(spark):
+    """The LSH pair generator's candidate stage must be an EQUI-join on
+    (band, sig) — never a nested loop over the corpus (that would be the
+    quadratic shape banding exists to avoid).  The grid path legitimately
+    uses one BroadcastNestedLoopJoin for its 3^d delta fan-out; the
+    banded path has no such stage, so ANY nested loop in this plan is a
+    lost join condition."""
+    plan = plan_of(spark, "embedding_neardup_lsh")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    assert "band" in plan and "sig" in plan, plan
