@@ -17,9 +17,25 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from flinkapps_spark.functions.vectors import cosine_similarity, l2_norm
 
-# deterministic "random" hyperplanes: plane p component i =
-# sin(p*10007 + i*101) — reproducible anywhere, no RNG state.
-N_PLANES = 8
+# deterministic "random" hyperplanes for the ANN bucket index: plane p
+# component i = splitmix64(p·1024 + i) mapped to [-1, 1] (round 8 — the
+# earlier sin(p*10007 + i*101) family is SMOOTH: adjacent components
+# step only ~0.47 rad, planes correlate, and bucket entropy collapses;
+# measured on the banded near-dup operator it meant 384 distinct
+# buckets instead of ~65k. Same avalanche-hash fix here lifted observed
+# knn recall@5 as buckets spread.)  Reproducible anywhere, no RNG state.
+# 5 planes: for isotropic corpora the true top-5 neighbors sit at ~60°
+# (p_agree ≈ 0.67/bit), so P(neighbor within hamming≤1 of the query) =
+# p^b + b·p^(b-1)(1−p) ≈ 0.46 at b=5 vs 0.20 at b=8 — the standard
+# bits-vs-recall knob (fewer bits → bigger buckets → more candidates →
+# higher recall; candidates ≈ (b+1)/2^b of the corpus per query = 19%
+# at b=5, sized to these demo fixtures — a corpus-scale index raises b
+# with log2(n) exactly like the banded family's LSH_BITS).  Observed
+# recall@5: 0.24-0.32 across fixtures (floor 0.10).  The old correlated
+# sin planes "passed" b=8 only because correlation collapsed them to a
+# coarser effective code.
+N_PLANES = 5
+_KNN_PLANE_STRIDE = 1024  # decouples knn planes from the banded family's
 
 
 def _as_double(col):
@@ -48,7 +64,11 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def _hyperplane(p: int, dim: int):
-    return F.array(*[F.sin(F.lit(float(p * 10007 + i * 101)))
+    # splitmix64 avalanche → uniform double in [-1, 1): i.i.d.-looking
+    # components, computed in PYTHON and shipped as literals (no libm
+    # on any engine's comparison path)
+    return F.array(*[F.lit(_splitmix64(p * _KNN_PLANE_STRIDE + i)
+                           / float(1 << 63) - 1.0)
                      for i in range(dim)])
 
 
@@ -120,7 +140,7 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
 # both engines — bit-identical), quantized to ints via
 # floor(u_i·LSH_Q + 0.5), and dotted with integer deterministic planes
 # (splitmix64-hashed uniform ints in [-Q, Q] — see _splitmix64 for why
-# the sin-mixed family knn_lsh uses is NOT usable here; all plane ints
+# the sin-mixed family is NOT usable here; all plane ints
 # are materialized in Python so neither engine's libm is on the
 # comparison path).  Every product ≤ (LSH_Q+1)·LSH_Q ≈ 1.7e7 and
 # every 64-term sum ≤ 1.1e9 — integer-valued doubles far below 2^53, so
@@ -141,7 +161,8 @@ _M64 = (1 << 64) - 1
 
 def _splitmix64(x: int) -> int:
     """splitmix64 finalizer (public-domain constant set) — the plane
-    component PRNG.  NOT the sin-mixed family knn_lsh uses: sin(p·10007 +
+    component PRNG.  NOT the sin-mixed family (which knn_lsh also used
+    until round 8): sin(p·10007 +
     i·101) steps only ~0.47 rad between adjacent components and ~0.6 rad
     between planes three apart, making planes SMOOTH and mutually
     correlated — measured at sf1, band signatures collapsed to 384
@@ -198,6 +219,22 @@ def _band_signature_udf(dim: int, n_bands: int, band_bits: int):
     return _sigs
 
 
+def band_signature_table(df: DataFrame, id_col: str, vec_col: str,
+                         dim: int = 64, n_bands: int = LSH_BANDS,
+                         band_bits: int = LSH_BITS) -> DataFrame:
+    """(id, band, sig) — one row per (vector, band): the banded LSH index
+    in its joinable form.  Stateless map + explode (works identically on
+    batch and streaming frames); zero-norm vectors are dropped (cosine
+    undefined — exact test, norm=0 ⟺ all components zero)."""
+    base = (df.select(F.col(id_col).alias("id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+            .filter(l2_norm(F.col("v")) > 0))
+    sigs = base.select(
+        "id", _band_signature_udf(dim, n_bands, band_bits)(F.col("v"))
+        .alias("sigs"))
+    return sigs.select("id", F.posexplode("sigs").alias("band", "sig"))
+
+
 def embedding_neardup_pairs_lsh(df: DataFrame, threshold: float = 0.99,
                                 id_col: str = "vec_id",
                                 vec_col: str = "embedding",
@@ -235,14 +272,8 @@ def embedding_neardup_pairs_lsh(df: DataFrame, threshold: float = 0.99,
     # spread the corpus before the Arrow stage (the parquet scan often
     # yields 1-2 input splits at test sf — same fix as the grid path)
     par = df.sparkSession.sparkContext.defaultParallelism
-    base = (a.select(F.col("id_a").alias("id"), F.col("va").alias("v"))
-            .filter(l2_norm(F.col("v")) > 0)
-            .repartition(par))
-    sigs = base.select(
-        "id", _band_signature_udf(dim, n_bands, band_bits)(F.col("v"))
-        .alias("sigs"))
-    bands = sigs.select(
-        "id", F.posexplode("sigs").alias("band", "sig"))
+    bands = band_signature_table(df.repartition(par), id_col, vec_col,
+                                 dim, n_bands, band_bits)
     x, y = bands.alias("x"), bands.alias("y")
     cand = (x.join(y, (F.col("x.band") == F.col("y.band"))
                    & (F.col("x.sig") == F.col("y.sig"))

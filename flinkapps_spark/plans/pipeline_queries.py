@@ -692,10 +692,13 @@ def _ann_selfcheck(brute: DataFrame, ann: DataFrame,
     """,
     category="extension: similarity (LSH ANN)",
     doc="Hyperplane-LSH bucketed ANN — the 100 TB path: candidates only "
-        "within sign-pattern buckets. Deterministic planes (sin-mixed), "
+        "within sign-pattern buckets. Deterministic planes (splitmix64-"
+        "hashed uniform components — round 8 replaced the correlated "
+        "sin-mixed family), "
         "multi-probe. Bucketed neighbor lists are index-specific, so the "
         "query emits a recall@5 self-check against brute force computed in "
-        "the same plan (observed ≥0.26 across fixtures; floor 0.10) and "
+        "the same plan (observed 0.24-0.32 across fixtures with honest "
+        "i.i.d. planes at 5 bits; floor 0.10) and "
         "the oracle asserts literal true.",
 )
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -636,6 +636,80 @@ def stream_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "shared_bands", "jaccard"))
 
 
+def _stream_embedding_oracle() -> str:
+    from flinkapps_spark.plans.pipeline_queries import _sql_lsh_pair_ctes
+    # the shared LSH CTEs already union originals with their perturbed
+    # twins (id+10000000); the stream-vs-static restriction is exactly
+    # the CROSS pairs (original id_a, streamed-variant id_b)
+    return f"""
+        WITH {_sql_lsh_pair_ctes(0.99)}
+        SELECT id_a AS static_id, id_b AS stream_id, cosine
+        FROM lsh_pairs
+        WHERE id_a < 10000000 AND id_b >= 10000000
+    """
+
+
+@query(
+    "stream_embedding_neardup",
+    oracle=_stream_embedding_oracle(),
+    category="streaming: incremental embedding near-dup vs static index",
+    doc="Incremental SEMANTIC dedup: a stream of incoming embeddings "
+        "(the constructed +0.05-perturbed variants, id+10000000) is "
+        "checked for near-duplicates against a STATIC corpus's "
+        "hyperplane-band index — the production ingest shape for "
+        "deduping new vectors against an existing training set (the "
+        "embedding analog of stream_minhash_neardup). Candidate "
+        "generation runs inside the stream as a stateless stream-static "
+        "equi-join on (band, sig); the converged candidate set is "
+        "verified batch-side with exact cosine ≥ 0.99. Signatures are "
+        "the integer-exact banded family (operators/similarity.py), so "
+        "the DuckDB oracle mirrors every bit. Scale: per micro-batch "
+        "cost = one Arrow signature pass + an equi-join probe; the "
+        "static index is built once (re-broadcast per batch here — pin "
+        "it with a persisted table or a state-store join when the "
+        "corpus outgrows broadcast).",
+)
+def stream_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flinkapps_spark.functions.vectors import cosine_similarity
+    from flinkapps_spark.operators import similarity
+    from flinkapps_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # static corpus band index (batch side, built once)
+    static_bands = similarity.band_signature_table(
+        emb, "vec_id", "embedding") \
+        .withColumnRenamed("id", "static_id")
+
+    def variant(df):
+        v = F.transform("embedding", lambda x: x.cast("double"))
+        return df.select(
+            (F.col("vec_id") + 10000000).alias("vec_id"),
+            F.concat(F.array(F.element_at(v, 1) + 0.05),
+                     F.slice(v, 2, 10_000)).alias("embedding"))
+
+    # stream of incoming perturbed vectors
+    incoming = variant(file_stream_source(spark, sf_dir, "embeddings"))
+    s_bands = similarity.band_signature_table(
+        incoming, "vec_id", "embedding") \
+        .withColumnRenamed("id", "stream_id")
+    hits = s_bands.join(F.broadcast(static_bands), ["band", "sig"])
+
+    # converge the stream (stateless append), then verify batch-side
+    raw = run_stream_to_memory(
+        hits.select("static_id", "stream_id"), output_mode="append")
+    cand = raw.distinct()
+    sv = emb.select(F.col("vec_id").alias("static_id"),
+                    F.transform("embedding", lambda x: x.cast("double"))
+                    .alias("sv"))
+    bv = variant(emb).select(F.col("vec_id").alias("stream_id"),
+                             F.col("embedding").alias("bv"))
+    cos = F.round(cosine_similarity(F.col("sv"), F.col("bv")), 6)
+    return (cand.join(sv, "static_id").join(bv, "stream_id")
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= 0.99)
+            .select("static_id", "stream_id", "cosine"))
+
+
 
 
 
