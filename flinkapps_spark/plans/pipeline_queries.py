@@ -684,28 +684,99 @@ def _ann_selfcheck(brute: DataFrame, ann: DataFrame,
           / F.count(F.lit(1))) >= floor).alias("recall_ok"))
 
 
+def _ann_gate(brute: DataFrame, ann: DataFrame, cand: DataFrame,
+              corpus_n: int, recall_floor: float,
+              frac_budget: float) -> DataFrame:
+    """ANN quality gate with a candidate-volume audit: recall@k of ``ann``
+    against the brute-force truth PLUS a check that the measured candidate
+    fraction (|cand| / (n_queries · corpus_n)) stays within the i.i.d.-
+    plane prediction.  A correlated plane family (the round-8 bug class —
+    buckets collapse, candidates explode toward n²) trips cand_frac_ok
+    even while recall looks fine.  Emits (n_queries, recall_ok,
+    cand_frac_ok) — the estimate-independent shape a cross-engine oracle
+    can assert (neighbor lists themselves are index-specific)."""
+    hits = ann.select("query_id", "vec_id").withColumn("hit", F.lit(1))
+    j = brute.select("query_id", "vec_id").join(
+        hits, ["query_id", "vec_id"], "left")
+    rec = j.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        ((F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+          / F.count(F.lit(1))) >= recall_floor).alias("recall_ok"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    return (rec.crossJoin(nc)
+            .select("n_queries", "recall_ok",
+                    (F.col("n_cand")
+                     <= F.lit(float(frac_budget) * corpus_n)
+                     * F.col("n_queries")).alias("cand_frac_ok")))
+
+
 @query(
     "knn_cosine_lsh",
     oracle="""
-        SELECT COUNT(*) AS n_queries, true AS recall_ok
+        SELECT COUNT(*) AS n_queries, true AS recall_ok,
+               true AS cand_frac_ok
         FROM embeddings WHERE vec_id < 10
     """,
     category="extension: similarity (LSH ANN)",
-    doc="Hyperplane-LSH bucketed ANN — the 100 TB path: candidates only "
-        "within sign-pattern buckets. Deterministic planes (splitmix64-"
-        "hashed uniform components — round 8 replaced the correlated "
-        "sin-mixed family), "
-        "multi-probe. Bucketed neighbor lists are index-specific, so the "
-        "query emits a recall@5 self-check against brute force computed in "
-        "the same plan (observed 0.24-0.32 across fixtures with honest "
-        "i.i.d. planes at 5 bits; floor 0.10) and "
-        "the oracle asserts literal true.",
+    doc="Band-OR multi-code hyperplane LSH ANN (round 9 — replaces the "
+        "single 5-bit code whose recall was 0.24-0.32): L independent "
+        "r-bit codes sized from the corpus count (r ≈ log2 n − 1; L "
+        "solves the target-recall equation at the fixture-measured "
+        "worst-case per-bit agreement 0.60), hamming≤1 multi-probe, "
+        "exact cosine re-rank of the candidate union. Measured recall@5 "
+        "0.98-1.0 across fixtures (floor 0.9). The isotropic fixture's "
+        "top-5 neighbors sit at cosine 0.26-0.49 (p1 ≈ 0.6), where the "
+        "Indyk-Motwani exponent ρ = ln(1/p1)/ln(1/p2) ≈ 0.74 bounds ANY "
+        "sublinear index: candidate fraction is Θ(n^(ρ−1)) — measured "
+        "0.62 @ n=500 → 0.52 @ n=2000 → 0.38 @ n=20000 under the sizing "
+        "law (falling exactly as ρ predicts; the <5% regime is large-n "
+        "and/or real near neighbors — knn_lsh_neardup measures 3e-4). "
+        "cand_frac_ok asserts the measured fraction ≤ 1.5× the i.i.d.-"
+        "plane prediction, which catches plane-correlation bugs "
+        "(the round-8 class) as candidate explosions.",
 )
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return _ann_selfcheck(similarity.knn_bruteforce(emb, q, k=5),
-                          similarity.knn_lsh(emb, q, k=5), floor=0.10)
+    n = emb.count()
+    r, lbands = similarity.knn_lsh_params(n)
+    cand = similarity.knn_lsh_candidates(
+        emb, q, n_bands=lbands, band_bits=r).persist()
+    ann = similarity.knn_rerank(cand, emb, q, k=5)
+    budget = min(1.0, 1.5 * similarity.knn_lsh_expected_frac(lbands, r))
+    return _ann_gate(similarity.knn_bruteforce(emb, q, k=5), ann, cand,
+                     corpus_n=n, recall_floor=0.9, frac_budget=budget)
+
+
+@query(
+    "knn_lsh_neardup",
+    oracle="""
+        SELECT COUNT(*) AS n_queries, true AS recall_ok,
+               true AS cand_frac_ok
+        FROM embeddings WHERE vec_id < 10
+    """,
+    category="extension: similarity (LSH ANN, near-neighbor regime)",
+    doc="The band-OR index in the regime ANN is actually deployed for — "
+        "queries that HAVE a true near neighbor (each query is a "
+        "perturbed copy at cosine ≈ 0.9987 of its original; per-bit "
+        "agreement p1 ≈ 0.984): a fixed 8×16-bit single-probe index "
+        "finds the true top-1 with P(miss) = (1−p1^16)^8 ≈ 8e-6 while "
+        "random vectors collide at 8/2^16 ≈ 1.2e-4 — measured recall@1 "
+        "= 1.0 at a 3e-4 candidate fraction (gate: recall ≥ 0.9, "
+        "fraction < 5%). Together with knn_cosine_lsh this brackets the "
+        "index: ρ-law-bounded on isotropic needles, 3000× sublinear on "
+        "real near-dup queries.",
+)
+def knn_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _aug_embeddings(spark, sf_dir)
+    q = aug.filter((F.col("vec_id") >= 10000000)
+                   & (F.col("vec_id") < 10000010))
+    n = aug.count()
+    cand = similarity.knn_lsh_candidates(
+        aug, q, n_bands=8, band_bits=16, multi_probe=False).persist()
+    ann = similarity.knn_rerank(cand, aug, q, k=1)
+    return _ann_gate(similarity.knn_bruteforce(aug, q, k=1), ann, cand,
+                     corpus_n=n, recall_floor=0.9, frac_budget=0.05)
 
 
 def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -204,15 +204,30 @@ def test_lsh_recall(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     brute = knn_bruteforce(emb, queries, k=5).collect()
+    # band-OR multi-code index with the corpus-sized (r, L) law — recall
+    # against brute force should be near-total even on this isotropic
+    # fixture (measured 0.98-1.0 across fixtures; gate at 0.9)
     lsh = knn_lsh(emb, queries, k=5).collect()
     brute_pairs = {(r["query_id"], r["vec_id"]) for r in brute}
     lsh_pairs = {(r["query_id"], r["vec_id"]) for r in lsh}
-    # LSH candidates are a bucket subset: everything it returns for a query
-    # must rank no better than brute force's list allows; recall is the
-    # interesting metric — single-probe on random data is weak but nonzero.
     assert lsh_pairs, "LSH returned nothing (bucketing broken)"
     recall = len(brute_pairs & lsh_pairs) / len(brute_pairs)
-    assert recall >= 0.05
+    assert recall >= 0.9
+
+
+def test_knn_lsh_params_law():
+    from flinkapps_spark.operators.similarity import (
+        knn_lsh_expected_frac, knn_lsh_params)
+    # r grows with log2(n); L solves the target-recall equation
+    r5, l5 = knn_lsh_params(500)
+    r20k, l20k = knn_lsh_params(20_000)
+    assert r5 == 8 and r20k == 13
+    assert l20k > l5 >= 1
+    # the expected random-candidate fraction FALLS as n grows (ρ law):
+    # that monotone decrease is what the catalog gate's budget tracks
+    assert knn_lsh_expected_frac(l20k, r20k) < knn_lsh_expected_frac(l5, r5)
+    # clipped at both ends
+    assert knn_lsh_params(4)[0] == 6 and knn_lsh_params(10**9)[0] == 18
 
 
 # --- multimodal stubs ------------------------------------------------------
