@@ -1135,7 +1135,12 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "through carried state. Update-mode emission per batch; the "
         "converged per-user (first_match_ts, n_matches) equals the "
         "batch events_cep_sequence. Scale: four scalars of state per "
-        "user, Arrow-batched, nothing on the driver.",
+        "user, Arrow-batched, nothing on the driver; the per-key walk "
+        "is a vectorized numpy scan (VERDICT r8 #2 — the per-event "
+        "Python loop was the worst streaming number at sf10), with the "
+        "ts→µs and event-type→bitcode conversions pushed into JVM "
+        "expressions BEFORE the stateful operator so the UDF touches "
+        "only int64 arrays.",
 )
 def stream_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -1156,48 +1161,74 @@ def stream_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "first_us bigint, n bigint")
         step_us = CEP_STEP_US
 
+        # JVM-side prep: µs epoch + type bitcode (view=1, click=2,
+        # purchase=4; other types carry no CEP role and code to 0) — the
+        # stateful UDF then never parses a timestamp or compares a string
+        ev = stream.select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.when(F.col("event_type") == "view", 1)
+             .when(F.col("event_type") == "click", 2)
+             .when(F.col("event_type") == "purchase", 4)
+             .otherwise(0).alias("tcode"))
+
+        NEG = -(1 << 62)  # "no view/qclick yet" sentinel (None in state)
+
         def update(key, pdfs, state: GroupState):
+            import numpy as np
             last_view, last_qclick, first_us, n = (
                 state.get if state.exists else (None, None, None, 0))
-            # concat-then-sort: see stream_attribution — a group straddling
-            # Arrow chunks arrives as multiple unordered pdfs
-            batch = [p for p in pdfs if len(p)]
-            if batch:
-                pdf = pd.concat(batch, ignore_index=True) \
-                    .sort_values(["ts", "event_id"])
-                ts = pd.to_datetime(pdf["ts"])
-                if ts.dt.tz is not None:
-                    ts = ts.dt.tz_localize(None)
-                row_us = ts.astype("datetime64[ns]").astype("int64") // 1000
-                # process per DISTINCT microsecond, not per row: the batch
-                # query's RANGE frames include same-us peers regardless of
-                # event_id, so a view at the same us as a click MASKS the
-                # click's qualification (MAX picks us, strict '<' fails) —
-                # and a qualified click at the same us as a purchase masks
-                # the purchase. Same-us rows can never split across replay
-                # chunks (the splitter cuts on us), so grouping here sees
-                # every tie.
-                pdf = pdf.assign(_us=row_us)
-                for t_us, grp in pdf.groupby("_us", sort=True):
-                    t_us = int(t_us)
-                    types = grp["event_type"]
-                    has_view = (types == "view").any()
-                    qclick_here = (
-                        (types == "click").any() and not has_view
-                        and last_view is not None
-                        and last_view < t_us <= last_view + step_us)
-                    n_purch = int((types == "purchase").sum())
-                    if (n_purch and not qclick_here
-                            and last_qclick is not None
-                            and last_qclick < t_us
-                            <= last_qclick + step_us):
-                        n += n_purch
-                        if first_us is None:
-                            first_us = t_us
-                    if has_view:
-                        last_view = t_us
-                    if qclick_here:
-                        last_qclick = t_us
+            chunks = [p for p in pdfs if len(p)]
+            if chunks:
+                us = np.concatenate(
+                    [c["us"].to_numpy(np.int64) for c in chunks])
+                tc = np.concatenate(
+                    [c["tcode"].to_numpy(np.int64) for c in chunks])
+                # aggregate per DISTINCT microsecond, not per row: the
+                # batch query's RANGE frames include same-us peers, so a
+                # view at the same us as a click MASKS the click's
+                # qualification (strict '<' fails) and a qualified click
+                # at the same us as a purchase masks the purchase.
+                # Same-us rows can never split across replay chunks (the
+                # splitter cuts on us), so every tie is visible here.
+                uu, inv = np.unique(us, return_inverse=True)
+                flags = np.zeros(len(uu), dtype=np.int64)
+                np.bitwise_or.at(flags, inv, tc & 3)
+                n_purch = np.bincount(
+                    inv, weights=(tc == 4), minlength=len(uu)) \
+                    .astype(np.int64)
+                has_view = (flags & 1) > 0
+                has_click = (flags & 2) > 0
+                # most recent view STRICTLY before each distinct us =
+                # shifted cumulative max, seeded with the carried state
+                # (time-contiguous replay: all prior-batch us < this
+                # batch's min, so strictness holds across batches too)
+                pv = int(last_view) if last_view is not None else NEG
+                cm = np.maximum.accumulate(np.where(has_view, uu, NEG))
+                prev_view = np.empty(len(uu), dtype=np.int64)
+                prev_view[0] = pv
+                if len(uu) > 1:
+                    np.maximum(pv, cm[:-1], out=prev_view[1:])
+                # a click qualifies iff a view precedes it strictly
+                # within the window AT ARRIVAL TIME (later views cannot
+                # re-qualify it) and no view shares its microsecond
+                qclick = has_click & ~has_view & (uu <= prev_view + step_us)
+                pq = int(last_qclick) if last_qclick is not None else NEG
+                cq = np.maximum.accumulate(np.where(qclick, uu, NEG))
+                prev_qc = np.empty(len(uu), dtype=np.int64)
+                prev_qc[0] = pq
+                if len(uu) > 1:
+                    np.maximum(pq, cq[:-1], out=prev_qc[1:])
+                match = (n_purch > 0) & ~qclick & (uu <= prev_qc + step_us)
+                add = int(n_purch[match].sum())
+                if add:
+                    if first_us is None:
+                        first_us = int(uu[match][0])
+                    n += add
+                if cm[-1] > NEG:
+                    last_view = int(cm[-1])
+                if cq[-1] > NEG:
+                    last_qclick = int(cq[-1])
             state.update((last_view, last_qclick, first_us, n))
             if n > 0:
                 yield pd.DataFrame({
@@ -1205,7 +1236,7 @@ def stream_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "first_match_ts": [pd.Timestamp(first_us, unit="us")],
                     "n_matches": [n]})
 
-        matched = stream.groupBy("user_id").applyInPandasWithState(
+        matched = ev.groupBy("user_id").applyInPandasWithState(
             update, outputStructType=out_schema,
             stateStructType=state_schema, outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout)
