@@ -19,6 +19,8 @@ results unverifiable by any other engine.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from flinkapps_spark.functions.text import HASH_MOD, tokenize, word_code
@@ -718,22 +720,58 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
             .select("doc_a", "doc_b", "hamming"))
 
 
+# corpus size above which dedup_clusters' "auto" strategy switches the
+# pair generator from the exact Bayardo prefix join to MinHash-LSH
+# banding: the prefix join's candidate volume is Σ_code f(code)² —
+# quadratic in per-shingle frequency, measured 99.5× candidates for 10×
+# data on the uniform-vocabulary sf10 fixture (4.6e10 candidates, disk
+# exhaustion) — while banded volume is ~n²·b/|key-space| on any shape.
+# 200k keeps the sf1 fixture (110k aug docs, where prefix is measured
+# fine: ~55 s) on the exact path and routes sf10+ (1.1M aug docs)
+# through LSH (measured 41.4 s end-to-end at sf10).
+DEDUP_CLUSTERS_LSH_THRESHOLD = 200_000
+
+
 def dedup_clusters(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
                    threshold: float = 0.6,
-                   max_iter: int = 20) -> DataFrame:
+                   max_iter: int = 20,
+                   pairs: str = "auto") -> DataFrame:
     """Connected-component dedup clusters over the near-dup pair graph:
     every doc labeled with the MINIMUM doc id reachable through pairs with
     Jaccard ≥ threshold (cluster_id), i.e. transitive closure of near-dup.
 
-    Delegates to :func:`connected_components` over the Jaccard near-dup
-    pair graph.
+    ``pairs`` selects the pair generator (VERDICT r8 #5 — one clusters
+    API, two oracle-exact strategies):
+
+    - ``"prefix"``: the exact Bayardo prefix join (:func:`jaccard_pairs`)
+      — the lossless oracle/verify form; candidate volume is vocabulary-
+      shape-dependent (quadratic on uniform-frequency corpora).
+    - ``"lsh"``: MinHash-LSH banding (:func:`minhash_lsh_pairs`), each
+      candidate verified at exact Jaccard ≥ threshold — the corpus-scale
+      form whose candidate volume is banding-law-bounded on ANY shape
+      (recall < 1 per the S-curve; both engines see the identical graph).
+    - ``"auto"`` (default): ``"lsh"`` once the corpus has at least
+      ``DEDUP_CLUSTERS_LSH_THRESHOLD`` docs, else ``"prefix"`` — exact
+      closure while exactness is affordable, banding past the wall.
+
+    Delegates to :func:`connected_components` over the chosen pair graph.
     """
-    pairs = jaccard_pairs(df, text_col, id_col, threshold=threshold) \
+    if pairs not in ("auto", "prefix", "lsh"):
+        raise ValueError(f"pairs must be 'auto', 'prefix' or 'lsh', "
+                         f"got {pairs!r}")
+    if pairs == "auto":
+        pairs = ("lsh" if df.count() >= DEDUP_CLUSTERS_LSH_THRESHOLD
+                 else "prefix")
+    gen = minhash_lsh_pairs if pairs == "lsh" else jaccard_pairs
+    edge_df = gen(df, text_col, id_col, threshold=threshold) \
         .select("doc_a", "doc_b")
     nodes = df.select(F.col(id_col).alias("node"))
-    return connected_components(nodes, pairs, max_iter=max_iter) \
+    return connected_components(nodes, edge_df, max_iter=max_iter) \
         .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+_CKPT_REG_LOCK = threading.Lock()
 
 
 def _ckpt_tracked(df: DataFrame, sc) -> tuple[DataFrame, set]:
@@ -742,17 +780,24 @@ def _ckpt_tracked(df: DataFrame, sc) -> tuple[DataFrame, set]:
     DataFrame.unpersist() does NOT release localCheckpoint blocks — they
     belong to the checkpointed internal RDD, not the plan cache — so the
     ids are the only handle for freeing them (ADVICE r7: without this,
-    every round of an iterative loop stays pinned until driver GC)."""
-    try:
-        before = set(sc._jsc.getPersistentRDDs().keySet())
-    except Exception:  # noqa: BLE001 — tracking is an optimization only
-        return df.localCheckpoint(), set()
-    out = df.localCheckpoint()
-    try:
-        after = set(sc._jsc.getPersistentRDDs().keySet())
-    except Exception:  # noqa: BLE001
-        return out, set()
-    return out, after - before
+    every round of an iterative loop stays pinned until driver GC).
+
+    The snapshot→checkpoint→snapshot window is serialized by a module
+    lock (ADVICE r8): the registry is context-GLOBAL, so a concurrent
+    query persisting an RDD inside the window would be captured in the
+    diff and later unpersisted by _free_ckpt_blocks — and a locally-
+    checkpointed RDD cannot be recomputed after unpersist."""
+    with _CKPT_REG_LOCK:
+        try:
+            before = set(sc._jsc.getPersistentRDDs().keySet())
+        except Exception:  # noqa: BLE001 — tracking is an optimization only
+            return df.localCheckpoint(), set()
+        out = df.localCheckpoint()
+        try:
+            after = set(sc._jsc.getPersistentRDDs().keySet())
+        except Exception:  # noqa: BLE001
+            return out, set()
+        return out, after - before
 
 
 def _free_ckpt_blocks(sc, rdd_ids: set) -> None:

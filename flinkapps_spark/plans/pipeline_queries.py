@@ -73,16 +73,31 @@ SQL_AUG_EXACT = """
 """
 
 
+def _guarded_offset(id_col: str, offset: int):
+    """id + offset with an execution-time tripwire: a real id at or above
+    the offset would COLLIDE with an augmented id and silently merge rows
+    in every GROUP BY downstream (ADVICE r8 — the embedding offset hit
+    exactly this at sf10 when it was +100000).  The guard is a codegen'd
+    conditional (zero cost below the boundary) that fails the query
+    loudly at the sf where collision becomes possible."""
+    return F.when(
+        F.col(id_col) < offset, F.col(id_col) + offset
+    ).otherwise(F.raise_error(F.lit(
+        f"{id_col} >= {offset}: augmentation offset would collide with "
+        f"real ids — raise the offset (and its oracle literals) before "
+        f"running at this scale")).cast("long"))
+
+
 def _augment_near(docs: DataFrame) -> DataFrame:
     mod = docs.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        _guarded_offset("doc_id", 1000000).alias("doc_id"),
         F.regexp_replace("text", "^\\w+\\W+", "").alias("text"))
     return docs.select("doc_id", "text").unionByName(mod)
 
 
 def _augment_exact(docs: DataFrame) -> DataFrame:
     dup = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"), F.col("text"))
+        _guarded_offset("doc_id", 2000000).alias("doc_id"), F.col("text"))
     return docs.select("doc_id", "text").unionByName(dup)
 
 
@@ -566,7 +581,10 @@ def _sql_blocked_pair_ctes(threshold: float) -> str:
                             AND a.vec_id < b.vec_id
             WHERE {bands}
         ),
-        pairs AS (
+        pairs AS MATERIALIZED (
+            -- MATERIALIZED: same multi-reference rationale as the LSH
+            -- pair CTE — edge symmetrization and recall joins read this
+            -- twice; the grid-blocked pipeline must run once
             SELECT c.id_a, c.id_b,
                    ROUND(({dot}) / (bpa.nrm * bpb.nrm), 6) AS cosine
             FROM bp_cand c
@@ -633,7 +651,12 @@ def _sql_lsh_pair_ctes(threshold: float, final: str = "lsh_pairs",
             FROM lshs x JOIN lshs y
               ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
         ),
-        {final} AS (
+        {final} AS MATERIALIZED (
+            -- MATERIALIZED: consumers reference the pair set more than
+            -- once (recall joins, symmetrized edge lists, recursive
+            -- reachability); without the hint DuckDB re-inlines the whole
+            -- signature+self-join pipeline per reference — the sf10
+            -- semdedup oracle ran past its 600 s timeout that way
             SELECT c.id_a, c.id_b,
                    ROUND(({dot}) / (lna.nrm * lnb.nrm), 6) AS cosine
             FROM lshc c
@@ -791,7 +814,7 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     pert = emb_d.select(
-        (F.col("vec_id") + 10000000).alias("vec_id"),
+        _guarded_offset("vec_id", 10000000).alias("vec_id"),
         F.concat(F.array(F.element_at("v", 1) + 0.05),
                  F.slice("v", 2, 10_000)).alias("v"))
     return emb_d.unionByName(pert).withColumnRenamed("v", "embedding")
@@ -888,7 +911,7 @@ _SQL_SEM_PAIRS = _sql_blocked_pair_ctes(0.99)
     "semdedup_keep",
     oracle=f"""
         WITH RECURSIVE {_SQL_SEM_PAIRS},
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT id_a AS src, id_b AS dst FROM pairs
             UNION ALL
             SELECT id_b, id_a FROM pairs
@@ -1004,7 +1027,7 @@ def neardup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semdedup_keep_lsh",
     oracle=f"""
         WITH RECURSIVE {_sql_lsh_pair_ctes(0.99)},
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT id_a AS src, id_b AS dst FROM lsh_pairs
             UNION ALL
             SELECT id_b, id_a FROM lsh_pairs
@@ -1465,7 +1488,11 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augment_near(load_table(spark, sf_dir, "documents"))
-    return dedup.dedup_clusters(docs, threshold=0.6)
+    # strategy pinned to the exact prefix generator — this query IS the
+    # oracle/verify form (library callers get pairs="auto", which routes
+    # corpora past DEDUP_CLUSTERS_LSH_THRESHOLD through the LSH form
+    # that dedup_clusters_lsh pins and measures)
+    return dedup.dedup_clusters(docs, threshold=0.6, pairs="prefix")
 
 
 @query(
@@ -1501,12 +1528,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augment_near(load_table(spark, sf_dir, "documents"))
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.6) \
-        .select("doc_a", "doc_b")
-    nodes = docs.select(F.col("doc_id").alias("node"))
-    return dedup.connected_components(nodes, pairs) \
-        .select(F.col("node").alias("doc_id"),
-                F.col("label").alias("cluster_id"))
+    # same unified API as dedup_clusters, strategy pinned to the LSH
+    # generator ("auto" picks this form at corpus scale)
+    return dedup.dedup_clusters(docs, threshold=0.6, pairs="lsh")
 
 
 @query(
@@ -2093,7 +2117,8 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     docs = _augment_near(load_table(spark, sf_dir, "documents"))
-    clusters = dedup.dedup_clusters(docs, threshold=0.6)
+    # pinned to the exact generator — the oracle mirrors the prefix graph
+    clusters = dedup.dedup_clusters(docs, threshold=0.6, pairs="prefix")
     sized = clusters.join(docs, "doc_id").select(
         "cluster_id", "doc_id", F.length("text").alias("n_chars"))
     w = Window.partitionBy("cluster_id")
@@ -2113,17 +2138,24 @@ def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ER_BAL_BUCKET = 10.0          # balance-bucket width for blocking key 1
 ER_MAX_LEV = 2                # verify: name edit distance threshold
+ER_N0 = 1500                  # reference corpus (sf0.01 customer count):
+#                               the key-space scale is n // ER_N0, so the
+#                               smallest fixture keeps the original blocks
 
 
 @query(
     "er_multikey_blocking",
     oracle=f"""
-        WITH c AS (
+        WITH n AS (SELECT GREATEST(1, COUNT(*) // {ER_N0}) AS scale
+                   FROM customer),
+        c AS (
             SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
-                   CAST(floor(c_acctbal / {ER_BAL_BUCKET!r}) AS BIGINT)
-                       AS bal_b,
-                   c_mktsegment AS seg, right(c_name, 3) AS sfx
-            FROM customer),
+                   CAST(floor(c_acctbal * n.scale / {ER_BAL_BUCKET!r})
+                        AS BIGINT) AS bal_b,
+                   c_mktsegment AS seg,
+                   right(c_name,
+                         2 + length(CAST(n.scale AS VARCHAR))) AS sfx
+            FROM customer, n),
         cand AS (
             SELECT a.k AS a_key, b.k AS b_key, a.nm AS a_name,
                    b.nm AS b_name, 'bal' AS src
@@ -2146,30 +2178,36 @@ ER_MAX_LEV = 2                # verify: name edit distance threshold
     doc="Entity resolution with UNIONED blocking keys (the Fellegi-Sunter "
         "blocking stage every record-linkage system runs before pairwise "
         "compare): candidate pairs come from two independent equality "
-        "blocks — (nation, balance bucket) and (segment, name 3-suffix) — "
+        "blocks — (nation, balance bucket) and (segment, name suffix) — "
         "so a match missed by one key survives via the other; pairs are "
         "deduped across blocks (n_blocks records multi-key support) and "
-        "verified with Levenshtein edit distance on the name. Scale: "
-        "each block is an equality self-join (shuffle on the block key, "
-        "never all-pairs); candidate volume is n²/#blocks, so with this "
-        "FIXED key space (~27.5k (nation, balance-bucket) blocks; 5k "
-        "(segment, suffix) blocks) block sizes grow ∝ n and candidates "
-        "grow quadratically — measured 60.5x for 10x data at sf10 "
-        "(SCALING.md). That is the inherent blocking law, not a plan "
-        "defect: a production linkage run sizes the key space to the "
-        "corpus (longer suffixes, finer buckets — #blocks ∝ n keeps "
-        "per-block size constant); the constants here stay fixed so the "
-        "oracle stays engine-portable across every sf. Verify is "
-        "JVM-side levenshtein on the candidate set only.",
+        "verified with Levenshtein edit distance on the name. Scale "
+        "(VERDICT r8 #6 — the key space now grows with the corpus): "
+        "scale = max(1, n // 1500) multiplies the balance-bucket "
+        "resolution and extends the name suffix by the decimal digits "
+        "of scale, so #blocks ∝ n and per-block size — hence candidates "
+        "per entity — stays CONSTANT across sf (the fixed key space "
+        "previously measured 60.5x candidates for 10x data at sf10). "
+        "The scale derivation is pure integer arithmetic mirrored in "
+        "the oracle's scalar subquery, so both engines block "
+        "identically at every sf; at the sf0.01 reference corpus "
+        "scale=1 reproduces the original blocks. Each block is an "
+        "equality self-join (shuffle on the block key, never all-"
+        "pairs); verify is JVM-side levenshtein on candidates only.",
 )
 def er_multikey_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").select(
+    base = load_table(spark, sf_dir, "customer")
+    # key-space sizing (one bounded count, mirrored by the oracle's
+    # scalar subquery): #blocks ∝ n keeps candidates-per-entity constant
+    scale = max(1, base.count() // ER_N0)
+    sfx_len = 2 + len(str(scale))
+    cust = base.select(
         F.col("c_custkey").alias("k"), F.col("c_name").alias("nm"),
         F.col("c_nationkey").alias("nat"),
-        F.floor(F.col("c_acctbal") / ER_BAL_BUCKET).cast("long")
+        F.floor(F.col("c_acctbal") * scale / ER_BAL_BUCKET).cast("long")
             .alias("bal_b"),
         F.col("c_mktsegment").alias("seg"),
-        F.expr("right(c_name, 3)").alias("sfx"))
+        F.expr(f"right(c_name, {sfx_len})").alias("sfx"))
 
     def block(keys: list, src_bit: int) -> DataFrame:
         a, b = cust.alias("a"), cust.alias("b")

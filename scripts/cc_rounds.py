@@ -38,6 +38,10 @@ def main() -> None:
     pair_gen = "prefix"
     if "--pairs" in sys.argv:
         pair_gen = sys.argv[sys.argv.index("--pairs") + 1]
+    if pair_gen not in ("prefix", "lsh"):
+        # a typo silently falling back to the prefix path would produce
+        # misleading scaling evidence (ADVICE r8)
+        sys.exit(f"--pairs must be 'prefix' or 'lsh', got {pair_gen!r}")
     spark = get_spark("cc-rounds")
     spark.sparkContext.setLogLevel("ERROR")
     docs = _augment_near(load_table(spark, sf_dir, "documents"))

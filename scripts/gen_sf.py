@@ -30,8 +30,10 @@ parameters below are re-derived constants):
   measured norms all 1.0 ± 1e-7), label uniform 0..9.
 - region/nation: copied verbatim (constant at every sf).
 
-Row groups are sized ~512k rows so Spark gets parallel scan splits at
-sf1 (the driver's single-row-group files rely on byte-range splitting).
+Row groups are sized 64k rows, and large tables are written as multiple
+files (~_TARGET_FILES chunks): Spark assigns scan splits by byte range
+per FILE, so the multi-file layout — not row-group count — is what gives
+parallel scans (see the VERDICT r7 #3 note below).
 
 Usage: python scripts/gen_sf.py --sf 1 [--out /root/repo/testdata_sf1]
 """
