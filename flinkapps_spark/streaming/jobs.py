@@ -193,7 +193,8 @@ def run_stream_to_memory(transformed: DataFrame, *, output_mode: str,
 
 def time_split_replay(spark: SparkSession, sf_dir: str, table: str,
                       columns, n_chunks: int = 3,
-                      ts_col: str = "ts"):
+                      ts_col: str = "ts", df: DataFrame | None = None,
+                      cuts: list[int] | None = None):
     """Stage a fixture table as ``n_chunks`` TIME-CONTIGUOUS parquet files
     and open them as a ``maxFilesPerTrigger=1`` file stream: a
     deterministic multi-micro-batch replay in event-time order, so
@@ -203,6 +204,14 @@ def time_split_replay(spark: SparkSession, sf_dir: str, table: str,
     names AND ascending mtimes (the file source sorts by modification
     time).  Returns ``(stream_df, staged_dir)``; the caller removes
     ``staged_dir`` after the sink is materialized.
+
+    ``df`` replays an arbitrary DataFrame instead of a fixture table
+    (``sf_dir``/``table``/``columns`` ignored); ``cuts`` pins explicit µs
+    cut points instead of the equal-width default — both exist so the
+    layout property tests can fuzz the staging over synthetic frames and
+    adversarial boundaries (the round-8 left-join bug was a LAYOUT bug:
+    row-sliced chunks each spanning the full time range advanced the
+    watermark past later chunks' rows).
     """
     import shutil
     import tempfile
@@ -210,11 +219,16 @@ def time_split_replay(spark: SparkSession, sf_dir: str, table: str,
     from flinkapps_spark.sources.batch import load_table
     from pyspark.sql import functions as F
 
-    df = load_table(spark, sf_dir, table).select(*columns)
+    if df is None:
+        df = load_table(spark, sf_dir, table).select(*columns)
     us = F.unix_micros(ts_col)
     lo, hi = df.agg(F.min(us), F.max(us)).first()
-    cuts = [lo + (hi - lo) * i // n_chunks for i in range(1, n_chunks)]
-    staged = tempfile.mkdtemp(prefix=f"replay_{table}_")
+    if cuts is None:
+        cuts = [lo + (hi - lo) * i // n_chunks for i in range(1, n_chunks)]
+    else:
+        cuts = sorted(int(c) for c in cuts)
+        n_chunks = len(cuts) + 1
+    staged = tempfile.mkdtemp(prefix=f"replay_{table or 'df'}_")
     for i in range(n_chunks):
         cond = None
         if i > 0:

@@ -388,3 +388,163 @@ def test_file_stream_source_byte_budget(spark):
                     load_table(spark, SF_ORACLE, "events")
                     .groupBy("event_type").count().collect())
     assert sorted(tuple(r) for r in got.collect()) == expect
+
+
+# --- time_split_replay layout fuzz (VERDICT r8 #7) --------------------------
+#
+# Round 8's stream-stream left-join bug was a LAYOUT bug: row-sliced replay
+# chunks each spanning the full time range advanced the watermark past later
+# chunks' rows, silently dropping 187,997 rows at sf1 — and it was found by
+# accident of a fixture change.  These tests pin the layout contract
+# deliberately: (a) whatever cut points the splitter is given, the staged
+# files must partition the rows exactly, be time-contiguous, and replay in
+# pinned order; (b) a watermarked stream-stream join over ANY such layout
+# must equal the batch join (a dropped-late row loses a match — a sharp
+# detector for the bug class).
+
+
+def _synthetic_events(spark, seed: int, n: int = 180):
+    """Deterministic random events over a ~6 h span with duplicate
+    timestamps (ties are the boundary hazard: the splitter must never
+    separate same-µs rows) and enough signup/purchase pairs to join."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(n):
+        # coarse 10-minute grid → many exact-µs ties across types
+        off_s = rng.randrange(0, 36) * 600
+        et = rng.choice(["signup", "purchase", "view"])
+        rows.append((i, rng.randrange(0, 10), et,
+                     float(rng.randrange(100)),
+                     base + dt.timedelta(seconds=off_s)))
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "value double, ts timestamp")
+
+
+def _layout_cuts(rng, lo: int, hi: int, family: str):
+    """Three adversarial cut-point families over [lo, hi] µs."""
+    if family == "equal":
+        k = rng.randrange(2, 6)
+        return [lo + (hi - lo) * i // k for i in range(1, k)]
+    if family == "random":
+        k = rng.randrange(1, 5)
+        return sorted(rng.randrange(lo + 1, hi + 1) for _ in range(k))
+    # "degenerate": cuts clustered at one end, duplicates allowed —
+    # produces empty and tiny chunks next to one huge chunk
+    c = rng.randrange(lo + 1, lo + max(2, (hi - lo) // 10))
+    return [c, c, hi]
+
+
+def test_time_split_replay_layout_properties(spark):
+    """Fuzz the staging over synthetic frames × 3 cut families: staged
+    files must (1) partition the input exactly, (2) be TIME-CONTIGUOUS
+    (max µs of file i < min µs of file i+1 — the property whose absence
+    was the round-8 bug), (3) never split same-µs ties, and (4) replay
+    in pinned order (lexicographic name order == ascending mtimes)."""
+    import os
+    import random
+    import shutil
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from flinkapps_spark.streaming.jobs import time_split_replay
+
+    for seed in (11, 12, 13):
+        for family in ("equal", "random", "degenerate"):
+            rng = random.Random(1000 * seed + hash(family) % 997)
+            df = _synthetic_events(spark, seed)
+            lo, hi = df.agg(F.min(F.unix_micros("ts")),
+                            F.max(F.unix_micros("ts"))).first()
+            cuts = _layout_cuts(rng, lo, hi, family)
+            _, staged = time_split_replay(spark, None, None, None,
+                                          df=df, cuts=cuts)
+            try:
+                files = sorted(f for f in os.listdir(staged)
+                               if f.endswith(".parquet"))
+                con = duckdb.connect()
+                spans, total = [], 0
+                for f in files:
+                    p = os.path.join(staged, f)
+                    n, mn, mx = con.execute(
+                        "SELECT COUNT(*), min(epoch_us(ts)), "
+                        f"max(epoch_us(ts)) FROM read_parquet('{p}')"
+                    ).fetchone()
+                    total += n
+                    if n:
+                        spans.append((mn, mx))
+                # (1) exact partition: row count and id multiset preserved
+                assert total == df.count(), (family, cuts)
+                allp = os.path.join(staged, "*.parquet")
+                n_ids = con.execute(
+                    f"SELECT COUNT(DISTINCT event_id) "
+                    f"FROM read_parquet('{allp}')").fetchone()[0]
+                assert n_ids == total, "duplicated/lost rows"
+                # (2)+(3) time-contiguous, ties unsplit: spans disjoint
+                # and strictly ordered
+                for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+                    assert a_hi < b_lo, (family, cuts, spans)
+                # (4) pinned replay order
+                mtimes = [os.stat(os.path.join(staged, f)).st_mtime
+                          for f in files]
+                assert mtimes == sorted(mtimes) and \
+                    len(set(mtimes)) == len(mtimes), "mtime order unpinned"
+            finally:
+                shutil.rmtree(staged, ignore_errors=True)
+
+
+def test_stream_join_equals_batch_across_layouts(spark):
+    """Stream≡batch for the join family over every fuzzed layout: a
+    watermarked stream-stream inner join (signup → purchase within 1 h,
+    both sides from the SAME replayed file stream) must reproduce the
+    batch join exactly on any time-contiguous staging — one row dropped
+    as late loses a match, which is precisely the round-8 failure mode."""
+    import random
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flinkapps_spark.streaming.jobs import (
+        run_stream_to_memory, time_split_replay,
+    )
+
+    for seed, family in ((21, "equal"), (22, "random"), (23, "degenerate")):
+        rng = random.Random(seed)
+        df = _synthetic_events(spark, seed)
+        lo, hi = df.agg(F.min(F.unix_micros("ts")),
+                        F.max(F.unix_micros("ts"))).first()
+        cuts = _layout_cuts(rng, lo, hi, family)
+        stream, staged = time_split_replay(spark, None, None, None,
+                                           df=df, cuts=cuts)
+
+        def join_plan(src, wm: bool):
+            s = (src.filter(F.col("event_type") == "signup")
+                 .select(F.col("event_id").alias("signup_id"),
+                         F.col("user_id").alias("s_user"),
+                         F.col("ts").alias("s_ts")))
+            p = (src.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts")))
+            if wm:
+                s = s.withWatermark("s_ts", "2 hours")
+                p = p.withWatermark("p_ts", "2 hours")
+            return (s.join(p, (F.col("p_user") == F.col("s_user"))
+                           & (F.col("p_ts") >= F.col("s_ts"))
+                           & (F.col("p_ts") <= F.col("s_ts")
+                              + F.expr("INTERVAL 1 HOUR")))
+                    .select("signup_id", "purchase_id"))
+
+        try:
+            got = run_stream_to_memory(join_plan(stream, wm=True),
+                                       output_mode="append")
+            expect = sorted(tuple(r)
+                            for r in join_plan(df, wm=False).collect())
+            assert sorted(tuple(r) for r in got.collect()) == expect, \
+                (family, cuts)
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
