@@ -143,6 +143,10 @@ HEADLINE = [
     "embedding_neardup_lsh",
     "semdedup_keep_lsh",
     "dedup_clusters_lsh",
+    # round-9 additions
+    "knn_cosine_lsh",
+    "knn_lsh_neardup",
+    "stream_cep_sequence",
 ]
 
 

@@ -892,3 +892,38 @@ def test_ri_audit_tolerates_duplicate_parent_keys(spark, tmp_path):
                 "dq_referential_integrity[dup-parents]")
     finally:
         duck.close()
+
+
+# --- dedup_clusters strategy knob -------------------------------------------
+
+
+def test_dedup_clusters_strategy_knob(spark):
+    """One clusters API, two generators: 'prefix' and 'lsh' agree on this
+    fixture (its near-dup pairs are far above the LSH S-curve knee, so
+    banding recall is 1.0 here); 'auto' routes small corpora to prefix;
+    unknown strategies are rejected rather than silently defaulted."""
+    from flinkapps_spark.operators.dedup import dedup_clusters
+    from flinkapps_spark.plans.pipeline_queries import _augment_near
+
+    docs = _augment_near(load_table(spark, SF_SMOKE, "documents"))
+    by_prefix = sorted(tuple(r) for r in
+                       dedup_clusters(docs, pairs="prefix").collect())
+    by_lsh = sorted(tuple(r) for r in
+                    dedup_clusters(docs, pairs="lsh").collect())
+    by_auto = sorted(tuple(r) for r in
+                     dedup_clusters(docs, pairs="auto").collect())
+    assert by_prefix == by_lsh == by_auto
+    with pytest.raises(ValueError, match="pairs must be"):
+        dedup_clusters(docs, pairs="lshh")
+
+
+def test_augment_offset_tripwire(spark):
+    """An id at/above the augmentation offset must fail LOUDLY instead of
+    silently colliding with an augmented id (the sf-scale GROUP BY merge
+    bug class)."""
+    from flinkapps_spark.plans.pipeline_queries import _augment_near
+
+    bad = spark.createDataFrame([(1_000_001, "x y z")],
+                                "doc_id long, text string")
+    with pytest.raises(Exception, match="offset would collide"):
+        _augment_near(bad).collect()
