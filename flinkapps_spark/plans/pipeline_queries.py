@@ -1404,6 +1404,10 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augment_near(load_table(spark, sf_dir, "documents"))
+    # exact prefix-join pair generator — the oracle/verify form; its
+    # candidate volume is fixture-quadratic at sf10 (4.6e10), so the
+    # scale rung runs dedup_keep_set_lsh instead (same policy, banded
+    # generator)
     pairs = dedup.jaccard_pairs(docs, threshold=0.6)
     dupes = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     # Persist the id-only dupe set and force it NOW: the expensive pair
@@ -1414,6 +1418,42 @@ def dedup_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on both sides, so kept_total = |docs| − |dupes| without a second
     # pass or a partition-less window (which would drag every kept id
     # through one task at 100 TB).
+    from pyspark import StorageLevel
+    dupes = dupes.persist(StorageLevel.MEMORY_AND_DISK)
+    n_dupes = dupes.count()
+    n_docs = docs.count()
+    kept = docs.join(dupes, "doc_id", "left_anti").select("doc_id")
+    return kept.withColumn("kept_total", F.lit(n_docs - n_dupes))
+
+
+@query(
+    "dedup_keep_set_lsh",
+    oracle=f"""
+        WITH {_sql_minhash_pair_ctes(0.6)},
+        dupes AS (SELECT DISTINCT doc_b AS doc FROM mh_pairs)
+        SELECT a.doc_id,
+               (SELECT COUNT(*) FROM aug)
+                 - (SELECT COUNT(*) FROM dupes) AS kept_total
+        FROM aug a LEFT JOIN dupes d ON a.doc_id = d.doc
+        WHERE d.doc IS NULL
+    """,
+    category="extension: dedup (keep-set, LSH)",
+    doc="The keep-the-first dedup policy on the SCALE path: docs minus "
+        "every doc that near-duplicates (exact-verified Jaccard ≥ 0.6) a "
+        "lower-id doc, with the pair graph from MinHash-LSH banding "
+        "instead of the exact prefix join — the exact form "
+        "(dedup_keep_set) is fixture-quadratic at sf10 (4.6e10 "
+        "candidates → heap exhaustion), while banded candidate volume "
+        "is ~n²·b/|key-space| on any vocabulary shape. The oracle "
+        "mirrors every signature bit (shared _sql_minhash_pair_ctes), "
+        "so the kept set is exact-hash-checked. Anti-join against the "
+        "higher-id pair side; kept_total = |docs| − |dupes| computed "
+        "from two bounded counts, never a partition-less window.",
+)
+def dedup_keep_set_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augment_near(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.6)
+    dupes = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     from pyspark import StorageLevel
     dupes = dupes.persist(StorageLevel.MEMORY_AND_DISK)
     n_dupes = dupes.count()
