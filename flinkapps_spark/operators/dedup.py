@@ -119,7 +119,15 @@ def _word_codes_arrow():
     # explicit annotations (real types, not forward refs) so pandas_udf's
     # type-hint inference resolves SERIES→SERIES
     codes.__annotations__ = {"texts": series_t, "return": series_t}
-    return pandas_udf(codes, "array<long>")
+    # asNondeterministic: the UDF IS deterministic, but downstream
+    # size()>0 filters (explicit, or inferred by InferFiltersFromGenerate
+    # under an explode) otherwise get rewritten in terms of the UDF
+    # EXPRESSION and pushed below the projection — the whole word-hash
+    # matmul ran TWICE in every dedup plan (measured: 2 ArrowEvalPython
+    # nodes in shingled_docs/doc_shingle_table/repeated_spans).  Marking
+    # it nondeterministic blocks the expression-duplicating pushdown;
+    # the filter then evaluates on the projected column once.
+    return pandas_udf(codes, "array<long>").asNondeterministic()
 
 
 def shingled_docs(df: DataFrame, text_col: str = "text",

@@ -282,7 +282,12 @@ def _band_signature_udf(dim: int, n_bands: int, band_bits: int,
                          for b in range(n_bands)], axis=1)
         return pd.Series(list(sigs))
 
-    return _sigs
+    # asNondeterministic: blocks InferFiltersFromGenerate's size()>0
+    # pushdown from duplicating the whole signature matmul below the
+    # projection (the posexplode consumer otherwise ran the UDF TWICE —
+    # see the matching note on the dedup word-hash UDF); values are in
+    # fact deterministic.
+    return _sigs.asNondeterministic()
 
 
 def band_signature_table(df: DataFrame, id_col: str, vec_col: str,
