@@ -554,7 +554,11 @@ def _cell_assign_udf(centers: list[list[float]]):
               + (C * C).sum(1)[None, :])
         return pd.Series(d2.argmin(1).astype("int32"))
 
-    return _assign
+    # asNondeterministic: the equi-join on the cell column infers an
+    # isnotnull(cell) filter that otherwise duplicates the whole distance
+    # matmul below the projection (two ArrowEvalPython nodes measured in
+    # knn_ivf) — same fix as the band-signature and word-hash UDFs.
+    return _assign.asNondeterministic()
 
 
 def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
