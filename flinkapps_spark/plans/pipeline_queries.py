@@ -1264,6 +1264,14 @@ def text_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("lang").alias("n_langs")))
 
 
+# all xor masks of popcount ≤ 2 over the 24-bit phash code: the radius-2
+# hamming ball the oracle enumerates (1 + 24 + C(24,2) = 301 values)
+_PHASH_BALL_MASKS = ", ".join(
+    f"({m})" for m in
+    [0] + [1 << i for i in range(24)]
+    + [(1 << i) | (1 << j) for i in range(24) for j in range(i + 1, 24)])
+
+
 @query(
     "multimodal_phash_neardup",
     oracle=f"""
@@ -1296,20 +1304,24 @@ def text_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, CAST(COALESCE(SUM(bit), 0) AS BIGINT) AS sig
             FROM bits GROUP BY doc_id
         ),
-        bv AS (
-            SELECT doc_id, sig,
-                   (sig >> CAST(8 * k AS INT)) & 255 AS v, k
-            FROM (SELECT doc_id, sig, unnest(range(3)) AS k FROM sig) t
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.sig AS sig_a, b.sig AS sig_b
-            FROM bv a JOIN bv b
-              ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
-        )
-        SELECT doc_a, doc_b,
-               CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
-        FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2
+        -- hamming-ball candidate enumeration (round 9): the banded
+        -- pigeonhole mirror generated 3·Σ C(block,2) ≈ 7e9 candidate
+        -- rows + a DISTINCT at the sf10 fixture (8-bit band values over
+        -- 1M docs → ~4k-doc blocks) and timed out at 600 s.  Radius-2
+        -- over a 24-bit code is only 1+24+C(24,2) = 301 xor masks, and
+        -- xor(sig_a, sig_b) is ONE specific mask, so joining each doc's
+        -- sig against the ball of DISTINCT sig values yields every
+        -- qualifying pair EXACTLY once — candidates = output, no
+        -- verify surplus, no DISTINCT.  Same final set as the banded
+        -- (lossless) form, therefore same result as the Spark side.
+        sv AS MATERIALIZED (SELECT DISTINCT sig AS s FROM sig),
+        masks(m) AS (VALUES {_PHASH_BALL_MASKS}),
+        ball AS (SELECT s, xor(s, CAST(m AS BIGINT)) AS ns FROM sv, masks)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM sig a JOIN ball ON ball.s = a.sig
+                   JOIN sig b ON b.sig = ball.ns
+                              AND a.doc_id < b.doc_id
     """,
     category="extension: multimodal (perceptual-hash near-dup)",
     doc="Perceptual-hash near-duplicate detection over binary payloads: "
