@@ -147,6 +147,7 @@ HEADLINE = [
     "knn_cosine_lsh",
     "knn_lsh_neardup",
     "stream_cep_sequence",
+    "knn_cosine_ivfpq",
 ]
 
 

@@ -713,6 +713,211 @@ def pq_encode_audit(df: DataFrame, m: int = 8, k: int = 16,
         (F.min("recon_cos") >= min_floor).alias("min_ok"))
 
 
+def train_residual_books(corpus: DataFrame, centers: list[list[float]],
+                         m: int = 8, n_codes: int = 256,
+                         vec_col: str = "embedding", seed: int = 42,
+                         train_cap: int = _PQ_TRAIN_CAP
+                         ) -> list[list[list[float]]]:
+    """Train the IVFADC residual PQ codebooks (Jégou/Douze/Schmid 2011,
+    §IV): sample a bounded matrix, assign each sample to its nearest
+    coarse center, and learn one ``n_codes``-word codebook per subspace
+    of the RESIDUAL v − c(v).  Residual encoding is what makes IVF-PQ
+    beat flat PQ: within a cell the residuals are centered near 0, so
+    the same code budget spends its resolution on the part of the vector
+    the coarse quantizer didn't explain.
+
+    Like every quantizer here, training is O(train_cap) driver-side
+    numpy — independent of corpus size (the faiss recipe)."""
+    import numpy as np
+    c = corpus.select(_as_double(F.col(vec_col)).alias("cv"))
+    X = _sample_matrix(c, "cv", train_cap)
+    C = np.asarray(centers, dtype=np.float64)
+    d2 = ((X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :])
+    R = X - C[d2.argmin(1)]
+    sub = X.shape[1] // m
+    return [_lloyd(R[:, j * sub:(j + 1) * sub], n_codes, seed + j)
+            for j in range(m)]
+
+
+def ivfpq_encode(corpus: DataFrame, centers: list[list[float]],
+                 books: list[list[list[float]]],
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Encode the corpus as the IVFADC index: (vec_id, cell, codes[m],
+    vnorm).  ONE Arrow map pass per vector — nearest coarse center,
+    per-subspace nearest residual codeword, plus the original L2 norm
+    (carried so ADC can rank by approximate COSINE: the inner-product
+    estimate divides by ‖q‖·‖v‖; codes alone don't know ‖v‖).
+
+    This is the 100 TB artifact: m·log2(n_codes) bits + one float per
+    vector instead of dim floats (64-dim float32 at m=8 8-bit codes =
+    32× smaller), map-only to build, and the search below never touches
+    the original vectors until the final shortlist re-rank."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    C = np.asarray(centers, dtype=np.float64)
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    m = len(B)
+
+    @pandas_udf("array<double>")
+    def _enc(vs):
+        if len(vs) == 0:  # 1-D asarray([]) guard (ADVICE r8 class)
+            return pd.Series([], dtype=object)
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        sub = X.shape[1] // m
+        d2 = ((X * X).sum(1)[:, None] - 2.0 * X @ C.T
+              + (C * C).sum(1)[None, :])
+        cell = d2.argmin(1)                      # first-index tie-break
+        R = X - C[cell]
+        out = np.empty((len(X), 2 + m))
+        out[:, 0] = cell
+        out[:, 1] = np.sqrt((X * X).sum(1))
+        for j in range(m):
+            S = R[:, j * sub:(j + 1) * sub]
+            dj = ((S * S).sum(1)[:, None] - 2.0 * S @ B[j].T
+                  + (B[j] * B[j]).sum(1)[None, :])
+            out[:, 2 + j] = dj.argmin(1)
+        return pd.Series(list(out))
+
+    # asNondeterministic: keeps filter-inference from re-running the
+    # whole encode matmul below the projection (the double-ArrowEval
+    # class fixed on the band/word-hash/cell-assign UDFs); values are
+    # in fact deterministic.
+    enc = _enc.asNondeterministic()
+    e = corpus.select(F.col(id_col).alias("vec_id"),
+                      enc(_as_double(F.col(vec_col))).alias("e"))
+    return e.select(
+        "vec_id",
+        F.element_at("e", 1).cast("int").alias("cell"),
+        F.element_at("e", 2).alias("vnorm"),
+        F.slice("e", 3, len(books)).cast("array<int>").alias("codes"))
+
+
+def ivfpq_adc_shortlist(encoded: DataFrame, queries: DataFrame,
+                        centers: list[list[float]],
+                        books: list[list[list[float]]],
+                        n_probe: int = 3, shortlist: int | None = None,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) search over the encoded index: for each
+    query, probe the ``n_probe`` nearest coarse cells and rank every
+    code row in them by the ADC estimate of cosine —
+
+        IP(q, v) ≈ IP(q, c_cell) + Σ_j LUT_j[code_j],
+        LUT_j = (q − c_cell)_j · book_j^T        (one m×n_codes table
+                                                  per (query, cell))
+        adc = IP̂ / (‖q‖·‖v‖)
+
+    — then keep the top ``shortlist`` per query.  The scan touches ONLY
+    (cell, codes, vnorm): per candidate it costs m table lookups, never
+    a dim-length dot; the LUTs amortize over every row in the cell.
+    Emits (query_id, vec_id, adc); feed to ``knn_rerank`` for the exact
+    top-k (the standard IVFADC+re-rank deployment).
+
+    ``shortlist=None`` sizes it as max(64, 8% of the probed volume
+    n_probe·n/n_centroids): on this ISOTROPIC fixture the true-neighbor
+    cosine gaps (~0.2) are comparable to the 8-bit ADC estimate noise,
+    so a fixed-fraction shortlist is what holds the within-probe recall
+    flat as cells grow (measured at n=20k: 1.7% → 0.76, 6.8% → 0.96).
+    On a real corpus — queries with near neighbors at cos ≳ 0.9, gaps
+    ≫ quantization noise — a fixed few-hundred shortlist suffices
+    regardless of n (the knn_lsh_neardup regime distinction).
+
+    Scale: the probe table (n_q·n_probe rows) broadcasts; the candidate
+    scan shuffles nothing until the per-query top-``shortlist`` window,
+    whose input is n_q·n_probe/n_centroids of the corpus — with the
+    √n-centroid sizing law that fraction FALLS as the corpus grows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    C = np.asarray(centers, dtype=np.float64)
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    m = len(B)
+    if shortlist is None:
+        import math
+        shortlist = max(64, math.ceil(
+            0.08 * n_probe * encoded.count() / len(centers)))
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    centers_df = queries.sparkSession.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centers)],
+        "cell int, center array<double>")
+    qc = q.crossJoin(F.broadcast(centers_df))
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("center"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cell"))
+    probe = (qc.withColumn("d", dist)
+             .withColumn("pr", F.row_number().over(w))
+             .filter(F.col("pr") <= n_probe)
+             .select("query_id", "qv", "cell"))
+
+    cand = encoded.join(F.broadcast(probe), "cell") \
+        .filter(F.col("vec_id") != F.col("query_id"))
+
+    @pandas_udf("double")
+    def _adc(qid, qv, cell, codes, vnorm):
+        n = len(qid)
+        if n == 0:
+            return pd.Series([], dtype=float)
+        CD = np.asarray(codes.tolist(), dtype=np.int64)
+        cells = cell.to_numpy()
+        qids = qid.to_numpy()
+        out = np.empty(n)
+        sub = None
+        # LUTs batch-amortized per unique (query, cell) — a batch holds
+        # n_q·n_probe ≤ a few dozen combos, each vectorized over its rows
+        for key in {(int(a), int(b)) for a, b in zip(qids, cells)}:
+            idx = np.flatnonzero((qids == key[0]) & (cells == key[1]))
+            qvec = np.asarray(qv.iloc[idx[0]], dtype=np.float64)
+            if sub is None:
+                sub = len(qvec) // m
+            r = qvec - C[key[1]]
+            ip_qc = float(qvec @ C[key[1]])
+            s = np.full(len(idx), ip_qc)
+            for j in range(m):
+                lut = B[j] @ r[j * sub:(j + 1) * sub]
+                s += lut[CD[idx, j]]
+            out[idx] = s / np.sqrt(qvec @ qvec)
+        return pd.Series(out / vnorm.to_numpy())
+
+    scored = cand.select(
+        "query_id", "vec_id",
+        _adc.asNondeterministic()(
+            F.col("query_id"), F.col("qv"), F.col("cell"),
+            F.col("codes"), F.col("vnorm")).alias("adc"))
+    sw = Window.partitionBy("query_id").orderBy(F.desc("adc"),
+                                                F.asc("vec_id"))
+    return (scored.withColumn("srank", F.row_number().over(sw))
+            .filter(F.col("srank") <= shortlist)
+            .select("query_id", "vec_id", "adc"))
+
+
+def knn_ivf_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               n_centroids: int = 16, n_probe: int = 3,
+               m: int = 8, n_codes: int = 256,
+               shortlist: int | None = None,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               seed: int = 42) -> DataFrame:
+    """IVFADC end-to-end: coarse-quantize → residual-PQ-encode → ADC
+    shortlist → exact cosine re-rank (the billion-vector search recipe).
+    Returns the same (query_id, vec_id, cosine, rank) shape as the other
+    kNN forms.  At 100 TB: train O(1), encode map-only, search reads the
+    64×-compressed index and exactly re-ranks only ``shortlist`` full
+    vectors per query; size n_centroids ~ √n so both the probe list and
+    the per-cell scan stay balanced."""
+    centers = train_coarse_centroids(corpus, n_centroids, vec_col, seed)
+    books = train_residual_books(corpus, centers, m, n_codes, vec_col, seed)
+    enc = ivfpq_encode(corpus, centers, books, id_col, vec_col)
+    short = ivfpq_adc_shortlist(enc, queries, centers, books,
+                                n_probe, shortlist, id_col, vec_col)
+    return knn_rerank(short.select("query_id", "vec_id"),
+                      corpus, queries, k, id_col, vec_col)
+
+
 def embedding_centroids(df: DataFrame, label_col: str = "label",
                         vec_col: str = "embedding",
                         scale: int = 10 ** 7) -> DataFrame:

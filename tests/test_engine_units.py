@@ -445,6 +445,34 @@ def test_ivf_recall(spark):
     assert recall >= 0.3, f"IVF recall too low: {recall}"
 
 
+def test_ivfpq_adc(spark):
+    """IVFADC: the ADC shortlist must recover the exact-within-probe
+    top-k (PQ-noise isolation — same centroids/probes so IVF loss
+    cancels), end-to-end recall must clear the catalog floor, and the
+    encoded index must be (cell, m codes, norm) — never the vectors."""
+    from flinkapps_spark.operators import similarity as S
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centers = S.train_coarse_centroids(emb)
+    books = S.train_residual_books(emb, centers)
+    enc = S.ivfpq_encode(emb, centers, books)
+    row = enc.first()
+    assert set(enc.columns) == {"vec_id", "cell", "vnorm", "codes"}
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 256 for c in row["codes"])
+    short = S.ivfpq_adc_shortlist(enc, queries, centers, books)
+    ivf = {(r["query_id"], r["vec_id"])
+           for r in S.knn_ivf(emb, queries, k=5,
+                              centroids=centers).collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in short.collect()}
+    assert len(ivf & got) / len(ivf) >= 0.7
+    brute = {(r["query_id"], r["vec_id"])
+             for r in knn_bruteforce(emb, queries, k=5).collect()}
+    ann = {(r["query_id"], r["vec_id"])
+           for r in S.knn_ivf_pq(emb, queries, k=5).collect()}
+    assert len(brute & ann) / len(brute) >= 0.25
+
+
 def test_observation_metrics(spark):
     """df.observe: zero-cost pipeline metrics collected during the action
     (row counts, sums for data-quality monitoring) — no second scan."""

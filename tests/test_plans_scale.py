@@ -1232,3 +1232,43 @@ def test_neardup_lsh_banded_equi_join(spark):
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan), plan
     assert "band" in plan and "sig" in plan, plan
+
+
+def test_single_arrow_eval_per_udf_stage(spark):
+    """Regression guard for the round-9 double-evaluation class: filter
+    inference (InferFiltersFromGenerate / size()>0 guards) rewrote
+    non-empty checks in terms of a pandas-UDF expression and pushed them
+    below the projection, running the whole Arrow matmul TWICE per plan
+    (found on the word-hash, band-signature and IVF cell-assign UDFs;
+    all are asNondeterministic now, which blocks the duplicating
+    pushdown).  Pin the exact ArrowEvalPython node count of the plans
+    that regressed, plus the new IVF-PQ pair."""
+    from tests.conftest import SF_SMOKE
+    import pyspark.sql.functions as SF
+    from flinkapps_spark.operators import dedup as D, similarity as S
+    from flinkapps_spark.sources.batch import load_table
+
+    def n_arrow(df) -> int:
+        return df._jdf.queryExecution().executedPlan() \
+            .toString().count("ArrowEvalPython")
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # word-hash UDF: shingle table = exactly one Arrow pass
+    assert n_arrow(D.doc_shingle_table(docs)) == 1
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    # band signatures: one Arrow pass per side
+    assert n_arrow(S.band_signature_table(emb, "vec_id", "embedding",
+                                          64, 8, 16)) == 1
+    centers = S.train_coarse_centroids(emb)
+    assigned = emb.withColumn(
+        "cell", S._cell_assign_udf(centers)(
+            SF.transform("embedding", lambda x: x.cast("double"))))
+    assert n_arrow(assigned) == 1
+    books = S.train_residual_books(emb, centers)
+    enc = S.ivfpq_encode(emb, centers, books)
+    assert n_arrow(enc) == 1
+    q = emb.filter(SF.col("vec_id") < 5)
+    # shortlist = encode (1) + ADC scoring (1); a third node means a
+    # duplicated stage
+    assert n_arrow(S.ivfpq_adc_shortlist(enc, q, centers, books,
+                                         shortlist=16)) == 2
