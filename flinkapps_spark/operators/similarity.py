@@ -799,7 +799,8 @@ def ivfpq_adc_shortlist(encoded: DataFrame, queries: DataFrame,
                         books: list[list[list[float]]],
                         n_probe: int = 3, shortlist: int | None = None,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        corpus_n: int | None = None) -> DataFrame:
     """Asymmetric-distance (ADC) search over the encoded index: for each
     query, probe the ``n_probe`` nearest coarse cells and rank every
     code row in them by the ADC estimate of cosine —
@@ -836,8 +837,10 @@ def ivfpq_adc_shortlist(encoded: DataFrame, queries: DataFrame,
     m = len(B)
     if shortlist is None:
         import math
-        shortlist = max(64, math.ceil(
-            0.08 * n_probe * encoded.count() / len(centers)))
+        # pass corpus_n where the caller knows it: counting ``encoded``
+        # here would run the whole encode UDF once just for the sizing
+        n = corpus_n if corpus_n is not None else encoded.count()
+        shortlist = max(64, math.ceil(0.08 * n_probe * n / len(centers)))
 
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
@@ -913,7 +916,8 @@ def knn_ivf_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
     books = train_residual_books(corpus, centers, m, n_codes, vec_col, seed)
     enc = ivfpq_encode(corpus, centers, books, id_col, vec_col)
     short = ivfpq_adc_shortlist(enc, queries, centers, books,
-                                n_probe, shortlist, id_col, vec_col)
+                                n_probe, shortlist, id_col, vec_col,
+                                corpus_n=corpus.count())
     return knn_rerank(short.select("query_id", "vec_id"),
                       corpus, queries, k, id_col, vec_col)
 

@@ -1641,7 +1641,8 @@ def knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = similarity.train_coarse_centroids(emb)
     books = similarity.train_residual_books(emb, centers)
     enc = similarity.ivfpq_encode(emb, centers, books)
-    short = similarity.ivfpq_adc_shortlist(enc, q, centers, books)
+    short = similarity.ivfpq_adc_shortlist(enc, q, centers, books,
+                                           corpus_n=emb.count())
     ann = similarity.knn_rerank(short.select("query_id", "vec_id"),
                                 emb, q, k=5)
     rec = _ann_selfcheck(similarity.knn_bruteforce(emb, q, k=5),

@@ -945,6 +945,45 @@ def test_dedup_clusters_strategy_knob(spark):
         dedup_clusters(docs, pairs="lshh")
 
 
+def test_dedup_clusters_concurrent_queries(spark):
+    """Regression stress for the round-8 ADVICE medium: _ckpt_tracked
+    diffs the context-GLOBAL persistent-RDD registry around each
+    localCheckpoint, so two CC-based queries on the SAME SparkContext
+    could capture each other's checkpoint blocks and later unpersist
+    them — a locally-checkpointed RDD cannot be recomputed, so the
+    victim thread failed or silently lost rows.  The snapshot window is
+    now serialized by a module lock; this runs both cluster strategies
+    concurrently and pins each against its serial result."""
+    import threading
+
+    from flinkapps_spark.operators.dedup import dedup_clusters
+    from flinkapps_spark.plans.pipeline_queries import _augment_near
+
+    docs = _augment_near(load_table(spark, SF_SMOKE, "documents"))
+    serial = {p: sorted(tuple(r) for r in
+                        dedup_clusters(docs, pairs=p).collect())
+              for p in ("prefix", "lsh")}
+    results: dict[str, list] = {}
+    errors: list[BaseException] = []
+
+    def run(p: str) -> None:
+        try:
+            results[p] = sorted(tuple(r) for r in
+                                dedup_clusters(docs, pairs=p).collect())
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(p,))
+               for p in ("prefix", "lsh")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert results["prefix"] == serial["prefix"]
+    assert results["lsh"] == serial["lsh"]
+
+
 def test_augment_offset_tripwire(spark):
     """An id at/above the augmentation offset must fail LOUDLY instead of
     silently colliding with an augmented id (the sf-scale GROUP BY merge
