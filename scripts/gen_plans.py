@@ -163,6 +163,12 @@ SHOWCASE = [
      "Markov removal effect: one lead() corpus pass + bounded "
      "aggregations; the absorbing-chain recursion is driver-side model "
      "math, so the result plan is a local relation."),
+    ("knn_cosine_ivfpq",
+     "IVFADC: exactly two ArrowEvalPython stages (residual-PQ encode, "
+     "ADC scoring) — a third means the double-eval pushdown returned; "
+     "the probe table joins as a BroadcastHashJoin on cell; the only "
+     "corpus-wide exchange is the per-query top-shortlist window; the "
+     "exact re-rank joins full vectors to the shortlist ONLY."),
 ]
 
 
