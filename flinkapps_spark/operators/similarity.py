@@ -506,10 +506,8 @@ def _lloyd(X, k: int, seed: int, iters: int = 25) -> list[list[float]]:
     import numpy as np
     rng = np.random.default_rng(seed)
     ctr = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
-    xx = (X * X).sum(1)[:, None]
     for _ in range(iters):
-        d2 = xx - 2.0 * X @ ctr.T + (ctr * ctr).sum(1)[None, :]
-        assign = d2.argmin(axis=1)
+        assign = _nearest_center(X, ctr)
         for j in range(len(ctr)):
             pts = X[assign == j]
             if len(pts):
@@ -524,6 +522,41 @@ def _sample_matrix(df: DataFrame, col: str, cap: int):
     import numpy as np
     return np.asarray([r[col] for r in df.select(col).limit(cap).collect()],
                       dtype=np.float64)
+
+
+def _nearest_center(X, C):
+    """First-index-argmin nearest center per row via the ‖x‖²−2x·C+‖C‖²
+    expansion — THE cell-assignment contract.  Every assigner (Lloyd,
+    _cell_assign_udf, ivfpq_encode, residual-book training) must route
+    through this one function: knn_cosine_ivfpq's shortlist_ok compares
+    exact-within-probe against ADC-within-probe, which is only meaningful
+    if both paths put each vector in the SAME cell (tie-breaks included)."""
+    return ((X * X).sum(1)[:, None] - 2.0 * X @ C.T
+            + (C * C).sum(1)[None, :]).argmin(1)
+
+
+def _probe_cells(queries: DataFrame, centers: list[list[float]],
+                 n_probe: int, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(query_id, qv, cell) — each query's ``n_probe`` nearest coarse
+    cells: tiny crossJoin (queries × broadcast centers), zip_with L2
+    distance, row_number ≤ n_probe with a (d, cell) tie-break.  Shared by
+    knn_ivf and the ADC shortlist so both probe identical cells."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    centers_df = queries.sparkSession.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centers)],
+        "cell int, center array<double>")
+    qc = q.crossJoin(F.broadcast(centers_df))
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("center"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cell"))
+    return (qc.withColumn("d", dist)
+            .withColumn("pr", F.row_number().over(w))
+            .filter(F.col("pr") <= n_probe)
+            .select("query_id", "qv", "cell"))
 
 
 def train_coarse_centroids(corpus: DataFrame, n_centroids: int = 16,
@@ -550,9 +583,7 @@ def _cell_assign_udf(centers: list[list[float]]):
     @pandas_udf("int")
     def _assign(vs):
         Xb = np.asarray(vs.tolist(), dtype=np.float64)
-        d2 = ((Xb * Xb).sum(1)[:, None] - 2.0 * Xb @ C.T
-              + (C * C).sum(1)[None, :])
-        return pd.Series(d2.argmin(1).astype("int32"))
+        return pd.Series(_nearest_center(Xb, C).astype("int32"))
 
     # asNondeterministic: the equi-join on the cell column infers an
     # isnotnull(cell) filter that otherwise duplicates the whole distance
@@ -582,24 +613,7 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
         _lloyd(_sample_matrix(c, "cv", _PQ_TRAIN_CAP), n_centroids, seed)
     assigned = c.withColumn("cell", _cell_assign_udf(centers)(F.col("cv")))
 
-    spark = corpus.sparkSession
-    centers_df = spark.createDataFrame(
-        [(i, ctr) for i, ctr in enumerate(centers)],
-        "cell int, center array<double>")
-
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       _as_double(F.col(vec_col)).alias("qv"))
-    # nearest n_probe cells per query: tiny cross join (queries × centroids)
-    qc = q.crossJoin(F.broadcast(centers_df))
-    dist = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("center"),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, v: acc + v)
-    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cell"))
-    probe = (qc.withColumn("d", dist)
-             .withColumn("pr", F.row_number().over(w))
-             .filter(F.col("pr") <= n_probe)
-             .select("query_id", "qv", "cell"))
+    probe = _probe_cells(queries, centers, n_probe, id_col, vec_col)
 
     joined = assigned.join(F.broadcast(probe),
                            (assigned.cell == probe.cell)
@@ -726,14 +740,23 @@ def train_residual_books(corpus: DataFrame, centers: list[list[float]],
     the same code budget spends its resolution on the part of the vector
     the coarse quantizer didn't explain.
 
+    Requires dim % m == 0 (same loud-failure contract as
+    pq_encode_audit: a partial last subvector would silently drop the
+    tail dimensions from every codebook, code and ADC score).
+
     Like every quantizer here, training is O(train_cap) driver-side
     numpy — independent of corpus size (the faiss recipe)."""
     import numpy as np
     c = corpus.select(_as_double(F.col(vec_col)).alias("cv"))
     X = _sample_matrix(c, "cv", train_cap)
+    if X.shape[1] % m != 0:
+        raise ValueError(
+            f"train_residual_books requires dim % m == 0, got "
+            f"dim={X.shape[1]}, m={m}; pad or trim the vectors (or pick "
+            f"m dividing dim) — a partial last subvector would be "
+            f"silently dropped from the codes")
     C = np.asarray(centers, dtype=np.float64)
-    d2 = ((X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :])
-    R = X - C[d2.argmin(1)]
+    R = X - C[_nearest_center(X, C)]
     sub = X.shape[1] // m
     return [_lloyd(R[:, j * sub:(j + 1) * sub], n_codes, seed + j)
             for j in range(m)]
@@ -765,19 +788,18 @@ def ivfpq_encode(corpus: DataFrame, centers: list[list[float]],
         if len(vs) == 0:  # 1-D asarray([]) guard (ADVICE r8 class)
             return pd.Series([], dtype=object)
         X = np.asarray(vs.tolist(), dtype=np.float64)
+        if X.shape[1] % m != 0:  # loud, not a silent tail-dim drop
+            raise ValueError(
+                f"ivfpq_encode: dim={X.shape[1]} not divisible by m={m}")
         sub = X.shape[1] // m
-        d2 = ((X * X).sum(1)[:, None] - 2.0 * X @ C.T
-              + (C * C).sum(1)[None, :])
-        cell = d2.argmin(1)                      # first-index tie-break
+        cell = _nearest_center(X, C)             # first-index tie-break
         R = X - C[cell]
         out = np.empty((len(X), 2 + m))
         out[:, 0] = cell
         out[:, 1] = np.sqrt((X * X).sum(1))
         for j in range(m):
-            S = R[:, j * sub:(j + 1) * sub]
-            dj = ((S * S).sum(1)[:, None] - 2.0 * S @ B[j].T
-                  + (B[j] * B[j]).sum(1)[None, :])
-            out[:, 2 + j] = dj.argmin(1)
+            out[:, 2 + j] = _nearest_center(R[:, j * sub:(j + 1) * sub],
+                                            B[j])
         return pd.Series(list(out))
 
     # asNondeterministic: keeps filter-inference from re-running the
@@ -803,24 +825,35 @@ def ivfpq_adc_shortlist(encoded: DataFrame, queries: DataFrame,
                         corpus_n: int | None = None) -> DataFrame:
     """Asymmetric-distance (ADC) search over the encoded index: for each
     query, probe the ``n_probe`` nearest coarse cells and rank every
-    code row in them by the ADC estimate of cosine —
+    code row in them by the ADC estimate of cosine.  With v ≈ c_cell +
+    r̂ and r̂'s subvectors being codebook words, the inner product
+    decomposes exactly:
 
-        IP(q, v) ≈ IP(q, c_cell) + Σ_j LUT_j[code_j],
-        LUT_j = (q − c_cell)_j · book_j^T        (one m×n_codes table
-                                                  per (query, cell))
+        IP(q, v) ≈ q·c_cell + q·r̂ = q·c_cell + Σ_j LUT_j[code_j],
+        LUT_j = q_j · book_j^T     (one m×n_codes table per query —
+                                    note q_j, NOT (q−c)_j: the residual-
+                                    query trick belongs to L2 ADC, where
+                                    ‖q−v‖² = ‖(q−c)−r̂‖²; for inner
+                                    product it adds a spurious −c·r̂
+                                    bias that misranks candidates)
         adc = IP̂ / (‖q‖·‖v‖)
 
     — then keep the top ``shortlist`` per query.  The scan touches ONLY
     (cell, codes, vnorm): per candidate it costs m table lookups, never
-    a dim-length dot; the LUTs amortize over every row in the cell.
-    Emits (query_id, vec_id, adc); feed to ``knn_rerank`` for the exact
-    top-k (the standard IVFADC+re-rank deployment).
+    a dim-length dot — the query vectors ride in the UDF closure keyed
+    by query_id (bounded: one search call serves one bounded query
+    batch), so candidate rows stay (query_id, cell, vec_id, codes,
+    vnorm)-narrow.  Zero-norm corpus rows are filtered (cosine
+    undefined — same policy as band_signature_table); a zero-norm query
+    scores 0 everywhere.  Emits (query_id, vec_id, adc); feed to
+    ``knn_rerank`` for the exact top-k (the standard IVFADC+re-rank
+    deployment).
 
     ``shortlist=None`` sizes it as max(64, 8% of the probed volume
     n_probe·n/n_centroids): on this ISOTROPIC fixture the true-neighbor
     cosine gaps (~0.2) are comparable to the 8-bit ADC estimate noise,
     so a fixed-fraction shortlist is what holds the within-probe recall
-    flat as cells grow (measured at n=20k: 1.7% → 0.76, 6.8% → 0.96).
+    flat as cells grow (measured at n=20k: 1.7% → 0.76, 4% → 0.94).
     On a real corpus — queries with near neighbors at cos ≳ 0.9, gaps
     ≫ quantization noise — a fixed few-hundred shortlist suffices
     regardless of n (the knn_lsh_neardup regime distinction).
@@ -842,27 +875,21 @@ def ivfpq_adc_shortlist(encoded: DataFrame, queries: DataFrame,
         n = corpus_n if corpus_n is not None else encoded.count()
         shortlist = max(64, math.ceil(0.08 * n_probe * n / len(centers)))
 
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       _as_double(F.col(vec_col)).alias("qv"))
-    centers_df = queries.sparkSession.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centers)],
-        "cell int, center array<double>")
-    qc = q.crossJoin(F.broadcast(centers_df))
-    dist = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("center"),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, v: acc + v)
-    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cell"))
-    probe = (qc.withColumn("d", dist)
-             .withColumn("pr", F.row_number().over(w))
-             .filter(F.col("pr") <= n_probe)
-             .select("query_id", "qv", "cell"))
+    # the probe pairs join without qv; the query VECTORS ride in the UDF
+    # closure instead (n_q · dim floats — bounded per search call), so
+    # the data-proportional candidate scan never hauls a dim-length
+    # array per row
+    probe = _probe_cells(queries, centers, n_probe, id_col, vec_col)
+    qmap = {int(r["query_id"]): np.asarray(r["qv"], dtype=np.float64)
+            for r in probe.select("query_id", "qv").distinct().collect()}
 
-    cand = encoded.join(F.broadcast(probe), "cell") \
-        .filter(F.col("vec_id") != F.col("query_id"))
+    cand = (encoded
+            .filter(F.col("vnorm") > 0)   # zero vector: cosine undefined
+            .join(F.broadcast(probe.select("query_id", "cell")), "cell")
+            .filter(F.col("vec_id") != F.col("query_id")))
 
     @pandas_udf("double")
-    def _adc(qid, qv, cell, codes, vnorm):
+    def _adc(qid, cell, codes, vnorm):
         n = len(qid)
         if n == 0:
             return pd.Series([], dtype=float)
@@ -870,27 +897,27 @@ def ivfpq_adc_shortlist(encoded: DataFrame, queries: DataFrame,
         cells = cell.to_numpy()
         qids = qid.to_numpy()
         out = np.empty(n)
-        sub = None
         # LUTs batch-amortized per unique (query, cell) — a batch holds
         # n_q·n_probe ≤ a few dozen combos, each vectorized over its rows
         for key in {(int(a), int(b)) for a, b in zip(qids, cells)}:
             idx = np.flatnonzero((qids == key[0]) & (cells == key[1]))
-            qvec = np.asarray(qv.iloc[idx[0]], dtype=np.float64)
-            if sub is None:
-                sub = len(qvec) // m
-            r = qvec - C[key[1]]
-            ip_qc = float(qvec @ C[key[1]])
-            s = np.full(len(idx), ip_qc)
+            qvec = qmap[key[0]]
+            qn = float(np.sqrt(qvec @ qvec))
+            if qn == 0.0:                 # zero query: cosine undefined
+                out[idx] = 0.0
+                continue
+            sub = len(qvec) // m
+            s = np.full(len(idx), float(qvec @ C[key[1]]))
             for j in range(m):
-                lut = B[j] @ r[j * sub:(j + 1) * sub]
+                lut = B[j] @ qvec[j * sub:(j + 1) * sub]
                 s += lut[CD[idx, j]]
-            out[idx] = s / np.sqrt(qvec @ qvec)
+            out[idx] = s / qn
         return pd.Series(out / vnorm.to_numpy())
 
     scored = cand.select(
         "query_id", "vec_id",
         _adc.asNondeterministic()(
-            F.col("query_id"), F.col("qv"), F.col("cell"),
+            F.col("query_id"), F.col("cell"),
             F.col("codes"), F.col("vnorm")).alias("adc"))
     sw = Window.partitionBy("query_id").orderBy(F.desc("adc"),
                                                 F.asc("vec_id"))
@@ -915,9 +942,10 @@ def knn_ivf_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
     centers = train_coarse_centroids(corpus, n_centroids, vec_col, seed)
     books = train_residual_books(corpus, centers, m, n_codes, vec_col, seed)
     enc = ivfpq_encode(corpus, centers, books, id_col, vec_col)
-    short = ivfpq_adc_shortlist(enc, queries, centers, books,
-                                n_probe, shortlist, id_col, vec_col,
-                                corpus_n=corpus.count())
+    short = ivfpq_adc_shortlist(
+        enc, queries, centers, books, n_probe, shortlist, id_col, vec_col,
+        # count only when the adaptive sizing actually needs n
+        corpus_n=corpus.count() if shortlist is None else None)
     return knn_rerank(short.select("query_id", "vec_id"),
                       corpus, queries, k, id_col, vec_col)
 

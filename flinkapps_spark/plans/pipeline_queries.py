@@ -1621,11 +1621,11 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(m=8 subspaces × 256 words = 8-bit codes, 64-dim float32 → "
         "32× compression), asymmetric-distance shortlist that reads "
         "ONLY codes (m table lookups per candidate, LUTs amortized per "
-        "(query, cell)), exact cosine re-rank of the shortlist (sized "
+        "query), exact cosine re-rank of the shortlist (sized "
         "8% of the probed volume — on this isotropic fixture the "
         "neighbor cosine gaps are comparable to ADC noise, so the "
         "fraction, not a constant, is what holds recall flat as cells "
-        "grow; measured 1.7% → 0.76, 6.8% → 0.96 at n=20k). Codebooks "
+        "grow; measured 1.7% → 0.76, 4% → 0.94 at n=20k). Codebooks "
         "are seed/sample-specific so neighbor lists can't be oracled; "
         "the gate is recall@5 vs brute force (floor 0.25 — IVF's "
         "3/16-cell probe loss dominates, same floor as knn_cosine_ivf) "

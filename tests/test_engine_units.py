@@ -979,6 +979,8 @@ def test_dedup_clusters_concurrent_queries(spark):
         t.start()
     for t in threads:
         t.join(timeout=300)
+    assert not any(t.is_alive() for t in threads), \
+        "a concurrent cluster query hung past the 300 s join timeout"
     assert not errors, errors
     assert results["prefix"] == serial["prefix"]
     assert results["lsh"] == serial["lsh"]
