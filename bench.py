@@ -148,6 +148,7 @@ HEADLINE = [
     "knn_lsh_neardup",
     "stream_cep_sequence",
     "knn_cosine_ivfpq",
+    "stream_knn_ivfpq_serving",
 ]
 
 

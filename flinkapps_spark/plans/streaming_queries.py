@@ -710,6 +710,81 @@ def stream_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("static_id", "stream_id", "cosine"))
 
 
+@query(
+    "stream_knn_ivfpq_serving",
+    oracle="""
+        SELECT COUNT(*) AS n_queries, true AS stream_matches_batch
+        FROM embeddings WHERE vec_id < 30
+    """,
+    category="streaming: ANN query serving vs static IVF-PQ index",
+    doc="Vector-search SERVING: a stream of incoming query vectors is "
+        "answered per micro-batch against a static IVF-PQ index — the "
+        "operational complement of stream_embedding_neardup (there the "
+        "CORPUS side streams for dedup ingest; here the QUERY side "
+        "streams for retrieval). The index (coarse centroids + residual "
+        "codebooks + encoded codes) is trained and persisted ONCE before "
+        "the stream starts; each micro-batch runs the exact same batch "
+        "operators (ivfpq_adc_shortlist → knn_rerank) over only its "
+        "arrived queries, so per-batch cost is probe + ADC scan + "
+        "shortlist re-rank, independent of how many batches came before "
+        "— stateless serving, no stream state store. Because per-query "
+        "results are independent, the converged union must EQUAL the "
+        "one-shot batch answer bit-for-bit; the emitted gate "
+        "(stream_matches_batch) asserts exceptAll-both-ways emptiness, "
+        "the batch≡stream contract (SURVEY T3) applied to ANN. Index "
+        "internals are seed-specific, so the DuckDB oracle asserts the "
+        "gate shape (same pattern as the other ANN gates).",
+)
+def stream_knn_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flinkapps_spark.operators import similarity
+    from flinkapps_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = similarity.train_coarse_centroids(emb)
+    books = similarity.train_residual_books(emb, centers)
+    # the serving index: encoded once, pinned for the stream's lifetime
+    enc = similarity.ivfpq_encode(emb, centers, books).persist()
+    n = enc.count()
+
+    def answer(queries):
+        short = similarity.ivfpq_adc_shortlist(
+            enc, queries, centers, books, corpus_n=n)
+        return similarity.knn_rerank(
+            short.select("query_id", "vec_id"), emb, queries, k=5)
+
+    served: list = []  # bounded: k rows per served query
+
+    def handle(batch_df, batch_id: int) -> None:
+        qb = batch_df.filter(F.col("vec_id") < 30)
+        if qb.isEmpty():
+            return
+        served.extend(answer(qb).collect())
+
+    incoming = file_stream_source(spark, sf_dir, "embeddings")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_knn_serving_")
+    sq = (incoming.writeStream
+          .foreachBatch(handle)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True)
+          .start())
+    sq.awaitTermination()
+
+    try:
+        stream_df = spark.createDataFrame(
+            [(r.query_id, r.vec_id, r.cosine, r.rank) for r in served],
+            "query_id bigint, vec_id bigint, cosine double, rank int")
+        batch_df = answer(emb.filter(F.col("vec_id") < 30))
+        matches = (stream_df.exceptAll(batch_df).isEmpty()
+                   and batch_df.exceptAll(stream_df).isEmpty())
+        n_q = stream_df.select("query_id").distinct().count()
+    finally:
+        enc.unpersist()
+    return spark.createDataFrame(
+        [(n_q, matches)], "n_queries bigint, stream_matches_batch boolean")
+
+
 
 
 
