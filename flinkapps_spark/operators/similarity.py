@@ -633,6 +633,11 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
 # the cap keeps driver memory and train time O(1) in corpus size.
 _PQ_TRAIN_CAP = 16384
 
+# sentinel for ivfpq_adc_shortlist(shortlist=ALL_CANDIDATES): return the
+# full ADC-ranked candidate frame (query_id, vec_id, adc, srank) with no
+# cut applied
+ALL_CANDIDATES = object()
+
 
 def pq_encode_audit(df: DataFrame, m: int = 8, k: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -819,7 +824,8 @@ def ivfpq_encode(corpus: DataFrame, centers: list[list[float]],
 def ivfpq_adc_shortlist(encoded: DataFrame, queries: DataFrame,
                         centers: list[list[float]],
                         books: list[list[list[float]]],
-                        n_probe: int = 3, shortlist: int | None = None,
+                        n_probe: int = 3,
+                        shortlist: "int | None | object" = None,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         corpus_n: int | None = None) -> DataFrame:
@@ -874,6 +880,9 @@ def ivfpq_adc_shortlist(encoded: DataFrame, queries: DataFrame,
         # here would run the whole encode UDF once just for the sizing
         n = corpus_n if corpus_n is not None else encoded.count()
         shortlist = max(64, math.ceil(0.08 * n_probe * n / len(centers)))
+    # ALL_CANDIDATES: skip the cut and return EVERY ADC-ranked candidate
+    # with its srank — the substrate for shortlist-fraction sweeps (one
+    # scoring pass, many cut thresholds applied by the caller)
 
     # the probe pairs join without qv; the query VECTORS ride in the UDF
     # closure instead (n_q · dim floats — bounded per search call), so
@@ -921,8 +930,10 @@ def ivfpq_adc_shortlist(encoded: DataFrame, queries: DataFrame,
             F.col("codes"), F.col("vnorm")).alias("adc"))
     sw = Window.partitionBy("query_id").orderBy(F.desc("adc"),
                                                 F.asc("vec_id"))
-    return (scored.withColumn("srank", F.row_number().over(sw))
-            .filter(F.col("srank") <= shortlist)
+    ranked = scored.withColumn("srank", F.row_number().over(sw))
+    if shortlist is ALL_CANDIDATES:
+        return ranked.select("query_id", "vec_id", "adc", "srank")
+    return (ranked.filter(F.col("srank") <= shortlist)
             .select("query_id", "vec_id", "adc"))
 
 

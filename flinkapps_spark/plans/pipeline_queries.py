@@ -1656,6 +1656,84 @@ def knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "compression_x"))
 
 
+# shortlist fraction sweep: per-mille of the probed volume → recall floor
+# vs exact-within-probe.  Floors sit under the measured minima across
+# fixtures (17‰: 0.48-0.76, 40‰: 0.66-0.94); 1000‰ keeps EVERY ranked
+# candidate, so the set contains the exact-within-probe top-k by
+# construction and recall is EXACTLY 1.0 (the deterministic endpoint,
+# same role as n_probe=16 in knn_ivf_probe_sweep).
+IVFPQ_SWEEP_PM = (17, 40, 1000)
+IVFPQ_SWEEP_FLOORS = {17: 0.3, 40: 0.5, 1000: 1.0}
+
+
+@query(
+    "knn_ivfpq_shortlist_sweep",
+    oracle=f"""
+        SELECT p.frac_pm, COUNT(*) AS n_queries,
+               true AS floor_ok, true AS monotone_ok
+        FROM embeddings e CROSS JOIN (
+            SELECT unnest([{", ".join(map(str, IVFPQ_SWEEP_PM))}])
+                AS frac_pm) p
+        WHERE e.vec_id < 10
+        GROUP BY p.frac_pm
+    """,
+    category="extension: similarity (IVF-PQ shortlist calibration)",
+    doc="The shortlist calibration table for the IVFADC index: ADC-"
+        "shortlist recall of the exact-within-probed-cells top-5 at "
+        "17‰, 40‰ and 1000‰ of the probed volume — the evidence behind "
+        "the operator's fixed-FRACTION sizing rule (on this isotropic "
+        "fixture neighbor cosine gaps ≈ 8-bit ADC noise, so a constant "
+        "shortlist decays with cell growth while a constant fraction "
+        "holds). One scoring pass: the full ADC-ranked candidate frame "
+        "is computed once and the three cuts are srank filters, so the "
+        "sweep costs one index scan, not three. Emitted values are the "
+        "deterministic properties (floor checks, monotonicity — cuts "
+        "NEST on one shared ranking — and the 1000‰ endpoint, which "
+        "keeps every candidate and is therefore EXACTLY recall 1.0). "
+        "Index internals are seed-specific; the oracle asserts the "
+        "gate shape.",
+)
+def knn_ivfpq_shortlist_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    centers = similarity.train_coarse_centroids(emb)
+    books = similarity.train_residual_books(emb, centers)
+    enc = similarity.ivfpq_encode(emb, centers, books)
+    ranked = similarity.ivfpq_adc_shortlist(
+        enc, q, centers, books, shortlist=similarity.ALL_CANDIDATES)
+    truth = similarity.knn_ivf(emb, q, k=5, centroids=centers) \
+        .select("query_id", "vec_id")
+    vol = 3 * n / 16          # n_probe·n/n_centroids, the probed volume
+    rows = []
+    for pm in IVFPQ_SWEEP_PM:
+        r_cut = max(5, math.ceil(pm / 1000.0 * vol))
+        hit = ranked.filter(F.col("srank") <= r_cut) \
+            .select("query_id", "vec_id").withColumn("hit", F.lit(1))
+        j = truth.join(hit, ["query_id", "vec_id"], "left")
+        rows.append(j.agg(
+            F.lit(pm).alias("frac_pm"),
+            F.countDistinct("query_id").alias("n_queries"),
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+             / F.count(F.lit(1))).alias("recall")))
+    allp = rows[0]
+    for df in rows[1:]:
+        allp = allp.unionByName(df)
+    from pyspark.sql import Window as W
+    # partition-less window is safe: the frame is the 3-row sweep summary
+    prev = F.lag("recall").over(W.orderBy("frac_pm"))
+    floor = F.create_map(*[F.lit(x) for kv in IVFPQ_SWEEP_FLOORS.items()
+                           for x in kv])
+    return (allp.select(
+        "frac_pm", "n_queries",
+        (F.col("recall") >= floor.getItem(F.col("frac_pm")))
+            .alias("floor_ok"),
+        F.coalesce(F.col("recall") >= prev, F.lit(True))
+            .alias("monotone_ok")))
+
+
 @query(
     "text_token_counts",
     oracle=r"""
