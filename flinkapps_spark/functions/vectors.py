@@ -21,4 +21,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide, not `/`: a zero-norm vector makes the denominator 0,
+    # which ANSI mode turns into a job-killing SparkArithmeticException —
+    # one zero embedding in a 100 TB corpus must not abort the query.
+    # NULL is also what the DuckDB oracle computes for x/0, so the
+    # cross-engine contract is preserved; NULL cosine sorts LAST under
+    # desc ranking and fails every >= threshold filter, i.e. undefined
+    # similarity never produces a result row.
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))

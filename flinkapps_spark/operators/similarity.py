@@ -437,8 +437,12 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.99,
                            l2_norm(F.slice(F.col(vec), PRE + 1, 1 << 30))))
         key = None
         for i in range(GRID_DIMS):
-            cell = F.floor(F.element_at(F.col(vec), i + 1)
-                           / F.col(f"{p}nrm") / w).cast("long")
+            # try_divide: a zero-norm vector gets a NULL cell key and
+            # drops out of the equi-join (cosine undefined — same
+            # policy as cosine_similarity), instead of an ANSI
+            # divide-by-zero aborting the whole job
+            cell = F.floor(F.try_divide(F.element_at(F.col(vec), i + 1),
+                                        F.col(f"{p}nrm")) / w).cast("long")
             term = cell * F.lit(base ** i).cast("long")
             key = term if key is None else key + term
         return out.withColumn(f"{p}key", key).drop(vec)

@@ -700,3 +700,52 @@ def test_pop_cap_invariants_property(spark, pairs, cap):
     expect = {(r["okey"], r["item"]) for r in op.collect()
               if sup[r["item"]] <= cap}
     assert kept_rows == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(st.floats(min_value=-1.0, max_value=1.0,
+                                   allow_nan=False, width=32),
+                         min_size=8, max_size=8),
+                min_size=12, max_size=40),
+       st.integers(min_value=1, max_value=3))
+def test_ivfpq_nesting_and_endpoint(spark, vecs, n_probe):
+    """IVFADC invariants on arbitrary small vector sets (not just the
+    fixture): (1) shortlist cuts NEST — the top-R1 set is a subset of
+    the top-R2 set for R1 < R2 (one shared ranking, so the calibration
+    sweep's monotonicity is structural, not statistical); (2) the
+    all-candidates endpoint CONTAINS the exact-within-probe top-k
+    (zero-norm rows excluded on both sides — cosine undefined), which
+    is why the 1000-per-mille sweep row is exactly recall 1.0; (3) the
+    encoder's cell assignment equals knn_ivf's (_nearest_center is the
+    single shared contract)."""
+    import numpy as np
+
+    from flinkapps_spark.operators import similarity as S
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3)
+    centers = S.train_coarse_centroids(emb, n_centroids=4, train_cap=64)
+    books = S.train_residual_books(emb, centers, m=4, n_codes=4,
+                                   train_cap=64)
+    enc = S.ivfpq_encode(emb, centers, books)
+    ranked = S.ivfpq_adc_shortlist(enc, q, centers, books, n_probe=n_probe,
+                                   shortlist=S.ALL_CANDIDATES)
+    got = [(r["query_id"], r["vec_id"], r["srank"])
+           for r in ranked.collect()]
+    top2 = {(a, b) for a, b, r in got if r <= 2}
+    top5 = {(a, b) for a, b, r in got if r <= 5}
+    assert top2 <= top5                                   # (1) nesting
+    allc = {(a, b) for a, b, _ in got}
+    ivf = S.knn_ivf(emb, q, k=3, n_probe=n_probe, centroids=centers)
+    nz = {r["vec_id"] for r in emb.collect()
+          if any(x != 0 for x in r["embedding"])}
+    exact = {(r["query_id"], r["vec_id"]) for r in ivf.collect()
+             if r["vec_id"] in nz and r["query_id"] in nz}
+    assert exact <= allc, exact - allc                    # (2) endpoint
+    C = np.asarray(centers)
+    cells = {r["vec_id"]: r["cell"] for r in enc.collect()}
+    for i, v in rows:                                     # (3) contract
+        expect = int(S._nearest_center(
+            np.asarray([v], dtype=np.float64), C)[0])
+        assert cells[i] == expect, (i, cells[i], expect)
