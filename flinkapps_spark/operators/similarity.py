@@ -510,8 +510,9 @@ def _lloyd(X, k: int, seed: int, iters: int = 25) -> list[list[float]]:
     import numpy as np
     rng = np.random.default_rng(seed)
     ctr = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    xx = (X * X).sum(1)
     for _ in range(iters):
-        assign = _nearest_center(X, ctr)
+        assign = _nearest_center(X, ctr, xx)
         for j in range(len(ctr)):
             pts = X[assign == j]
             if len(pts):
@@ -528,15 +529,18 @@ def _sample_matrix(df: DataFrame, col: str, cap: int):
                       dtype=np.float64)
 
 
-def _nearest_center(X, C):
+def _nearest_center(X, C, xx=None):
     """First-index-argmin nearest center per row via the ‖x‖²−2x·C+‖C‖²
     expansion — THE cell-assignment contract.  Every assigner (Lloyd,
     _cell_assign_udf, ivfpq_encode, residual-book training) must route
     through this one function: knn_cosine_ivfpq's shortlist_ok compares
     exact-within-probe against ADC-within-probe, which is only meaningful
-    if both paths put each vector in the SAME cell (tie-breaks included)."""
-    return ((X * X).sum(1)[:, None] - 2.0 * X @ C.T
-            + (C * C).sum(1)[None, :]).argmin(1)
+    if both paths put each vector in the SAME cell (tie-breaks included).
+    ``xx`` optionally passes the precomputed row norms ‖x‖² (Lloyd hoists
+    them out of its iteration loop)."""
+    if xx is None:
+        xx = (X * X).sum(1)
+    return (xx[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :]).argmin(1)
 
 
 def _probe_cells(queries: DataFrame, centers: list[list[float]],
@@ -586,6 +590,8 @@ def _cell_assign_udf(centers: list[list[float]]):
 
     @pandas_udf("int")
     def _assign(vs):
+        if len(vs) == 0:  # 1-D asarray([]) guard (ADVICE r8 class)
+            return pd.Series([], dtype="int32")
         Xb = np.asarray(vs.tolist(), dtype=np.float64)
         return pd.Series(_nearest_center(Xb, C).astype("int32"))
 
@@ -891,14 +897,22 @@ def ivfpq_adc_shortlist(encoded: DataFrame, queries: DataFrame,
     # the probe pairs join without qv; the query VECTORS ride in the UDF
     # closure instead (n_q · dim floats — bounded per search call), so
     # the data-proportional candidate scan never hauls a dim-length
-    # array per row
-    probe = _probe_cells(queries, centers, n_probe, id_col, vec_col)
-    qmap = {int(r["query_id"]): np.asarray(r["qv"], dtype=np.float64)
-            for r in probe.select("query_id", "qv").distinct().collect()}
+    # array per row.  ONE collect serves both: qmap for the closure and
+    # the (query_id, cell) probe pairs rebuilt as a local relation —
+    # re-referencing the probe plan in the join would compute the
+    # queries-×-centers window twice per call.
+    probe_rows = _probe_cells(queries, centers, n_probe,
+                              id_col, vec_col).collect()
+    qmap = {r["query_id"]: np.asarray(r["qv"], dtype=np.float64)
+            for r in probe_rows}
+    probe_pairs = queries.sparkSession.createDataFrame(
+        [(r["query_id"], r["cell"]) for r in probe_rows],
+        queries.select(F.col(id_col).alias("query_id")).schema
+        .add("cell", "integer"))
 
     cand = (encoded
             .filter(F.col("vnorm") > 0)   # zero vector: cosine undefined
-            .join(F.broadcast(probe.select("query_id", "cell")), "cell")
+            .join(F.broadcast(probe_pairs), "cell")
             .filter(F.col("vec_id") != F.col("query_id")))
 
     @pandas_udf("double")
@@ -907,13 +921,17 @@ def ivfpq_adc_shortlist(encoded: DataFrame, queries: DataFrame,
         if n == 0:
             return pd.Series([], dtype=float)
         CD = np.asarray(codes.tolist(), dtype=np.int64)
-        cells = cell.to_numpy()
-        qids = qid.to_numpy()
+        # .tolist(): plain Python values, so ids of ANY hashable type
+        # (long, string, ...) key qmap correctly — int() casts would
+        # reject string ids the generic id_col contract allows
+        cells = cell.tolist()
+        qids = qid.tolist()
         out = np.empty(n)
         # LUTs batch-amortized per unique (query, cell) — a batch holds
         # n_q·n_probe ≤ a few dozen combos, each vectorized over its rows
-        for key in {(int(a), int(b)) for a, b in zip(qids, cells)}:
-            idx = np.flatnonzero((qids == key[0]) & (cells == key[1]))
+        for key in set(zip(qids, cells)):
+            idx = np.flatnonzero((qid == key[0]).to_numpy()
+                                 & (cell == key[1]).to_numpy())
             qvec = qmap[key[0]]
             qn = float(np.sqrt(qvec @ qvec))
             if qn == 0.0:                 # zero query: cosine undefined

@@ -1702,16 +1702,29 @@ def knn_ivfpq_shortlist_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = similarity.train_coarse_centroids(emb)
     books = similarity.train_residual_books(emb, centers)
     enc = similarity.ivfpq_encode(emb, centers, books)
+    # persist: the three cuts below and the union re-reference these
+    # plans — without the pin, "one scoring pass" would silently triple
+    # (three aggregates each carrying the encode+ADC / cell-assign
+    # lineage; ReuseExchange is not guaranteed across Python UDF nodes)
     ranked = similarity.ivfpq_adc_shortlist(
-        enc, q, centers, books, shortlist=similarity.ALL_CANDIDATES)
+        enc, q, centers, books,
+        shortlist=similarity.ALL_CANDIDATES).persist()
     truth = similarity.knn_ivf(emb, q, k=5, centroids=centers) \
-        .select("query_id", "vec_id")
+        .select("query_id", "vec_id").persist()
     vol = 3 * n / 16          # n_probe·n/n_centroids, the probed volume
     rows = []
     for pm in IVFPQ_SWEEP_PM:
-        r_cut = max(5, math.ceil(pm / 1000.0 * vol))
-        hit = ranked.filter(F.col("srank") <= r_cut) \
-            .select("query_id", "vec_id").withColumn("hit", F.lit(1))
+        if pm == 1000:
+            # the endpoint keeps EVERY ranked candidate — the actual
+            # all-candidates set, not an average-volume cut (cells are
+            # not uniform; a cut at ceil(avg) could drop tail rows of an
+            # overfull probe set and break the exact-1.0 property)
+            hit = ranked.select("query_id", "vec_id") \
+                .withColumn("hit", F.lit(1))
+        else:
+            r_cut = max(5, math.ceil(pm / 1000.0 * vol))
+            hit = ranked.filter(F.col("srank") <= r_cut) \
+                .select("query_id", "vec_id").withColumn("hit", F.lit(1))
         j = truth.join(hit, ["query_id", "vec_id"], "left")
         rows.append(j.agg(
             F.lit(pm).alias("frac_pm"),
