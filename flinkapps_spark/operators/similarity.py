@@ -259,6 +259,7 @@ def _band_signature_udf(dim: int, n_bands: int, band_bits: int,
 
     @pandas_udf("array<long>")
     def _sigs(vs):
+        _cap_blas_threads()  # 32 workers × BLAS threads oversubscribe
         if len(vs) == 0:  # empty Arrow slice: asarray([]) is 1-D (ADVICE r8)
             return pd.Series([], dtype=object)
         X = np.asarray(vs.tolist(), dtype=np.float64)
@@ -503,20 +504,62 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.99,
             .filter(F.col("cosine") >= threshold))
 
 
+_BLAS_CAPPED = False
+
+
+def _cap_blas_threads() -> None:
+    """Pin OpenBLAS to one thread in THIS process (idempotent).
+
+    The quantizer matmuls here are tiny (≤16k×256×8); OpenBLAS's
+    multi-thread path spends more time in spin-wait synchronization than
+    computing at these sizes — measured 8.6× slower on a busy box
+    (25 Lloyd assign passes: 1.35 s threaded vs 0.16 s single-thread).
+    Per-task oversubscription is the same story on executors (32 worker
+    processes × BLAS threads), so the Arrow UDFs call this too (guide
+    §4.5: heavyweight init once per task).  Runtime call via the loaded
+    symbol because the env var only works before numpy first loads BLAS.
+    """
+    global _BLAS_CAPPED
+    if _BLAS_CAPPED:
+        return
+    _BLAS_CAPPED = True
+    try:
+        import ctypes
+        lib = ctypes.CDLL(None)
+        for sym in ("openblas_set_num_threads64_",
+                    "openblas_set_num_threads"):
+            fn = getattr(lib, sym, None)
+            if fn is not None:
+                fn(1)
+                break
+    except Exception:  # noqa: BLE001 — best-effort; threaded BLAS still works
+        pass
+
+
 def _lloyd(X, k: int, seed: int, iters: int = 25) -> list[list[float]]:
     """Seeded Lloyd k-means over an in-memory sample matrix; returns the
     centers as plain floats.  First-index argmin tie-break throughout.
-    Empty clusters keep their previous center (deterministic, no re-seed)."""
+    Empty clusters keep their previous center (deterministic, no re-seed).
+
+    The center update is one bincount + np.add.at scatter instead of a
+    per-cluster Python mask loop (guide §1.2 "per-task work": the loop
+    was 256·25 = 6400 mask+gather+mean passes per codebook — measured
+    0.34 s/book, ×8 books per IVF-PQ training).  Bit-identical to the
+    loop form: numpy's axis-0 mean reduces rows sequentially in index
+    order, exactly the np.add.at accumulation order (pinned by
+    test_lloyd_update_forms_identical)."""
     import numpy as np
+    _cap_blas_threads()
     rng = np.random.default_rng(seed)
     ctr = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
     xx = (X * X).sum(1)
     for _ in range(iters):
         assign = _nearest_center(X, ctr, xx)
-        for j in range(len(ctr)):
-            pts = X[assign == j]
-            if len(pts):
-                ctr[j] = pts.mean(axis=0)
+        counts = np.bincount(assign, minlength=len(ctr))
+        sums = np.zeros_like(ctr)
+        np.add.at(sums, assign, X)
+        nz = counts > 0
+        ctr[nz] = sums[nz] / counts[nz, None]
     return [[float(x) for x in row] for row in ctr]
 
 
@@ -567,16 +610,32 @@ def _probe_cells(queries: DataFrame, centers: list[list[float]],
             .select("query_id", "qv", "cell"))
 
 
+def training_sample(corpus: DataFrame, vec_col: str = "embedding",
+                    train_cap: int = 16384):
+    """The bounded driver-side training sample as a numpy matrix —
+    exactly what ``train_coarse_centroids`` / ``train_residual_books``
+    collect internally.  Collect it ONCE and pass it to both via
+    ``sample=`` when training a full IVF-PQ index: the two trainers
+    otherwise each run the same limit-scan collect job (guide §1.2:
+    don't compute things twice)."""
+    c = corpus.select(_as_double(F.col(vec_col)).alias("cv"))
+    return _sample_matrix(c, "cv", train_cap)
+
+
 def train_coarse_centroids(corpus: DataFrame, n_centroids: int = 16,
                            vec_col: str = "embedding",
                            seed: int = 42,
-                           train_cap: int = 16384) -> list[list[float]]:
+                           train_cap: int = 16384,
+                           sample=None) -> list[list[float]]:
     """Train an IVF coarse quantizer on a bounded corpus sample (the
     faiss recipe: quantizers never need the full corpus).  Train once and
     pass the result to repeated ``knn_ivf`` calls (e.g. a probe sweep) so
-    the index is built once per corpus, not once per setting."""
-    c = corpus.select(_as_double(F.col(vec_col)).alias("cv"))
-    return _lloyd(_sample_matrix(c, "cv", train_cap), n_centroids, seed)
+    the index is built once per corpus, not once per setting.  Pass
+    ``sample=`` (from :func:`training_sample`) to skip the collect when
+    the caller already holds the matrix."""
+    if sample is None:
+        sample = training_sample(corpus, vec_col, train_cap)
+    return _lloyd(sample, n_centroids, seed)
 
 
 def _cell_assign_udf(centers: list[list[float]]):
@@ -590,6 +649,7 @@ def _cell_assign_udf(centers: list[list[float]]):
 
     @pandas_udf("int")
     def _assign(vs):
+        _cap_blas_threads()  # small matmul: threaded BLAS is pure overhead
         if len(vs) == 0:  # 1-D asarray([]) guard (ADVICE r8 class)
             return pd.Series([], dtype="int32")
         Xb = np.asarray(vs.tolist(), dtype=np.float64)
@@ -723,6 +783,7 @@ def pq_encode_audit(df: DataFrame, m: int = 8, k: int = 16,
 
     @pandas_udf("double")
     def _recon_cos(vs):
+        _cap_blas_threads()  # small matmul: threaded BLAS is pure overhead
         Xb = np.asarray(vs.tolist(), dtype=np.float64)
         recon = np.empty_like(Xb)
         for i, ctr in enumerate(books):
@@ -745,8 +806,8 @@ def pq_encode_audit(df: DataFrame, m: int = 8, k: int = 16,
 def train_residual_books(corpus: DataFrame, centers: list[list[float]],
                          m: int = 8, n_codes: int = 256,
                          vec_col: str = "embedding", seed: int = 42,
-                         train_cap: int = _PQ_TRAIN_CAP
-                         ) -> list[list[list[float]]]:
+                         train_cap: int = _PQ_TRAIN_CAP,
+                         sample=None) -> list[list[list[float]]]:
     """Train the IVFADC residual PQ codebooks (Jégou/Douze/Schmid 2011,
     §IV): sample a bounded matrix, assign each sample to its nearest
     coarse center, and learn one ``n_codes``-word codebook per subspace
@@ -762,8 +823,8 @@ def train_residual_books(corpus: DataFrame, centers: list[list[float]],
     Like every quantizer here, training is O(train_cap) driver-side
     numpy — independent of corpus size (the faiss recipe)."""
     import numpy as np
-    c = corpus.select(_as_double(F.col(vec_col)).alias("cv"))
-    X = _sample_matrix(c, "cv", train_cap)
+    X = (sample if sample is not None
+         else training_sample(corpus, vec_col, train_cap))
     if X.shape[1] % m != 0:
         raise ValueError(
             f"train_residual_books requires dim % m == 0, got "
@@ -800,6 +861,7 @@ def ivfpq_encode(corpus: DataFrame, centers: list[list[float]],
 
     @pandas_udf("array<double>")
     def _enc(vs):
+        _cap_blas_threads()  # small matmul: threaded BLAS is pure overhead
         if len(vs) == 0:  # 1-D asarray([]) guard (ADVICE r8 class)
             return pd.Series([], dtype=object)
         X = np.asarray(vs.tolist(), dtype=np.float64)
@@ -917,6 +979,7 @@ def ivfpq_adc_shortlist(encoded: DataFrame, queries: DataFrame,
 
     @pandas_udf("double")
     def _adc(qid, cell, codes, vnorm):
+        _cap_blas_threads()  # LUT matvecs are tiny; threads spin-wait
         n = len(qid)
         if n == 0:
             return pd.Series([], dtype=float)
@@ -972,8 +1035,11 @@ def knn_ivf_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
     64×-compressed index and exactly re-ranks only ``shortlist`` full
     vectors per query; size n_centroids ~ √n so both the probe list and
     the per-cell scan stay balanced."""
-    centers = train_coarse_centroids(corpus, n_centroids, vec_col, seed)
-    books = train_residual_books(corpus, centers, m, n_codes, vec_col, seed)
+    X = training_sample(corpus, vec_col)  # one collect feeds both trainers
+    centers = train_coarse_centroids(corpus, n_centroids, vec_col, seed,
+                                     sample=X)
+    books = train_residual_books(corpus, centers, m, n_codes, vec_col, seed,
+                                 sample=X)
     enc = ivfpq_encode(corpus, centers, books, id_col, vec_col)
     short = ivfpq_adc_shortlist(
         enc, queries, centers, books, n_probe, shortlist, id_col, vec_col,

@@ -1638,8 +1638,9 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    centers = similarity.train_coarse_centroids(emb)
-    books = similarity.train_residual_books(emb, centers)
+    X = similarity.training_sample(emb)  # one collect, both trainers
+    centers = similarity.train_coarse_centroids(emb, sample=X)
+    books = similarity.train_residual_books(emb, centers, sample=X)
     enc = similarity.ivfpq_encode(emb, centers, books)
     short = similarity.ivfpq_adc_shortlist(enc, q, centers, books,
                                            corpus_n=emb.count())
@@ -1699,8 +1700,9 @@ def knn_ivfpq_shortlist_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     n = emb.count()
-    centers = similarity.train_coarse_centroids(emb)
-    books = similarity.train_residual_books(emb, centers)
+    X = similarity.training_sample(emb)  # one collect, both trainers
+    centers = similarity.train_coarse_centroids(emb, sample=X)
+    books = similarity.train_residual_books(emb, centers, sample=X)
     enc = similarity.ivfpq_encode(emb, centers, books)
     # persist: the three cuts below and the union re-reference these
     # plans — without the pin, "one scoring pass" would silently triple

@@ -742,8 +742,9 @@ def stream_knn_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flinkapps_spark.sources.batch import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centers = similarity.train_coarse_centroids(emb)
-    books = similarity.train_residual_books(emb, centers)
+    X = similarity.training_sample(emb)  # one collect, both trainers
+    centers = similarity.train_coarse_centroids(emb, sample=X)
+    books = similarity.train_residual_books(emb, centers, sample=X)
     # the serving index: encoded once, pinned for the stream's lifetime
     enc = similarity.ivfpq_encode(emb, centers, books).persist()
     n = enc.count()

@@ -473,6 +473,39 @@ def test_ivfpq_adc(spark):
     assert len(brute & ann) / len(brute) >= 0.25
 
 
+def test_lloyd_update_forms_identical():
+    """The vectorized Lloyd center update (bincount + np.add.at scatter,
+    round 9 optimization) is BIT-IDENTICAL to the per-cluster mask loop
+    it replaced: numpy's axis-0 mean reduces rows sequentially in index
+    order — the same accumulation order np.add.at uses — so no center
+    (and hence no downstream cell assignment or codebook) can move by
+    an ulp.  Checked at both quantizer shapes (coarse k=16 over dim 64,
+    PQ book k=256 over a dim-8 subspace), including clusters larger
+    than numpy's 128-element pairwise-summation block."""
+    import numpy as np
+
+    from flinkapps_spark.operators.similarity import _lloyd, _nearest_center
+
+    def lloyd_loop(X, k, seed, iters=25):
+        rng = np.random.default_rng(seed)
+        ctr = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+        xx = (X * X).sum(1)
+        for _ in range(iters):
+            assign = _nearest_center(X, ctr, xx)
+            for j in range(len(ctr)):
+                pts = X[assign == j]
+                if len(pts):
+                    ctr[j] = pts.mean(axis=0)
+        return ctr
+
+    rng = np.random.default_rng(7)
+    for n, d, k in ((2000, 64, 16), (2000, 8, 256), (50, 4, 256)):
+        X = rng.standard_normal((n, d))
+        want = lloyd_loop(X, k, seed=42)
+        got = np.asarray(_lloyd(X, k, seed=42))
+        assert np.array_equal(want, got), (n, d, k)
+
+
 def test_observation_metrics(spark):
     """df.observe: zero-cost pipeline metrics collected during the action
     (row counts, sums for data-quality monitoring) — no second scan."""
