@@ -525,13 +525,30 @@ def _cap_blas_threads() -> None:
     _BLAS_CAPPED = True
     try:
         import ctypes
-        lib = ctypes.CDLL(None)
-        for sym in ("openblas_set_num_threads64_",
-                    "openblas_set_num_threads"):
-            fn = getattr(lib, sym, None)
-            if fn is not None:
-                fn(1)
-                break
+
+        def _cap(lib) -> bool:
+            for sym in ("openblas_set_num_threads64_",
+                        "openblas_set_num_threads"):
+                fn = getattr(lib, sym, None)
+                if fn is not None:
+                    fn(1)
+                    return True
+            return False
+
+        # numpy loads its wheel-bundled OpenBLAS with RTLD_LOCAL, so the
+        # symbol is usually NOT in the global namespace — find the .so
+        # the process actually mapped and dlopen it by path (same handle,
+        # just visible symbols)
+        if not _cap(ctypes.CDLL(None)):
+            with open("/proc/self/maps") as f:
+                paths = {line.rsplit(maxsplit=1)[-1] for line in f
+                         if "blas" in line.lower() and "/" in line}
+            for p in sorted(paths):
+                try:
+                    if _cap(ctypes.CDLL(p)):
+                        break
+                except OSError:
+                    continue
     except Exception:  # noqa: BLE001 — best-effort; threaded BLAS still works
         pass
 

@@ -160,6 +160,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str,
     cut, restore_ckpt_dir = _iter_checkpoint(spark, checkpoint_dir)
     try:
         ev = load_table(spark, sf_dir, "events")
+        # Round-9 note (guide §1.1 first-principles vs empirical): a
+        # weighted-edge contraction (groupBy (src, dst) once, carry w,
+        # join degrees once) was built and MEASURED — oracle-exact, but
+        # 3.0 s -> 4.9 s median at sf0.1: this fixture's multiplicity is
+        # only 1.38 (100k events -> 72,375 distinct edges), so the 28%
+        # per-round row saving never repays the two upfront exchanges
+        # and the lost broadcast degree join.  Contraction only wins
+        # when events-per-edge is large (real activity logs); on this
+        # data shape the per-event edge list with a broadcast degree
+        # table is the faster plan, so it stays.
         edges = ev.select(
             F.col("user_id").alias("src"),
             ((F.col("user_id") + 1 + F.col("event_id") % 97) % 150)
@@ -295,16 +305,25 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str,
                .distinct().persist())
         nodes = adj.select(F.col("v").alias("node")).distinct().persist()
         labs = nodes.select("node", F.col("node").alias("lab"))
-        from pyspark.sql import Window
-        w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("lab"))
+        # Round-9 optimization (guide §2.4): the mode pick is a
+        # partial-aggregable max over struct(c, -lab) — same total order
+        # as the old row_number window (count desc, label asc) without
+        # the per-round sort exchange.  The old nodes-LEFT-join-mode +
+        # COALESCE round-trip is dropped: every node in ``nodes`` comes
+        # FROM adj, so it has >= 1 neighbor, its neighbors are in labs
+        # (labs always spans nodes — induction from labs0 = nodes), and
+        # ``counted`` therefore covers every node each round; the left
+        # join could never miss.  Oracle keeps the LEFT JOIN form; the
+        # results are identical because the COALESCE branch is dead on
+        # this graph construction.
         for _ in range(LP_ITERATIONS):
             counted = (adj.join(labs, adj.n == labs.node)
                        .groupBy("v", "lab").agg(F.count("*").alias("c")))
-            mode = (counted.withColumn("rk", F.row_number().over(w))
-                    .filter(F.col("rk") == 1).select("v", "lab"))
-            labs = (nodes.join(mode, nodes.node == mode.v, "left")
-                    .select("node", F.coalesce("lab", "node").alias("lab"))
-                    )
+            labs = (counted.groupBy("v")
+                    .agg(F.max(F.struct("c", (-F.col("lab")).alias("nl")))
+                         .alias("m"))
+                    .select(F.col("v").alias("node"),
+                            (-F.col("m.nl")).alias("lab")))
             labs = cut(labs)
         out = labs.select(F.col("node").alias("user_id"),
                           F.col("lab").alias("label"))

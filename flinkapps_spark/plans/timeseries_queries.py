@@ -1400,49 +1400,75 @@ _HOLT_SQL = _holt_recursion(_holt_daily_agg("{table}", _HOLT_DAY_EXPR))
         "alpha=1/2 and beta=1/4 turn each update into integer sums + a "
         "floor through an exactly-representable double (values < 2^53) "
         "— NO float state crosses a step, so 30 chained steps cannot "
-        "accumulate engine drift. Scale: the recursion is over the "
-        "DATE-DOMAIN grid (one row per (type, day) — bounded by the "
-        "calendar, not the corpus); the corpus contributes one "
-        "partial-agg shuffle. Depth = #days; raise "
-        "spark.sql.cteRecursionLevelLimit (default 100) or coarsen to "
-        "weeks past a ~3-month window (events_holt_linear_weekly — "
-        "grain='week' — cuts depth 7x). Engine plan (round 7): the "
-        "corpus agg is materialized ONCE into a checkpointed period "
-        "grid and the recursion runs over that view — UnionLoop "
-        "re-executes the recursion's base relations every step, so "
-        "inlining the agg re-scanned the corpus #days times (measured "
-        "7.6 s -> 3.6 s at sf0.1, BENCH_r07; the weekly grain lands "
-        "at ~0.9 s).",
+        "accumulate engine drift. The ORACLE keeps the recursive-CTE "
+        "form; the engine form (round 9) folds the same update across "
+        "each type's date-sorted period array with aggregate() — the "
+        "recursion is linear per type, so one codegen fold replaces "
+        "#periods UnionLoop jobs (the round-7 UnionLoop form cost one "
+        "scheduler round-trip per day: measured 4.8 s -> sub-second at "
+        "sf0.1). shiftright is the exact integer form of the oracle's "
+        "floor-halving for |values| < 2^53, the documented range. "
+        "Scale: the grid is one partial-agg shuffle over the corpus, "
+        "bounded by the calendar; the fold state is 2 int64 per type; "
+        "coarsen to weeks past a ~3-month window "
+        "(events_holt_linear_weekly — grain='week').",
 )
 def events_holt_linear(spark: SparkSession, sf_dir: str,
                        grain: str = "day") -> DataFrame:
-    # view name unique per sf_dir; row-limit raise scoped to THIS
-    # execution (prior value restored, tripwire re-armed — ADVICE r5);
-    # result is one row per event_type, pinned by localCheckpoint so the
-    # recursion never re-runs under the restored (low) limit.
+    # Round-9 optimization (guide §2.4 — remove shuffles/passes
+    # outright): the WITH RECURSIVE engine form launched one Spark job
+    # per recursion step (UnionLoop executes the recursive member
+    # #periods times — ~30 scheduler round-trips over a tiny grid,
+    # measured 4.8 s at sf0.1), plus two localCheckpoints and a scoped
+    # conf raise.  The recursion is a per-type LINEAR fold over the
+    # date-sorted period grid, so it now runs as ONE aggregate():
+    # collect each type's (d, cnt) rows into a sorted array (the grid
+    # is calendar-bounded — thousands of elements at most, the same
+    # bound the recursive form relied on) and fold the Holt update
+    # across it inside codegen.  Exactness is unchanged: alpha=1/2,
+    # beta=1/4 make each step integer sums + a floor-halving, and
+    # shiftright IS floor division by 2^k on int64 (arithmetic shift,
+    # negatives included) — the same integers the oracle's
+    # floor(double)/CAST chain produces for |values| < 2^53, the
+    # operator's documented range.  One partial-agg exchange + one
+    # per-type exchange, no recursion, no Python, no checkpoint.
     if grain not in ("day", "week"):
         raise ValueError(f"grain must be 'day' or 'week', got {grain!r}")
     period = (F.to_date("ts") if grain == "day"
               else F.date_trunc("week", F.col("ts")).cast("date"))
-    # materialize the bounded (type, period) grid ONCE: the recursive
-    # member executes per step, so anything inside it re-runs #periods
-    # times — the corpus-sized agg must sit behind the loop, not in it
     grid = (load_table(spark, sf_dir, "events")
             .groupBy("event_type", period.alias("d"))
-            .agg(F.count("*").cast("long").alias("cnt"))
-            .localCheckpoint(eager=True))
-    view = f"events_holt_{grain}_{view_tag(sf_dir)}"
-    grid.createOrReplaceTempView(view)
-    sql = _holt_recursion(view, unit=grain)
-    prior = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
-    try:
-        return spark.sql(sql).localCheckpoint(eager=True)
-    finally:
-        if prior is None:
-            spark.conf.unset("spark.sql.cteRecursionRowLimit")
-        else:
-            spark.conf.set("spark.sql.cteRecursionRowLimit", prior)
+            .agg(F.count("*").cast("long").alias("cnt")))
+    g = grid.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "cnt"))).alias("xs"))
+
+    def step(acc, x):
+        # l' = (cnt·S + l + b) >> 1 ; b' = (l' − l + 3b) >> 2  — the
+        # exact integer form of the oracle's floor((...)/2), floor((...)/4)
+        lnext = F.shiftright(
+            x["cnt"] * F.lit(HOLT_SCALE).cast("long") + acc["l"] + acc["b"],
+            1)
+        return F.struct(
+            lnext.alias("l"),
+            F.shiftright(lnext - acc["l"] + 3 * acc["b"], 2).alias("b"))
+
+    init = F.struct(
+        (F.element_at("xs", 1)["cnt"] * F.lit(HOLT_SCALE).cast("long"))
+        .alias("l"),
+        F.lit(0).cast("long").alias("b"))
+    st = F.aggregate(
+        F.slice("xs", 2, F.size("xs") - 1), init, step)
+    scale = float(HOLT_SCALE)
+    return g.select(
+        "event_type",
+        F.size("xs").cast("long").alias(f"n_{grain}s"),
+        st["l"].alias("l_u"),
+        st["b"].alias("b_u"),
+    ).select(
+        "event_type", f"n_{grain}s", "l_u", "b_u",
+        (F.col("l_u") / scale).alias("level_smoothed"),
+        (F.col("b_u") / scale).alias(f"trend_per_{grain}"),
+        ((F.col("l_u") + F.col("b_u")) / scale).alias("forecast_next"))
 
 
 @query(
@@ -1453,10 +1479,9 @@ def events_holt_linear(spark: SparkSession, sf_dir: str,
     doc="Weekly-grain Holt smoothing (VERDICT r6 #5): identical "
         "recursion to events_holt_linear but over the Monday-truncated "
         "week grid — date_trunc('week') is Monday on BOTH engines — "
-        "cutting recursion depth ~7x, the prescribed coarsening once "
-        "the window outgrows ~3 months (a year of days = 365 UnionLoop "
-        "steps; of weeks = 53). Same fixed-point state arithmetic, so "
-        "cross-engine parity stays exact at any depth.",
+        "cutting the fold length ~7x, the prescribed coarsening once "
+        "the window outgrows ~3 months. Same fixed-point state "
+        "arithmetic, so cross-engine parity stays exact at any depth.",
 )
 def events_holt_linear_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_holt_linear(spark, sf_dir, grain="week")
