@@ -283,18 +283,25 @@ def doc_shingle_table(df: DataFrame, text_col: str = "text",
 _PREFIX_EPS = 1e-9
 
 
-def _ordered_shingles(ex: DataFrame) -> DataFrame:
+def _ordered_shingles(sh: DataFrame) -> DataFrame:
     """(doc, code, n_sh, pos): each doc's shingles positioned by a GLOBAL
     total order (corpus frequency ascending, code ascending).  Rare-first
     ordering is what makes prefix filtering effective: the most frequent
     shingles — the quadratic blowup in an inverted-index self-join — land
-    at the END of every doc's ordering and drop out of every prefix."""
+    at the END of every doc's ordering and drop out of every prefix.
+
+    Takes the (doc, codes) set table: n_sh is ``size(codes)`` carried
+    through the explode — ``codes`` is already distinct, so the old
+    ``groupBy(doc).count()`` + join recomputed a value the array length
+    held for free, costing one extra exchange of the exploded frame
+    (round-9, guide §2.4: remove shuffles outright)."""
     from pyspark.sql import Window
+    ex = sh.select("doc", F.size("codes").alias("n_sh"),
+                   F.explode("codes").alias("code"))
     cf = ex.groupBy("code").agg(F.count("*").alias("cf"))
     w = Window.partitionBy("doc").orderBy(F.col("cf").asc(),
                                           F.col("code").asc())
-    sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    return (ex.join(cf, "code").join(sizes, "doc")
+    return (ex.join(cf, "code")
             .withColumn("pos", F.row_number().over(w))
             .select("doc", "code", "n_sh", "pos"))
 
@@ -365,7 +372,7 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
                           F.col("n_sh").alias("n_b"))
         verified = common.join(sa, "doc_a").join(sb, "doc_b")
     else:
-        pref = _ordered_shingles(ex).filter(
+        pref = _ordered_shingles(sh).filter(
             F.col("pos") <= _prefix_len(F.col("n_sh"), threshold))
         a = pref.select(F.col("doc").alias("doc_a"), "code",
                         F.col("n_sh").alias("pn_a"),
@@ -437,7 +444,7 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                           F.col("n_sh").alias("n_b"))
         verified = common.join(sa, "doc_a").join(sb, "doc_b")
     else:
-        ordered = _ordered_shingles(ex)
+        ordered = _ordered_shingles(sh)
         pref = ordered.filter(
             F.col("pos") <= _prefix_len(F.col("n_sh"), threshold))
         small = pref.select(F.col("doc").alias("doc_s"), "code",
@@ -494,8 +501,7 @@ def jaccard_pairs_incremental(df: DataFrame, is_new,
         from pyspark import StorageLevel
         sh = shingled_docs(df, text_col, id_col) \
             .persist(StorageLevel.MEMORY_AND_DISK)
-        ex = sh.select("doc", F.explode("codes").alias("code"))
-        pref = _ordered_shingles(ex).filter(
+        pref = _ordered_shingles(sh).filter(
             F.col("pos") <= _prefix_len(F.col("n_sh"), threshold))
         new_p = (pref.filter(is_new(F.col("doc")))
                  .select(F.col("doc").alias("doc_n"), "code",
@@ -782,9 +788,15 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
 _CKPT_REG_LOCK = threading.Lock()
 
 
-def _ckpt_tracked(df: DataFrame, sc) -> tuple[DataFrame, set]:
-    """Eager localCheckpoint plus the ids of the persistent-RDD blocks it
+def _ckpt_tracked(df: DataFrame, sc, *,
+                  eager: bool = True) -> tuple[DataFrame, set]:
+    """localCheckpoint plus the ids of the persistent-RDD blocks it
     pinned (before/after diff of the context's persistent-RDD registry).
+    ``eager=False`` marks the plan for checkpointing but lets the CALLER's
+    next action materialize it (round-9, guide §1.2: the CC loop folds the
+    per-round convergence count into the checkpoint job instead of paying
+    a separate count pass — persist marking registers the RDD immediately,
+    so the registry diff is unaffected by laziness).
     DataFrame.unpersist() does NOT release localCheckpoint blocks — they
     belong to the checkpointed internal RDD, not the plan cache — so the
     ids are the only handle for freeing them (ADVICE r7: without this,
@@ -799,8 +811,8 @@ def _ckpt_tracked(df: DataFrame, sc) -> tuple[DataFrame, set]:
         try:
             before = set(sc._jsc.getPersistentRDDs().keySet())
         except Exception:  # noqa: BLE001 — tracking is an optimization only
-            return df.localCheckpoint(), set()
-        out = df.localCheckpoint()
+            return df.localCheckpoint(eager=eager), set()
+        out = df.localCheckpoint(eager=eager)
         try:
             after = set(sc._jsc.getPersistentRDDs().keySet())
         except Exception:  # noqa: BLE001
@@ -883,9 +895,16 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     # the whole query at sf1: 103 s -> ~55 s)
     pairs, pairs_ids = _ckpt_tracked(
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")), sc)
+    # the union is ckpt-marked LAZILY: touched's eager job below consumes
+    # every edge partition through its distinct shuffle, so one job
+    # materializes both frames (round-9, guide §1.2 — the eager form paid
+    # a dedicated pass per frame).  pairs stays EAGER because the union
+    # references it twice: two concurrent first-computes of the expensive
+    # pair generator would race the cache.
     edges, edges_ids = _ckpt_tracked(
         pairs.union(pairs.select(F.col("dst").alias("src"),
-                                 F.col("src").alias("dst"))), sc)
+                                 F.col("src").alias("dst"))), sc,
+        eager=False)
     touched, _ = _ckpt_tracked(  # lives past the loop (isolated anti-join)
         edges.select(F.col("src").alias("node")).distinct(), sc)
     # edges and touched are materialized — the directed half is unreachable
@@ -894,6 +913,11 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
 
     converged = False
     prev_stepped_ids: set = set()  # last round's labels blocks
+    # blocks whose last consumer is the NEXT stepped-count job (a lazily
+    # checkpointed contraction still reads its parent edges until that job
+    # persists it — freeing earlier would drop data, localCheckpoint RDDs
+    # cannot recompute)
+    free_after_count: set = set()
     for rnd in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -911,13 +935,24 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         # doubles propagation distance per round (O(log d) convergence)
         lbl2 = labels.select(F.col("node").alias("label"),
                              F.col("label").alias("jump"))
+        # lazy checkpoint + count in ONE job: the count is the action that
+        # computes (and thereby persists) every partition of the stepped
+        # frame, so each round runs one job where the eager-ckpt + count
+        # form ran two (round-9, guide §1.2 — don't pay two passes for
+        # one materialization)
         stepped, stepped_ids = _ckpt_tracked(
             half.join(lbl2, "label", "left")
             .select("node", "old_label",
                     F.least("label", F.coalesce("jump", F.col("label")))
-                    .alias("label")), sc)
+                    .alias("label")), sc, eager=False)
         changed = stepped.filter(
             F.col("label") != F.col("old_label")).count()
+        # the count materialized this round's stepped AND (through the
+        # neighbor-min join) the lazily-checkpointed contracted edges —
+        # their parent edge blocks from two rounds back are now truly
+        # unreachable
+        _free_ckpt_blocks(sc, free_after_count)
+        free_after_count = set()
         labels = stepped.select("node", "label")
         if round_stats is not None:
             round_stats.append(
@@ -933,7 +968,10 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         # edge contraction: remap endpoints to their new labels, drop
         # now-intra-cluster edges, merge duplicates — the next round's
         # neighbor-min join runs over the shrunken rep graph (labels of
-        # absorbed nodes keep tracking their rep via the jump step)
+        # absorbed nodes keep tracking their rep via the jump step).
+        # Ckpt-marked lazily: the next round's stepped-count job consumes
+        # every contracted partition through its shuffle (single
+        # reference), so the marking persists it with no dedicated job.
         src_l = labels.select(F.col("node").alias("src"),
                               F.col("label").alias("src_l"))
         dst_l = labels.select(F.col("node").alias("dst"),
@@ -943,13 +981,12 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
             .filter(F.col("src_l") != F.col("dst_l"))
             .select(F.col("src_l").alias("src"),
                     F.col("dst_l").alias("dst"))
-            .distinct(), sc)
-        # both of this round's artifacts (stepped, contracted edges) are
-        # materialized: the previous round's blocks are unreachable —
-        # free them instead of pinning every round until driver GC
-        # (ADVICE r7)
+            .distinct(), sc, eager=False)
+        # stepped is materialized, so the previous round's labels are
+        # unreachable; the previous edges stay pinned until the lazy
+        # contraction above is computed by the next count
         _free_ckpt_blocks(sc, prev_stepped_ids)
-        _free_ckpt_blocks(sc, edges_ids)
+        free_after_count = edges_ids
         prev_stepped_ids = stepped_ids
         edges_ids = new_edges_ids
     if not converged:

@@ -2709,12 +2709,32 @@ def itemset_copurchase_pairs(spark: SparkSession, sf_dir: str,
                     F.col("l_partkey").alias("part")).distinct())
     if pop_cap is not None:
         op = cap_popular_items(op, "part", pop_cap)
-    n_orders = op.select(F.countDistinct("okey").alias("n_orders"))
-    psup = op.groupBy("part").agg(F.count(F.lit(1)).alias("sup"))
-    a = op.select("okey", F.col("part").alias("part_a"))
-    b = op.select("okey", F.col("part").alias("part_b"))
-    pairs = (a.join(b, "okey")
-             .filter(F.col("part_a") < F.col("part_b"))
+    # Round-9 restructure (guide §1.2 don't-compute-twice + §2.3): the
+    # old form referenced the un-persisted distinct (okey, part) frame
+    # FOUR times (order total, part supports, both self-join sides), so
+    # lineitem was scanned and the distinct shuffled four times, and the
+    # within-order pair expansion paid a full self-join exchange.  Now
+    # ONE exchange builds the per-order sorted part-set (collect_set
+    # folds the distinct into the same shuffle), the frame is persisted
+    # + materialized once, and pairs/supports/total all derive from it —
+    # the a<b pair expansion runs inside codegen over the ~4-7-element
+    # basket arrays (same bounded-quadratic term as before, no join).
+    # Oracle keeps the op-based self-join form; results are identical
+    # (sorted distinct baskets make combinations == the a<b equi-join).
+    baskets = (op.groupBy("okey")
+               .agg(F.sort_array(F.collect_set("part")).alias("parts"))
+               .persist())
+    baskets.count()  # materialize once for the three downstream uses
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    psup = (baskets.select(F.explode("parts").alias("part"))
+            .groupBy("part").agg(F.count(F.lit(1)).alias("sup")))
+    pair_arr = F.flatten(F.transform(
+        F.col("parts"),
+        lambda x, i: F.transform(
+            F.slice(F.col("parts"), i + F.lit(2), F.size("parts")),
+            lambda y: F.struct(x.alias("part_a"), y.alias("part_b")))))
+    pairs = (baskets.select(F.explode(pair_arr).alias("p"))
+             .select("p.part_a", "p.part_b")
              .groupBy("part_a", "part_b")
              .agg(F.count(F.lit(1)).alias("support"))
              .filter(F.col("support") >= COPURCHASE_MIN_SUP))
