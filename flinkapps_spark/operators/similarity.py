@@ -346,8 +346,15 @@ def embedding_neardup_pairs_lsh(df: DataFrame, threshold: float = 0.99,
     # spread the corpus before the Arrow stage (the parquet scan often
     # yields 1-2 input splits at test sf — same fix as the grid path)
     par = df.sparkSession.sparkContext.defaultParallelism
+    # persist + eager count: the self-join below consumes the band table
+    # on BOTH sides, and since the planner broadcasts one side the two
+    # subtrees share no exchange to reuse — un-persisted, the Arrow
+    # signature pass ran TWICE over the corpus (round-9, guide §1.2;
+    # same pattern as minhash_lsh_pairs' persisted code-set table).
+    # n·n_bands (id, band, sig) rows — tiny next to the vectors.
     bands = band_signature_table(df.repartition(par), id_col, vec_col,
-                                 dim, n_bands, band_bits)
+                                 dim, n_bands, band_bits).persist()
+    bands.count()
     x, y = bands.alias("x"), bands.alias("y")
     cand = (x.join(y, (F.col("x.band") == F.col("y.band"))
                    & (F.col("x.sig") == F.col("y.sig"))

@@ -759,7 +759,9 @@ def _ann_gate(brute: DataFrame, ann: DataFrame, cand: DataFrame,
         "(the round-8 class) as candidate explosions.",
 )
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # persist: emb feeds the sig table, the re-rank, the brute-force
+    # baseline and the gate — the count below materializes it (guide §1.2)
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     q = emb.filter(F.col("vec_id") < 10)
     n = emb.count()
     r, lbands = similarity.knn_lsh_params(n)
@@ -808,7 +810,15 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches: +100000 collided with real ids at sf10's 200k vectors,
     which silently merged colliding rows in GROUP BY vec_id oracles):
     the fixture has no natural near-dups, so near-dup queries share this
-    augmentation to stay non-vacuous (cosine ≈ 0.9987 per orig/copy pair)."""
+    augmentation to stay non-vacuous (cosine ≈ 0.9987 per orig/copy pair).
+
+    Persisted + materialized: every caller fans this frame into several
+    heavy subtrees (signature/cell tables, both verify sides, node lists,
+    brute-force baselines), and an un-persisted aug re-ran the double
+    scan + transform once PER SUBTREE — knn_lsh_neardup's captured plan
+    had 28 parquet scans of embeddings before this (round-9, guide §1.2:
+    don't compute things twice).  ~n·dim doubles, MEMORY_AND_DISK-class
+    size at any sf this repo runs."""
     emb = load_table(spark, sf_dir, "embeddings")
     emb_d = emb.select(
         "vec_id",
@@ -817,7 +827,10 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         _guarded_offset("vec_id", 10000000).alias("vec_id"),
         F.concat(F.array(F.element_at("v", 1) + 0.05),
                  F.slice("v", 2, 10_000)).alias("v"))
-    return emb_d.unionByName(pert).withColumnRenamed("v", "embedding")
+    aug = (emb_d.unionByName(pert).withColumnRenamed("v", "embedding")
+           .persist())
+    aug.count()
+    return aug
 
 
 @query(
@@ -1601,7 +1614,10 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "oracle asserts literal true.",
 )
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # persist: emb feeds the IVF index, its probes, and the brute-force
+    # baseline (guide §1.2); the count materializes it
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb.count()
     q = emb.filter(F.col("vec_id") < 10)
     return _ann_selfcheck(similarity.knn_bruteforce(emb, q, k=5),
                           similarity.knn_ivf(emb, q, k=5), floor=0.25)
@@ -1636,14 +1652,18 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim·32 / (m·log2(words)) bits ratio.",
 )
 def knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # persist + count-first: emb feeds the trainer sample, the encode
+    # pass, the re-rank, the brute-force baseline and the IVF-exact
+    # baseline — seven scans un-persisted (guide §1.2)
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    n = emb.count()
     q = emb.filter(F.col("vec_id") < 10)
     X = similarity.training_sample(emb)  # one collect, both trainers
     centers = similarity.train_coarse_centroids(emb, sample=X)
     books = similarity.train_residual_books(emb, centers, sample=X)
     enc = similarity.ivfpq_encode(emb, centers, books)
     short = similarity.ivfpq_adc_shortlist(enc, q, centers, books,
-                                           corpus_n=emb.count())
+                                           corpus_n=n)
     ann = similarity.knn_rerank(short.select("query_id", "vec_id"),
                                 emb, q, k=5)
     rec = _ann_selfcheck(similarity.knn_bruteforce(emb, q, k=5),
@@ -1697,7 +1717,8 @@ IVFPQ_SWEEP_FLOORS = {17: 0.3, 40: 0.5, 1000: 1.0}
 def knn_ivfpq_shortlist_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # persist: same multi-subtree fan-out as knn_cosine_ivfpq (guide §1.2)
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     q = emb.filter(F.col("vec_id") < 10)
     n = emb.count()
     X = similarity.training_sample(emb)  # one collect, both trainers
@@ -2720,7 +2741,10 @@ IVF_SWEEP_FLOORS = {1: 0.10, 2: 0.15, 4: 0.30, 16: 1.0}
         "sample and shared across all sweep settings.",
 )
 def knn_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # persist: one corpus, one brute baseline, four probe settings — the
+    # sweep re-reads emb ~10 times un-persisted (guide §1.2)
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb.count()
     q = emb.filter(F.col("vec_id") < 10)
     brute = similarity.knn_bruteforce(emb, q, k=5) \
         .select("query_id", "vec_id")

@@ -741,7 +741,10 @@ def stream_knn_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flinkapps_spark.operators import similarity
     from flinkapps_spark.sources.batch import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # persist: emb feeds the trainer sample, the encode pass, and the
+    # exact re-rank of every served batch plus the batch baseline
+    # (guide §1.2); unpersisted with enc in the finally below
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     X = similarity.training_sample(emb)  # one collect, both trainers
     centers = similarity.train_coarse_centroids(emb, sample=X)
     books = similarity.train_residual_books(emb, centers, sample=X)
@@ -782,12 +785,19 @@ def stream_knn_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_df = spark.createDataFrame(
             [(r.query_id, r.vec_id, r.cosine, r.rank) for r in served],
             "query_id bigint, vec_id bigint, cosine double, rank int")
-        batch_df = answer(emb.filter(F.col("vec_id") < 30))
+        # localCheckpoint: the two exceptAll directions below otherwise
+        # re-execute the whole ADC-shortlist + re-rank plan — the most
+        # expensive subtree of the query — once EACH (round-9, guide
+        # §1.2: don't compute things twice); the pinned result is k·30
+        # rows
+        batch_df = answer(emb.filter(F.col("vec_id") < 30)) \
+            .localCheckpoint()
         matches = (stream_df.exceptAll(batch_df).isEmpty()
                    and batch_df.exceptAll(stream_df).isEmpty())
         n_q = stream_df.select("query_id").distinct().count()
     finally:
         enc.unpersist()
+        emb.unpersist()
     return spark.createDataFrame(
         [(n_q, matches)], "n_queries bigint, stream_matches_batch boolean")
 
