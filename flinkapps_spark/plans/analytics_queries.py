@@ -284,16 +284,31 @@ def recsys_item_cosine(spark: SparkSession, sf_dir: str,
          .select("l_orderkey", "l_partkey").distinct())
     if pop_cap is not None:
         b = cap_popular_items(b, "l_partkey", pop_cap)
-    l = b.select(F.col("l_orderkey").alias("ok_a"),
-                 F.col("l_partkey").alias("part_a"))
-    r = b.select(F.col("l_orderkey").alias("ok_b"),
-                 F.col("l_partkey").alias("part_b"))
-    co = (l.join(r, (F.col("ok_a") == F.col("ok_b"))
-                 & (F.col("part_a") < F.col("part_b")))
+    # Round-9 restructure (guide §1.2 + §2.3 — same rewrite as
+    # itemset_copurchase_pairs): the un-persisted distinct frame was
+    # referenced three times (both self-join sides + part counts), so
+    # lineitem was scanned and the distinct shuffled three times and the
+    # within-order pair expansion paid a self-join exchange.  One
+    # collect_set shuffle builds the sorted per-order basket (the
+    # distinct folds into the same exchange), the frame persists once,
+    # and the a<b expansion runs in codegen over the ~4-7-element
+    # arrays.  Oracle keeps the self-join form; results identical.
+    baskets = (b.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+               .persist())
+    baskets.count()  # materialize once for the two downstream uses
+    pair_arr = F.flatten(F.transform(
+        F.col("parts"),
+        lambda x, i: F.transform(
+            F.slice(F.col("parts"), i + F.lit(2), F.size("parts")),
+            lambda y: F.struct(x.alias("part_a"), y.alias("part_b")))))
+    co = (baskets.select(F.explode(pair_arr).alias("p"))
+          .select("p.part_a", "p.part_b")
           .groupBy("part_a", "part_b")
           .agg(F.count("*").alias("co_cnt"))
           .filter(F.col("co_cnt") >= COSINE_MIN_CO))
-    cnt = b.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    cnt = (baskets.select(F.explode("parts").alias("l_partkey"))
+           .groupBy("l_partkey").agg(F.count("*").alias("n")))
     ca = cnt.select(F.col("l_partkey").alias("part_a"),
                     F.col("n").alias("n_a"))
     cb = cnt.select(F.col("l_partkey").alias("part_b"),

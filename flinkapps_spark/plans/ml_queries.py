@@ -479,10 +479,17 @@ def _learn_bpe_merges(spark: SparkSession,
     docs = load_table(spark, sf_dir, "documents")
     freq = (docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
             .groupBy("word").agg(F.count("*").alias("cnt")))
+    # persist + materialize: each merge round's collect re-executed the
+    # full lineage from the corpus scan, so the "one corpus-sized pass"
+    # the docstring promises actually ran once PER ROUND un-persisted
+    # (round-9, guide §1.2); the cached frame is the distinct-word
+    # vocabulary — small at any scale
     vocab = freq.select(
         "word", "cnt",
         F.concat(F.lit(" "),
-                 F.regexp_replace("word", "(.)", "$1 ")).alias("sp"))
+                 F.regexp_replace("word", "(.)", "$1 ")).alias("sp")) \
+        .persist()
+    vocab.count()
 
     merges: list[tuple[int, str, str, str, int]] = []
     for i in range(1, BPE_MERGES + 1):

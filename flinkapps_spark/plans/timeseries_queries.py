@@ -980,11 +980,17 @@ def events_trend_theilsen(spark: SparkSession, sf_dir: str,
                           hist_mode: bool | None = False,
                           span_threshold: int = TS_HIST_SPAN) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # persist: the pair self-join reads the hourly frame on both sides
+    # (and the hist path re-streams it per pass) — un-persisted, each
+    # reference re-scanned events and redid the partial agg (guide §1.2).
+    # |types|·|hours| rows, tiny at any scale.
     h = (ev.groupBy(
             "event_type",
             (F.unix_micros(F.date_trunc("hour", F.col("ts")))
              / F.lit(3_600_000_000)).cast("long").alias("hr"))
-         .agg(F.sum(units_col("value", TS_SCALE)).alias("u")))
+         .agg(F.sum(units_col("value", TS_SCALE)).alias("u"))
+         .persist())
+    h.count()
     if hist_mode is None:
         # auto: one cheap action over the bounded hourly frame decides;
         # the default (False) keeps the driver-measured path single-pass
