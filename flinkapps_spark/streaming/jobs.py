@@ -229,21 +229,48 @@ def time_split_replay(spark: SparkSession, sf_dir: str, table: str,
         cuts = sorted(int(c) for c in cuts)
         n_chunks = len(cuts) + 1
     staged = tempfile.mkdtemp(prefix=f"replay_{table or 'df'}_")
+    # ONE staging pass (round-9, guide §1.2: the per-chunk filter+write
+    # loop re-scanned the source once PER CHUNK — 1 + n_chunks corpus
+    # passes per replay query): assign each row its chunk id, hash-
+    # repartition BY the id (equal ids never split across tasks, so each
+    # partition dir below holds exactly one file; a hash collision only
+    # co-locates two chunks in one task), sort within the task by event
+    # time (the shuffle's fetch order is not run-deterministic — the
+    # sort pins file contents; time-ordered rows within a chunk), and
+    # write all chunks in one partitioned job.  The staged layout is
+    # byte-compatible with the old loop: same names, same pinned mtimes,
+    # and EMPTY chunks still stage a zero-row file (an empty micro-batch
+    # is part of the replay semantics the layout fuzz tests pin).
+    chunk_id = F.lit(0)
+    for c in cuts:
+        chunk_id = chunk_id + (us >= F.lit(c)).cast("int")
+    part = tempfile.mkdtemp(prefix="replay_chunks_")
+    (df.withColumn("__chunk", chunk_id)
+       .repartition(n_chunks, "__chunk")
+       .sortWithinPartitions(us)
+       .write.mode("overwrite").partitionBy("__chunk").parquet(part))
+    empty = None
     for i in range(n_chunks):
-        cond = None
-        if i > 0:
-            cond = us >= cuts[i - 1]
-        if i < n_chunks - 1:
-            c = us < cuts[i]
-            cond = c if cond is None else (cond & c)
-        chunk = df if cond is None else df.filter(cond)
-        part = tempfile.mkdtemp(prefix=f"replay_chunk{i}_")
-        chunk.coalesce(1).write.mode("overwrite").parquet(part)
-        pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        d = os.path.join(part, f"__chunk={i}")
+        pfs = ([f for f in os.listdir(d) if f.endswith(".parquet")]
+               if os.path.isdir(d) else [])
+        if len(pfs) > 1:  # impossible per the repartition argument above
+            raise AssertionError(f"chunk {i} staged as {len(pfs)} files")
         dst = os.path.join(staged, f"{i:02d}_chunk.parquet")
-        shutil.copy(os.path.join(part, pf), dst)
+        if pfs:
+            shutil.copy(os.path.join(d, pfs[0]), dst)
+        else:
+            if empty is None:  # no row fell in this chunk: 0-row file
+                ep = tempfile.mkdtemp(prefix="replay_empty_")
+                spark.createDataFrame([], df.schema) \
+                    .coalesce(1).write.mode("overwrite").parquet(ep)
+                empty = os.path.join(ep, next(
+                    f for f in os.listdir(ep) if f.endswith(".parquet")))
+            shutil.copy(empty, dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-        shutil.rmtree(part, ignore_errors=True)
+    shutil.rmtree(part, ignore_errors=True)
+    if empty is not None:
+        shutil.rmtree(os.path.dirname(empty), ignore_errors=True)
     stream = (spark.readStream.schema(df.schema)
               .option("maxFilesPerTrigger", 1)
               .parquet(os.path.join(staged, "*.parquet")))
