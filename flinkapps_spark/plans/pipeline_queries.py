@@ -3220,12 +3220,32 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = doc_shingle_table(docs)
     src = docs.select(F.col("doc_id").alias("doc"), "source")
-    sc = sh.join(src, "doc").select("source", "code").distinct()
-    sizes = sc.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sc.select(F.col("source").alias("src_a"), "code")
-    b = sc.select(F.col("source").alias("src_b"), "code")
-    inter = (a.join(b, "code")
-             .filter(F.col("src_a") < F.col("src_b"))
+    # Round-9 restructure (guide §1.2 + §2.3, same shape as the basket
+    # rewrite of itemset_copurchase_pairs): the old form computed the
+    # distinct (source, code) frame THREE times (sizes + both self-join
+    # sides — each a full shingle pass + distinct exchange) and paid the
+    # code self-join shuffle on top.  ONE collect_set exchange now builds
+    # the sorted per-code source set (collect_set folds the distinct into
+    # the same shuffle), the frame persists once, and sizes + pair
+    # intersections both derive from it — the x<y pair expansion runs in
+    # codegen over the ≤|sources| element arrays (the same bounded
+    # C(S,2) fan-out as the old join, no shuffle).  Sorted-set pairs
+    # (ascending binary string order) == the old src_a < src_b equi-join
+    # cut; the oracle keeps the self-join form and results are identical.
+    cs = (sh.join(src, "doc")
+          .groupBy("code")
+          .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+          .persist())
+    cs.count()  # materialize once for the two downstream uses
+    sizes = (cs.select(F.explode("srcs").alias("source"))
+             .groupBy("source").agg(F.count(F.lit(1)).alias("n_sh")))
+    pair_arr = F.flatten(F.transform(
+        F.col("srcs"),
+        lambda x, i: F.transform(
+            F.slice(F.col("srcs"), i + F.lit(2), F.size("srcs")),
+            lambda y: F.struct(x.alias("src_a"), y.alias("src_b")))))
+    inter = (cs.select(F.explode(pair_arr).alias("p"))
+             .select("p.src_a", "p.src_b")
              .groupBy("src_a", "src_b")
              .agg(F.count(F.lit(1)).alias("n_common")))
     sa = sizes.select(F.col("source").alias("src_a"),

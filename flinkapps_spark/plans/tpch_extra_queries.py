@@ -723,23 +723,35 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # form Expands every row with a gid column and shuffles on the wide
     # (orderkey, suppkey, case, gid) key; (orderkey, suppkey) → max(late)
     # then orderkey keeps keys narrow, and an orderkey partitioning
-    # satisfies BOTH levels (no extra exchange between them)
+    # satisfies BOTH levels (no extra exchange between them).
+    # The late-line COUNT rides the same aggregation (round-9, guide
+    # §1.2/§2.4): a qualifying order has EXACTLY ONE late supplier, so
+    # its numwait contribution is that supplier's late-line count —
+    # max(when(supp_late, ...)) picks the pair unambiguously.  The old
+    # form recomputed the lineitem⋈orders join a second time and
+    # shuffle-joined it back against the qualifying orders; both passes
+    # fold into the aggregation the query already pays for.
     per_order = (j.groupBy("l_orderkey", "l_suppkey")
-                 .agg(F.max("late").alias("supp_late"))
+                 .agg(F.max("late").alias("supp_late"),
+                      F.count(F.when(F.col("late"), 1))
+                      .alias("n_late_lines"))
                  .groupBy("l_orderkey")
                  .agg(F.count("*").alias("n_supp"),
                       F.count(F.when(F.col("supp_late"), 1))
-                      .alias("n_late_supp")))
+                      .alias("n_late_supp"),
+                      F.max(F.when(F.col("supp_late"),
+                                   F.col("l_suppkey"))).alias("late_skey"),
+                      F.max(F.when(F.col("supp_late"),
+                                   F.col("n_late_lines")))
+                      .alias("late_lines")))
     qualifying = per_order.filter(
-        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)) \
-        .select(F.col("l_orderkey").alias("q_orderkey"))
-    cand = j.filter(F.col("late")).join(
-        qualifying, F.col("l_orderkey") == F.col("q_orderkey"))
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     na = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_2")
     su = load_table(spark, sf_dir, "supplier")
     su = joins.broadcast_dim_join(
         su, na, F.col("s_nationkey") == F.col("n_nationkey"))
-    return (cand.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
-            .groupBy("s_name").agg(F.count("*").alias("numwait"))
+    return (qualifying.join(F.broadcast(su),
+                            F.col("late_skey") == F.col("s_suppkey"))
+            .groupBy("s_name").agg(F.sum("late_lines").alias("numwait"))
             .orderBy(F.desc("numwait"), "s_name").limit(20))
