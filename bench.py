@@ -20,7 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flinkapps_spark.plans import catalog
-from flinkapps_spark.session import get_spark
+from flinkapps_spark.session import free_session_state, get_spark
 
 # headline set: the flagship pipeline plus the heaviest representative
 # operator from each family (filter/agg/window/join/dedup/similarity/text)
@@ -212,6 +212,10 @@ def main() -> None:
         except (OSError, IndexError, ValueError):
             return 0.0, 0.0
 
+    # session hygiene before the timed region: the warm-up may have
+    # cached frames; every timed run below computes from parquet
+    free_session_state(spark)
+
     steal0, total0 = cpu_counters()
     for name in names:
         runs = []
@@ -220,6 +224,14 @@ def main() -> None:
             df = reg[name].build(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            # between-run hygiene, OUTSIDE the timed window (round-9,
+            # measurement fix declared in OPTIMIZATION_r09.md): drop the
+            # run's cached plans and pinned localCheckpoint blocks so
+            # (a) the next run cannot silently reuse a persisted frame —
+            # every timed run computes from the parquet inputs — and
+            # (b) pinned blocks do not accumulate over the 115-query
+            # session and degrade later queries (measured 2-4x).
+            free_session_state(spark)
             budget = (n_runs_fast if runs[0] < 1.0 or name in sticky_fast
                       else n_runs)
             if len(runs) >= budget:

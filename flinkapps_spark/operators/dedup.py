@@ -905,7 +905,7 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         pairs.union(pairs.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst"))), sc,
         eager=False)
-    touched, _ = _ckpt_tracked(  # lives past the loop (isolated anti-join)
+    touched, touched_ids = _ckpt_tracked(
         edges.select(F.col("src").alias("node")).distinct(), sc)
     # edges and touched are materialized — the directed half is unreachable
     _free_ckpt_blocks(sc, pairs_ids)
@@ -960,10 +960,13 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         if changed == 0:
             converged = True
             # this round's stepped IS the result labels — keep its blocks;
-            # the previous round's labels and the last edge frame are now
-            # unreachable from any live plan
+            # the previous round's labels, the last edge frame AND touched
+            # are now unreachable from any live plan (the isolated-node
+            # anti-join below runs against labels, whose node set equals
+            # touched's by induction — every round's update preserves it)
             _free_ckpt_blocks(sc, prev_stepped_ids)
             _free_ckpt_blocks(sc, edges_ids)
+            _free_ckpt_blocks(sc, touched_ids)
             break
         # edge contraction: remap endpoints to their new labels, drop
         # now-intra-cluster edges, merge duplicates — the next round's
@@ -995,7 +998,11 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
             f"(graph diameter > 2^{max_iter}?) — raise max_iter")
     node_col = nodes.select(F.col(nodes.columns[0]).alias("node"))
     labeled = labels.join(node_col, "node", "semi")
+    # anti-join against the (checkpointed) final labels, not touched:
+    # identical node set, and it lets touched's blocks be freed above —
+    # returning a plan that still read touched pinned 1 extra RDD per
+    # call for the caller's session lifetime (round-9 leak audit)
     isolated = (node_col
-                .join(touched, "node", "left_anti")
+                .join(labels.select("node"), "node", "left_anti")
                 .withColumn("label", F.col("node")))
     return labeled.union(isolated)

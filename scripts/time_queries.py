@@ -19,7 +19,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 from flinkapps_spark.plans import catalog  # noqa: E402
-from flinkapps_spark.session import get_spark  # noqa: E402
+from flinkapps_spark.session import free_session_state, get_spark  # noqa: E402
 
 
 def main() -> None:
@@ -39,6 +39,7 @@ def main() -> None:
      .mapInPandas(lambda it: it, schema="id long")
      .write.format("noop").mode("overwrite").save())
 
+    free_session_state(spark)  # same between-run hygiene as bench.py
     out = {}
     for name in args.names.split(","):
         name = name.strip()
@@ -48,6 +49,7 @@ def main() -> None:
             df = reg[name].build(spark, args.sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
+            free_session_state(spark)
         runs.sort()
         out[name] = {"median": runs[len(runs) // 2], "runs": runs}
         print(name, out[name], flush=True)
