@@ -919,32 +919,38 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     # cannot recompute)
     free_after_count: set = set()
     for rnd in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        half = (
-            labels.join(neighbor_min, "node", "left")
-            .select("node",
-                    F.col("label").alias("old_label"),
-                    F.least("label", F.coalesce("nbr_label", F.col("label")))
-                    .alias("label"))
-        )
-        # pointer jumping: follow label -> label(label) one hop, which
-        # doubles propagation distance per round (O(log d) convergence)
-        lbl2 = labels.select(F.col("node").alias("label"),
-                             F.col("label").alias("jump"))
+        # FUSED round update (round-9, guide §2.4 — one exchange chain
+        # instead of three): every input to a node's new label is a
+        # lookup INTO labels keyed by node —
+        #   . its neighbors' labels   (edge src -> deliver to dst)
+        #   . its label's own label   (pointer jump: k = label(v))
+        #   . its current label       (k = v; doubles as old_label)
+        # so ONE request union + ONE join + ONE min-aggregation computes
+        # min(label, nbr labels, jump) exactly as the former
+        # neighbor-min groupBy + left-join + pointer-jump-join chain did
+        # (3 joins / ~6 exchanges per round -> 1 join / 3 exchanges).
+        # Every label value is itself a touched node id (min over node
+        # ids, induction from label=node), so the inner join drops
+        # nothing; the k=v self-request always exists, making the min
+        # total and old_label recoverable as the k=v row's value.
+        req = (edges.select(F.col("src").alias("k"),
+                            F.col("dst").alias("v"))
+               .union(labels.select(F.col("label").alias("k"),
+                                    F.col("node").alias("v")))
+               .union(labels.select(F.col("node").alias("k"),
+                                    F.col("node").alias("v"))))
+        got = req.join(labels.select(F.col("node").alias("k"), "label"),
+                       "k")
         # lazy checkpoint + count in ONE job: the count is the action that
         # computes (and thereby persists) every partition of the stepped
         # frame, so each round runs one job where the eager-ckpt + count
         # form ran two (round-9, guide §1.2 — don't pay two passes for
         # one materialization)
         stepped, stepped_ids = _ckpt_tracked(
-            half.join(lbl2, "label", "left")
-            .select("node", "old_label",
-                    F.least("label", F.coalesce("jump", F.col("label")))
-                    .alias("label")), sc, eager=False)
+            got.groupBy(F.col("v").alias("node"))
+            .agg(F.min(F.when(F.col("k") == F.col("v"), F.col("label")))
+                 .alias("old_label"),
+                 F.min("label").alias("label")), sc, eager=False)
         changed = stepped.filter(
             F.col("label") != F.col("old_label")).count()
         # the count materialized this round's stepped AND (through the

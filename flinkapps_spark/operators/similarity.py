@@ -577,8 +577,17 @@ def _lloyd(X, k: int, seed: int, iters: int = 25) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     ctr = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
     xx = (X * X).sum(1)
+    prev = None
     for _ in range(iters):
         assign = _nearest_center(X, ctr, xx)
+        # fixed point: identical assignment -> identical center update ->
+        # every remaining iteration is a no-op, so breaking here returns
+        # BIT-IDENTICAL centers to the full-iters loop (round-9: the 8
+        # residual books each ran all 25 iters; most converge in far
+        # fewer — pure driver time saved, output unchanged)
+        if prev is not None and np.array_equal(assign, prev):
+            break
+        prev = assign
         counts = np.bincount(assign, minlength=len(ctr))
         sums = np.zeros_like(ctr)
         np.add.at(sums, assign, X)

@@ -730,7 +730,9 @@ def stream_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "— stateless serving, no stream state store. Because per-query "
         "results are independent, the converged union must EQUAL the "
         "one-shot batch answer bit-for-bit; the emitted gate "
-        "(stream_matches_batch) asserts exceptAll-both-ways emptiness, "
+        "(stream_matches_batch) asserts multiset equality of the two "
+        "bounded (k·n_queries-row) answer sets — exceptAll-both-ways "
+        "emptiness, compared on the driver — "
         "the batch≡stream contract (SURVEY T3) applied to ANN. Index "
         "internals are seed-specific, so the DuckDB oracle asserts the "
         "gate shape (same pattern as the other ANN gates).",
@@ -782,22 +784,24 @@ def stream_knn_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq.awaitTermination()
 
     try:
-        stream_df = spark.createDataFrame(
-            [(r.query_id, r.vec_id, r.cosine, r.rank) for r in served],
-            "query_id bigint, vec_id bigint, cosine double, rank int")
-        # localCheckpoint: the two exceptAll directions below otherwise
-        # re-execute the whole ADC-shortlist + re-rank plan — the most
-        # expensive subtree of the query — once EACH (round-9, guide
-        # §1.2: don't compute things twice); the pinned result is k·30
-        # rows
-        batch_df = answer(emb.filter(F.col("vec_id") < 30)) \
-            .localCheckpoint()
-        matches = (stream_df.exceptAll(batch_df).isEmpty()
-                   and batch_df.exceptAll(stream_df).isEmpty())
-        n_q = stream_df.select("query_id").distinct().count()
+        # the gate compares two BOUNDED result sets (k rows per served
+        # query: k·30 = 150 rows each side) — collect the batch answer
+        # once and compare MULTISETS on the driver, which is exactly
+        # exceptAll-both-ways-emptiness.  The exceptAll form paid three
+        # jobs (two isEmpty + a distinct count) plus a localCheckpoint
+        # over 150-row frames — measured 1.3-1.4 s of pure plan overhead
+        # at sf0.1 (round-9, guide §1.2/§5: bounded model-state compare
+        # belongs on the driver, same precedent as the other ANN gates)
+        batch_rows = answer(emb.filter(F.col("vec_id") < 30)).collect()
     finally:
         enc.unpersist()
         emb.unpersist()
+    stream_t = sorted((r.query_id, r.vec_id, r.cosine, r.rank)
+                      for r in served)
+    batch_t = sorted((r.query_id, r.vec_id, r.cosine, r.rank)
+                     for r in batch_rows)
+    matches = stream_t == batch_t
+    n_q = len({t[0] for t in stream_t})
     return spark.createDataFrame(
         [(n_q, matches)], "n_queries bigint, stream_matches_batch boolean")
 
