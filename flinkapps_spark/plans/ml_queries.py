@@ -137,17 +137,32 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
              for r in pts.filter(F.col("vec_id") < KM_K).collect()}
 
     def assign(centroids: dict[int, list[int]]) -> DataFrame:
-        carr = F.array(*[
-            F.array(*[F.lit(int(v)) for v in centroids[j]])
-            for j in sorted(centroids)])
-        dists = F.transform(carr, lambda c: F.aggregate(
-            F.zip_with(F.col("u"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x))
-        best = F.array_min(F.transform(
-            dists, lambda d, i: F.struct(d.alias("d"), i.alias("j"))))
-        return pts.select("vec_id", "u",
-                          best.getField("j").alias("j"),
-                          best.getField("d").alias("d2"))
+        # Arrow/numpy argmin instead of the interpreted k x dim
+        # higher-order expression (guide §4.2: the zip_with/aggregate
+        # lambda chain evaluated k·dim interpreted calls PER ROW, and the
+        # 512-literal tree re-compiled per round).  Exactness: components
+        # are fixed-point int64 (|u| ~ 1e6), so (a-b)² ≤ 4e12 and the
+        # 64-term sums ≤ 2.6e14 — exact int64 on both paths; np.argmin's
+        # first-occurrence tie-break IS array_min over struct(d, j)
+        # (min d, then min j).
+        import numpy as np
+        C = np.asarray([centroids[j] for j in sorted(centroids)],
+                       dtype=np.int64)
+
+        def _best(batches):
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                X = np.asarray(b["u"].tolist(), dtype=np.int64)
+                d = X[:, None, :] - C[None, :, :]
+                d2 = (d * d).sum(axis=2)      # (n, k) exact int64
+                j = d2.argmin(axis=1)
+                b["j"] = j.astype("int32")
+                b["d2"] = d2[np.arange(len(j)), j]
+                yield b
+
+        return pts.select("vec_id", "u").mapInPandas(
+            _best, schema="vec_id bigint, u array<bigint>, j int, d2 long")
 
     asg = assign(cents)
     for _ in range(KM_ITERS - 1):
