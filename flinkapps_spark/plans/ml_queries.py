@@ -205,21 +205,6 @@ def quality_z_expr(ws):
         F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
-def quality_z_codes(codes):
-    """``quality_z_expr`` over PRE-HASHED word codes (the Arrow word-hash
-    column): identical weight formula minus the per-character fold —
-    ``word_code(w) % QS_BUCKETS`` ≡ ``code % QS_BUCKETS`` because the
-    Arrow hash is bit-identical to ``word_code`` (asserted in the dedup
-    parity tests).  Round-9 guide §4.2: the word-array form evaluated the
-    poly-31 fold as interpreted per-CHARACTER lambda calls inside the
-    transform; hashing in the vectorized UDF leaves only one interpreted
-    lambda per WORD here."""
-    return F.aggregate(
-        F.transform(codes, lambda c: ((c % QS_BUCKETS) * QS_MIX)
-                    % 1001 - 500),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-
-
 # DuckDB mirror over a word-list column named ``ws``
 SQL_QUALITY_Z = (f"CAST(list_sum([0] || list_transform(ws, "
                  f"w -> (({_sql_word_code('w')} % {QS_BUCKETS}) "
@@ -259,15 +244,10 @@ SQL_QUALITY_Z = (f"CAST(list_sum([0] || list_transform(ws, "
         "Scale: pure JVM map over the corpus, zero shuffles, zero Python.",
 )
 def text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flinkapps_spark.operators.dedup import _word_codes_arrow
     docs = load_table(spark, sf_dir, "documents")
-    # Arrow word-hash (bit-identical to tokenize+word_code, see
-    # quality_z_codes) — the word-array form spent its time in the
-    # interpreted per-character poly-31 fold
-    codes = _word_codes_arrow()(F.col("text"))
-    out = (docs.select("doc_id", codes.alias("wcodes"))
-           .select("doc_id", F.size("wcodes").alias("n_tokens"),
-                   quality_z_codes(F.col("wcodes")).alias("z_units")))
+    ws = tokenize(F.col("text"))
+    out = docs.select("doc_id", F.size(ws).alias("n_tokens"),
+                      quality_z_expr(ws).alias("z_units"))
     mean_w = F.when(F.col("n_tokens") > 0,
                     F.col("z_units").cast("double")
                     / (F.lit(1000.0) * F.col("n_tokens")))

@@ -31,7 +31,7 @@ from flinkapps_spark.functions.text import tokenize
 from flinkapps_spark.operators.prefix import bucket_offsets
 from flinkapps_spark.plans.catalog import query
 from flinkapps_spark.plans.exact import sql_units, units_col
-from flinkapps_spark.plans.ml_queries import SQL_QUALITY_Z, quality_z_codes
+from flinkapps_spark.plans.ml_queries import SQL_QUALITY_Z, quality_z_expr
 from flinkapps_spark.plans.pipeline_queries import SQL_WORDS
 from flinkapps_spark.sources.batch import load_table
 
@@ -52,18 +52,13 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize/word_code/QS_* constants); docs with zero tokens carry no
     score and are excluded on both sides.
     """
-    from flinkapps_spark.operators.dedup import _word_codes_arrow
     docs = load_table(spark, sf_dir, "documents")
-    # Arrow word-hash + codes-based weight sum (see quality_z_codes):
-    # same values as tokenize+quality_z_expr, minus the interpreted
-    # per-character poly-31 fold this 4-consumer frame paid per run
-    sc = (docs.select(
+    ws = tokenize(F.col("text"))
+    sc = docs.select(
         "doc_id",
         F.when(F.col("lang") == POS_LANG, 1).otherwise(0).alias("pos"),
-        _word_codes_arrow()(F.col("text")).alias("wcodes"))
-        .select("doc_id", "pos",
-                F.size("wcodes").alias("n_tokens"),
-                quality_z_codes(F.col("wcodes")).alias("z_units")))
+        F.size(ws).alias("n_tokens"),
+        quality_z_expr(ws).alias("z_units"))
     return (sc.filter(F.col("n_tokens") > 0)
             .withColumn("s", F.col("z_units").cast("double")
                         / (F.lit(1000.0) * F.col("n_tokens"))))

@@ -796,9 +796,16 @@ def stream_knn_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         enc.unpersist()
         emb.unpersist()
-    stream_t = sorted((r.query_id, r.vec_id, r.cosine, r.rank)
+    def _cmp_cos(c: float):
+        # mirror exceptAll's set-op equality, which the driver compare
+        # replaced (ADVICE r9): NaN == NaN (a zero-norm embedding yields a
+        # NaN cosine) and -0.0 == 0.0.  Python tuple equality has neither,
+        # so map NaN to a sentinel and add +0.0 (IEEE: -0.0 + 0.0 = +0.0).
+        return "NaN" if c != c else c + 0.0
+
+    stream_t = sorted((r.query_id, r.vec_id, _cmp_cos(r.cosine), r.rank)
                       for r in served)
-    batch_t = sorted((r.query_id, r.vec_id, r.cosine, r.rank)
+    batch_t = sorted((r.query_id, r.vec_id, _cmp_cos(r.cosine), r.rank)
                      for r in batch_rows)
     matches = stream_t == batch_t
     n_q = len({t[0] for t in stream_t})
