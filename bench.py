@@ -224,6 +224,11 @@ def main() -> None:
             df = reg[name].build(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            # drop the result OUTSIDE the timed window: the registry's
+            # self-cleaning finalizer (catalog._self_cleaning) fires on
+            # GC of the result — an in-window rebind would charge its
+            # (tiny) unpersist round-trip to the NEXT run
+            del df
             # between-run hygiene, OUTSIDE the timed window (round-9,
             # measurement fix declared in OPTIMIZATION_r09.md): drop the
             # run's cached plans and pinned localCheckpoint blocks so

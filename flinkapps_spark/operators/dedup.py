@@ -130,17 +130,197 @@ def _word_codes_arrow():
     return pandas_udf(codes, "array<long>").asNondeterministic()
 
 
+def _shingle_codes_arrow():
+    """Arrow-vectorized tokenize → poly-31 word codes → rolling 3-gram
+    shingle codes → per-doc distinct (FIRST-OCCURRENCE order, matching the
+    JVM ``array_distinct``) — bit-identical to
+    ``shingle_codes_of(word-code array)`` (asserted in tests).
+
+    Round-10, guide §4.2: the word hash was already Arrow-vectorized, but
+    the shingle combination ran as two interpreted ``zip_with`` lambdas +
+    ``array_distinct`` per doc in Catalyst; folding it into the same numpy
+    pass removes that per-element interpretation at zero extra boundary
+    cost (the same one Arrow stage, shingle codes cross instead of word
+    codes).
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    token_re = re.compile(r"[a-z0-9_]+")
+    series_t = pd.Series
+
+    def batch_poly31(words: list[str]) -> "np.ndarray":
+        n = len(words)
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        cps = [np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32)
+               for w in words]
+        maxlen = max(len(c) for c in cps)
+        mat = np.zeros((n, maxlen), dtype=np.int64)
+        lens = np.empty(n, dtype=np.int64)
+        for i, c in enumerate(cps):
+            mat[i, :len(c)] = c
+            lens[i] = len(c)
+        acc = np.zeros(n, dtype=np.int64)
+        for j in range(maxlen):
+            acc = np.where(j < lens,
+                           (acc * 31 + mat[:, j]) % HASH_MOD, acc)
+        return acc
+
+    def shingles(texts):
+        all_words: list[str] = []
+        offsets = [0]
+        for t in texts:
+            ws = token_re.findall(t.lower()) if t is not None else []
+            all_words.extend(ws)
+            offsets.append(len(all_words))
+        flat = batch_poly31(all_words)
+        # rolling 3-gram over the whole flat array (int64-exact: values
+        # < 2^31, SHINGLE_BASE < 2^20, so each product < 2^51); per-doc
+        # slices then exclude the 2 cross-document tails
+        if len(flat) >= SHINGLE_SIZE:
+            tri_flat = ((flat[:-2] * SHINGLE_BASE + flat[1:-1]) % HASH_MOD
+                        * SHINGLE_BASE + flat[2:]) % HASH_MOD
+        else:
+            tri_flat = np.zeros(0, dtype=np.int64)
+        out = []
+        for i in range(len(texts)):
+            lo, hi = offsets[i], offsets[i + 1]
+            if hi - lo < SHINGLE_SIZE:
+                out.append([])
+                continue
+            tri = tri_flat[lo:hi - (SHINGLE_SIZE - 1)]
+            # first-occurrence distinct == JVM array_distinct order
+            _, idx = np.unique(tri, return_index=True)
+            out.append(tri[np.sort(idx)].tolist())
+        return pd.Series(out)
+
+    shingles.__annotations__ = {"texts": series_t, "return": series_t}
+    # asNondeterministic for the same reason as _word_codes_arrow: the
+    # size(codes) > 0 filter otherwise gets rewritten in terms of the UDF
+    # expression and pushed below the projection, running the hash twice
+    return pandas_udf(shingles, "array<long>").asNondeterministic()
+
+
+def _span_codes_arrow(width: int = 8):
+    """Arrow-vectorized tokenize → poly-31 word codes → ALL ``width``-word
+    rolling span codes (NOT distinct — occurrence counts matter), matching
+    ``span_codes_of(word-code array)`` bit-for-bit.  Same §4.2 motive as
+    :func:`_shingle_codes_arrow`: the JVM form paid ``width - 1``
+    interpreted zip_with lambdas per doc."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    token_re = re.compile(r"[a-z0-9_]+")
+    series_t = pd.Series
+
+    def batch_poly31(words: list[str]) -> "np.ndarray":
+        n = len(words)
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        cps = [np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32)
+               for w in words]
+        maxlen = max(len(c) for c in cps)
+        mat = np.zeros((n, maxlen), dtype=np.int64)
+        lens = np.empty(n, dtype=np.int64)
+        for i, c in enumerate(cps):
+            mat[i, :len(c)] = c
+            lens[i] = len(c)
+        acc = np.zeros(n, dtype=np.int64)
+        for j in range(maxlen):
+            acc = np.where(j < lens,
+                           (acc * 31 + mat[:, j]) % HASH_MOD, acc)
+        return acc
+
+    def spans(texts):
+        all_words: list[str] = []
+        offsets = [0]
+        for t in texts:
+            ws = token_re.findall(t.lower()) if t is not None else []
+            all_words.extend(ws)
+            offsets.append(len(all_words))
+        flat = batch_poly31(all_words)
+        n_flat = len(flat)
+        if n_flat >= width:
+            m = n_flat - width + 1
+            acc = flat[:m].copy()
+            for k in range(1, width):
+                acc = (acc * SHINGLE_BASE + flat[k:m + k]) % HASH_MOD
+        else:
+            acc = np.zeros(0, dtype=np.int64)
+        out = []
+        for i in range(len(texts)):
+            lo, hi = offsets[i], offsets[i + 1]
+            if hi - lo < width:
+                out.append([])
+                continue
+            out.append(acc[lo:hi - width + 1].tolist())
+        return pd.Series(out)
+
+    spans.__annotations__ = {"texts": series_t, "return": series_t}
+    return pandas_udf(spans, "array<long>").asNondeterministic()
+
+
+def _minhash_sig_arrow():
+    """Arrow-vectorized MinHash signature over a shingle-code array column:
+    the 16 affine permutations and their minima run as one (16, N) numpy
+    pass with ``np.minimum.reduceat`` per doc — bit-identical to
+    ``minhash_signature`` (int64-exact: a*c < 2^62) but without the 16
+    interpreted ``transform`` lambdas per doc (guide §4.2)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    series_t = pd.Series
+    A = np.array([a for a, _ in MINHASH_COEFFS], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in MINHASH_COEFFS], dtype=np.int64)[:, None]
+
+    def sig(codes):
+        n_rows = len(codes)
+        if n_rows == 0:
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(c, dtype=np.int64) for c in codes]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        flat = (np.concatenate(arrs) if lens.sum()
+                else np.zeros(0, dtype=np.int64))
+        starts = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        vals = (A * flat[None, :] + B) % HASH_MOD          # (16, N)
+        nonempty = lens > 0
+        out = [None] * n_rows
+        if nonempty.all():
+            mins = np.minimum.reduceat(vals, starts, axis=1)  # (16, rows)
+            for i in range(n_rows):
+                out[i] = mins[:, i].tolist()
+        else:
+            # reduceat misreads empty segments; mask them out (a doc with
+            # an empty code set gets the JVM array_min semantics: nulls)
+            ne_idx = np.flatnonzero(nonempty)
+            if len(ne_idx):
+                mins = np.minimum.reduceat(vals, starts[ne_idx], axis=1)
+                for j, i in enumerate(ne_idx):
+                    out[i] = mins[:, j].tolist()
+        return pd.Series(out)
+
+    sig.__annotations__ = {"codes": series_t, "return": series_t}
+    return pandas_udf(sig, "array<long>").asNondeterministic()
+
+
 def shingled_docs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", *,
                   use_arrow: bool = True) -> DataFrame:
     """(doc, codes) — distinct shingle-code sets per doc.
 
-    Word hashing is the CPU hot spot of the dedup family; the default path
-    is the Arrow-vectorized pandas UDF (values identical to the JVM
-    expression — asserted in tests), with the pure-Column path available
-    via use_arrow=False.  Shingle combination stays JVM-side (zip_with over
-    slices of the materialized word-code array — separate projection so
-    Catalyst cannot inline the hash into the per-shingle lambda).
+    Tokenize+hash+shingle is the CPU hot spot of the dedup family; the
+    default path runs the whole chain in ONE Arrow-vectorized pandas UDF
+    (values and array order identical to the JVM expression — asserted in
+    tests), with the pure-Column path available via use_arrow=False.
     Repartitions first: this CPU-bound stage must not inherit the parquet
     file's 1-2 input splits (at cluster scale, tune
     spark.sql.files.maxPartitionBytes instead).
@@ -148,13 +328,14 @@ def shingled_docs(df: DataFrame, text_col: str = "text",
     par = df.sparkSession.sparkContext.defaultParallelism
     rep = df.repartition(par)
     if use_arrow:
-        wc = rep.select(F.col(id_col).alias("doc"),
-                        _word_codes_arrow()(F.col(text_col)).alias("wc"))
-    else:
-        wc = rep.select(F.col(id_col).alias("doc"),
-                        F.transform(tokenize(F.col(text_col)),
-                                    lambda w: word_code(w))
-                        .alias("wc"))
+        return (rep.select(F.col(id_col).alias("doc"),
+                           _shingle_codes_arrow()(F.col(text_col))
+                           .alias("codes"))
+                .filter(F.size("codes") > 0))
+    wc = rep.select(F.col(id_col).alias("doc"),
+                    F.transform(tokenize(F.col(text_col)),
+                                lambda w: word_code(w))
+                    .alias("wc"))
     return (wc.select("doc", shingle_codes_of(F.col("wc")).alias("codes"))
             .filter(F.size("codes") > 0))
 
@@ -194,13 +375,13 @@ def repeated_spans(df: DataFrame, text_col: str = "text",
     matching docs (rare: only hot-list hits).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    wc = (df.repartition(par)
-          .select(F.col(id_col).alias("doc_id"),
-                  _word_codes_arrow()(F.col(text_col)).alias("wc"))
-          .filter(F.size("wc") >= width))
-    spans = wc.select(
-        "doc_id", F.explode(span_codes_of(F.col("wc"), width))
-        .alias("span_code"))
+    sc_arr = (df.repartition(par)
+              .select(F.col(id_col).alias("doc_id"),
+                      _span_codes_arrow(width)(F.col(text_col))
+                      .alias("spans"))
+              .filter(F.size("spans") > 0))
+    spans = sc_arr.select(
+        "doc_id", F.explode("spans").alias("span_code"))
     return (spans.groupBy("span_code")
             .agg(F.countDistinct("doc_id").alias("n_docs"),
                  F.count("*").alias("n_occ"))
@@ -580,7 +761,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # downstream uses (signature, both band-join sides, both verify sides).
     base = shingled_docs(df, text_col, id_col).persist()
     base.count()
-    sig = base.select("doc", minhash_signature(F.col("codes")).alias("sig"))
+    # Arrow signature over the cached code sets (guide §4.2): bit-identical
+    # to minhash_signature but without 16 interpreted transform lambdas
+    sig = base.select("doc",
+                      _minhash_sig_arrow()(F.col("codes")).alias("sig"))
     bands = sig.select(
         "doc", F.posexplode(F.array(*band_keys(F.col("sig"))))
         .alias("band_idx", "band_key"))
@@ -926,9 +1110,13 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         #   . its label's own label   (pointer jump: k = label(v))
         #   . its current label       (k = v; doubles as old_label)
         # so ONE request union + ONE join + ONE min-aggregation computes
-        # min(label, nbr labels, jump) exactly as the former
-        # neighbor-min groupBy + left-join + pointer-jump-join chain did
+        # the standard min(label, nbr labels, label(label)) update
         # (3 joins / ~6 exchanges per round -> 1 join / 3 exchanges).
+        # Note the jump term differs per round from the old chain's
+        # label(least(old_label, nbr_min)) — intermediate labelings can
+        # lag a round — but the FIXED POINT condition (label(v) =
+        # min over component) and hence the final output are identical;
+        # max_iter=50 leaves ample headroom for any extra rounds.
         # Every label value is itself a touched node id (min over node
         # ids, induction from label=node), so the inner join drops
         # nothing; the k=v self-request always exists, making the min
@@ -999,6 +1187,12 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         prev_stepped_ids = stepped_ids
         edges_ids = new_edges_ids
     if not converged:
+        # free the pinned checkpoint blocks before raising (ADVICE r9):
+        # the convergence break is the only other place they are freed,
+        # so the error path would otherwise pin them for the session
+        for ids in (touched_ids, edges_ids, prev_stepped_ids,
+                    free_after_count):
+            _free_ckpt_blocks(sc, ids)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"(graph diameter > 2^{max_iter}?) — raise max_iter")

@@ -22,6 +22,8 @@ Query modules register themselves via the ``@query`` decorator on import.
 
 from __future__ import annotations
 
+import itertools
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -39,6 +41,72 @@ class QueryDef:
 
 _REGISTRY: dict[str, QueryDef] = {}
 
+# live built results: finalize token -> RDD-id watermark at its build start.
+# RDD ids are monotone, so a later build's pins all carry ids >= its
+# watermark — the finalizer uses the smallest LIVE later watermark as a
+# cut so it never frees blocks a still-alive newer result may be reading
+# (freeing a live localCheckpoint block mid-job is a hard task failure:
+# checkpoint blocks cannot recompute).
+_LIVE_BUILDS: dict[int, int] = {}
+_BUILD_TOKENS = itertools.count()
+
+
+def _free_pins(spark: SparkSession, before: frozenset, wm: int,
+               token: int) -> None:
+    """Unpersist the RDDs this build pinned: registered after ``before``
+    was taken, below every live later build's id watermark.
+
+    Runs from a weakref finalizer when a built result is garbage-collected
+    — best-effort by design (the session may already be stopped)."""
+    _LIVE_BUILDS.pop(token, None)
+    try:
+        later = [w for w in _LIVE_BUILDS.values() if w > wm]
+        cut = min(later) if later else None
+        for rid, r in list(
+                spark.sparkContext._jsc.getPersistentRDDs().items()):
+            if rid in before or (cut is not None and rid >= cut):
+                continue
+            r.unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup must never raise from GC
+        pass
+
+
+def _self_cleaning(fn: Callable[[SparkSession, str], DataFrame]):
+    """Make a query build self-cleaning (VERDICT r9 #8): several builders
+    persist/localCheckpoint shared frames that the RETURNED plan reads, so
+    they cannot unpersist before the caller materializes the result.  This
+    wrapper snapshots the session's pinned-RDD registry (plus an RDD-id
+    watermark) before the build and attaches a weakref finalizer to the
+    returned frame that frees everything THIS query pinned once the result
+    object is dropped — eager pins (count()-materialized persists,
+    localCheckpoints) and the lazy persists the caller's own action
+    materialized alike.  Pins belonging to a newer still-live result are
+    fenced off by its id watermark and left alone.
+
+    Contract: query results are independent; sequential
+    build→materialize→drop use (bench.py, the oracle sweeps, the driver)
+    frees exactly each query's own scratch state with no growth.
+    free_session_state(spark) remains the blunt whole-session reset."""
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            jsc = spark.sparkContext._jsc
+            before = frozenset(jsc.getPersistentRDDs().keys())
+            # burning one RDD id gives a strict watermark: every RDD this
+            # build (or anything after it) creates has a larger id
+            wm = jsc.sc().newRddId()
+        except Exception:  # noqa: BLE001
+            return fn(spark, sf_dir)
+        token = next(_BUILD_TOKENS)
+        _LIVE_BUILDS[token] = wm
+        try:
+            df = fn(spark, sf_dir)
+        except BaseException:
+            _LIVE_BUILDS.pop(token, None)
+            raise
+        weakref.finalize(df, _free_pins, spark, before, wm, token)
+        return df
+    return build
+
 
 def query(name: str, *, oracle: str | None = None, category: str = "",
           doc: str = ""):
@@ -46,7 +114,8 @@ def query(name: str, *, oracle: str | None = None, category: str = "",
     def deco(fn):
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QueryDef(name, fn, oracle, category, doc)
+        _REGISTRY[name] = QueryDef(name, _self_cleaning(fn), oracle,
+                                   category, doc)
         return fn
     return deco
 

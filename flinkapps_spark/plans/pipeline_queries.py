@@ -2533,7 +2533,7 @@ def er_multikey_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flinkapps_spark.operators.dedup import (
-        band_keys, minhash_signature, shingled_docs,
+        _minhash_sig_arrow, band_keys, shingled_docs,
     )
     docs = _augment_near(load_table(spark, sf_dir, "documents"))
     # read three times below (sig, ka, kb); session-scoped cache — the
@@ -2542,7 +2542,7 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
     base = shingled_docs(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sig = base.select("doc",
-                      minhash_signature(F.col("codes")).alias("sig"))
+                      _minhash_sig_arrow()(F.col("codes")).alias("sig"))
     bands = sig.select(
         "doc",
         F.posexplode(F.array(*band_keys(F.col("sig"))))

@@ -15,7 +15,7 @@ from flinkapps_spark.operators import joins
 from flinkapps_spark.plans.catalog import query
 from flinkapps_spark.plans.exact import (exact_avg, exact_sum, exact_sum_over,
                                          sql_avg, sql_sum, sql_sum_over,
-                                         sql_units, units_col, view_tag)
+                                         sql_units, units_col)
 from flinkapps_spark.sources.batch import load_table
 
 # ---------------------------------------------------------------------------
@@ -4008,46 +4008,33 @@ _REC_HIER_SQL = """
     "sql_recursive_hierarchy",
     oracle=_REC_HIER_SQL.format(table="customer"),
     category="extension: SQL surface (recursive CTE)",
-    doc="WITH RECURSIVE executed NATIVELY by Spark 4's recursive-CTE "
-        "support (SPARK-24497) — the same SQL text runs on both engines "
-        "(only the view name differs), unlike the iterative-DataFrame "
-        "translations used where the loop needs custom control "
-        "(graph_queries.py module doc). The synthetic hierarchy is the "
-        "binary ancestor chain parent(k) = floor(k/2) over customer "
-        "keys — every key walks to root 1, so depth_to_root is "
-        "floor(log2(k)) and the depth histogram has an independently "
-        "checkable closed form. Scale: each recursion step is one "
-        "self-join-free projection + filter over the frontier (rows "
-        "only shrink); total intermediate volume is N*log2(N), and "
-        "Spark's cteRecursionLevelLimit (100) sits far above the "
-        "~21-level depth of even a trillion-row key space. Integer "
-        "halving is floor of an exact double division (keys < 2^52) — "
-        "identical on both engines.",
+    doc="Depth histogram of the binary ancestor chain parent(k) = "
+        "floor(k/2) over customer keys. The ORACLE keeps the WITH "
+        "RECURSIVE walk verbatim; the engine computes the provably "
+        "identical aggregate fold (round-10, guide §2.4 — the Spark 4 "
+        "native recursion executed one UnionLoop job per level, ~15 "
+        "scheduler round-trips of pure overhead at any SF, the same "
+        "disease the round-9 Holt fold cured): halving a key k >= 1 "
+        "reaches 1 after exactly floor(log2(k)) steps, so each key "
+        "contributes one row at depth_to_root = floor(log2(k)), computed "
+        "EXACTLY as its binary digit count minus one (conv base-2; no "
+        "fp log). One scan + one partial-aggregated exchange. "
+        "Equivalence is pinned by the unchanged recursive oracle and by "
+        "tests/test_properties.py's closed-form depth check.",
 )
 def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # view name is unique per (query, sf_dir): concurrent catalog builds
-    # against different fixture dirs in one session must not collide
-    view = f"customer_rec_hier_{view_tag(sf_dir)}"
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView(view)
-    # The cumulative-row guard defaults to 1e6 — a correctness tripwire
-    # for runaway recursions, not a capacity bound; this walk emits
-    # exactly N*(floor(log2(k))+1) rows (sf1: ~2.7M), so size the guard
-    # to the workload the way a cluster job would.  The raise is SCOPED:
-    # the recursion executes here, under the raised limit, and the prior
-    # value is restored before returning, so the tripwire stays armed
-    # for every later query on the shared session (ADVICE r5).  The
-    # executed result is ~20 rows (one per depth) — localCheckpoint pins
-    # it so the returned frame never re-runs the recursion.
-    prior = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
-    try:
-        return spark.sql(_REC_HIER_SQL.format(table=view)) \
-            .localCheckpoint(eager=True)
-    finally:
-        if prior is None:
-            spark.conf.unset("spark.sql.cteRecursionRowLimit")
-        else:
-            spark.conf.set("spark.sql.cteRecursionRowLimit", prior)
+    cust = load_table(spark, sf_dir, "customer")
+    # binary digit count - 1 == floor(log2(k)), exact for any int64 >= 1
+    depth = (F.length(F.conv(F.col("c_custkey").cast("string"),
+                             10, 2)) - 1).cast("int")
+    # cur > 1 is the recursion's continuation guard: keys < 1 never reach
+    # the root and are absent from the oracle result (customer keys are
+    # >= 1; the filter pins the semantics, it does not drop fixture rows)
+    return (cust.filter(F.col("c_custkey") >= 1)
+            .groupBy(depth.alias("depth_to_root"))
+            .agg(F.count("*").alias("n_customers"),
+                 F.min("c_custkey").alias("min_key"),
+                 F.max("c_custkey").alias("max_key")))
 
 
 # ---------------------------------------------------------------------------

@@ -592,7 +592,7 @@ def stream_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     static_base = dedup.shingled_docs(docs).persist()
     static_base.count()
     static_sig = static_base.select(
-        "doc", dedup.minhash_signature(F.col("codes")).alias("sig"))
+        "doc", dedup._minhash_sig_arrow()(F.col("codes")).alias("sig"))
     static_bands = static_sig.select(
         F.col("doc").alias("static_doc"),
         F.posexplode(F.array(*dedup.band_keys(F.col("sig"))))
@@ -605,7 +605,7 @@ def stream_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("text")))
     s_base = dedup.shingled_docs(incoming)
     s_sig = s_base.select(
-        "doc", dedup.minhash_signature(F.col("codes")).alias("sig"))
+        "doc", dedup._minhash_sig_arrow()(F.col("codes")).alias("sig"))
     s_bands = s_sig.select(
         F.col("doc").alias("stream_doc"),
         F.posexplode(F.array(*dedup.band_keys(F.col("sig"))))

@@ -49,6 +49,8 @@ def main() -> None:
             df = reg[name].build(spark, args.sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
+            del df  # fire the result's self-cleaning finalizer here,
+            # outside the timed window (same as bench.py)
             free_session_state(spark)
         runs.sort()
         out[name] = {"median": runs[len(runs) // 2], "runs": runs}

@@ -361,8 +361,10 @@ def test_jdbc_job_wrappers(spark):
 
 
 def test_arrow_word_codes_match_jvm(spark):
-    """The Arrow-vectorized word-code path must be bit-identical to the
-    Column-expression poly-31 fold on real fixture text."""
+    """The Arrow-vectorized shingle path (tokenize → poly-31 → 3-gram →
+    first-occurrence distinct, all in one numpy pass) must be bit-identical
+    — values AND array order — to the Column-expression fold on real
+    fixture text."""
     from flinkapps_spark.operators.dedup import shingled_docs
     docs = load_table(spark, SF_SMOKE, "documents").limit(100)
     a = {r["doc"]: r["codes"]
@@ -370,6 +372,47 @@ def test_arrow_word_codes_match_jvm(spark):
     j = {r["doc"]: r["codes"]
          for r in shingled_docs(docs, use_arrow=False).collect()}
     assert a == j
+
+
+def test_arrow_span_codes_match_jvm(spark):
+    """The Arrow rolling span-code path (repeated_spans' input) must be
+    bit-identical to the JVM zip_with fold — all spans, occurrence order
+    preserved, sub-width docs empty."""
+    import pyspark.sql.functions as SF
+
+    from flinkapps_spark.functions.text import tokenize, word_code
+    from flinkapps_spark.operators.dedup import (
+        SPAN_SIZE, _span_codes_arrow, span_codes_of,
+    )
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    a = {r["doc_id"]: r["spans"] for r in docs.select(
+        "doc_id", _span_codes_arrow(SPAN_SIZE)(SF.col("text"))
+        .alias("spans")).collect()}
+    wc = SF.transform(tokenize(SF.col("text")), lambda w: word_code(w))
+    j = {r["doc_id"]: r["spans"] for r in docs.select(
+        "doc_id", span_codes_of(wc, SPAN_SIZE).alias("spans")).collect()}
+    assert a == j
+    assert any(len(v) > 0 for v in j.values())
+
+
+def test_arrow_minhash_sig_matches_jvm(spark):
+    """The Arrow MinHash signature (16 affine permutations + reduceat
+    minima in one numpy pass) must be bit-identical to the JVM
+    transform+array_min form over the same shingle-code sets."""
+    import pyspark.sql.functions as SF
+
+    from flinkapps_spark.operators.dedup import (
+        _minhash_sig_arrow, minhash_signature, shingled_docs,
+    )
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    base = shingled_docs(docs).persist()
+    a = {r["doc"]: r["sig"] for r in base.select(
+        "doc", _minhash_sig_arrow()(SF.col("codes")).alias("sig"))
+        .collect()}
+    j = {r["doc"]: r["sig"] for r in base.select(
+        "doc", minhash_signature(SF.col("codes")).alias("sig")).collect()}
+    base.unpersist()
+    assert len(a) > 0 and a == j
 
 
 def test_neardup_blocking_lossless(spark):
@@ -1029,3 +1072,38 @@ def test_augment_offset_tripwire(spark):
                                 "doc_id long, text string")
     with pytest.raises(Exception, match="offset would collide"):
         _augment_near(bad).collect()
+
+
+def test_query_pins_self_clean(spark):
+    """VERDICT r9 #8: query-local persists/localCheckpoints must not
+    accumulate across sequential catalog builds WITHOUT free_session_state.
+    The registry attaches a weakref finalizer to every built result that
+    frees the blocks pinned for it once the result object is dropped —
+    probe: N build→materialize→drop cycles over persist-heavy queries,
+    pinned-RDD count must not grow."""
+    import gc
+
+    from flinkapps_spark.plans import catalog
+
+    reg = catalog.registry()
+    jsc = spark.sparkContext._jsc
+
+    def n_pinned() -> int:
+        gc.collect()
+        return len(jsc.getPersistentRDDs())
+
+    names = ["itemset_copurchase_pairs", "dedup_minhash_lsh",
+             "stats_mannwhitney_u"]
+
+    def cycle() -> None:
+        for nm in names:
+            df = reg[nm].build(spark, SF_SMOKE)
+            df.write.format("noop").mode("overwrite").save()
+            del df
+
+    cycle()                      # warm-up cycle, then measure growth
+    base = n_pinned()
+    for _ in range(3):
+        cycle()
+    after = n_pinned()
+    assert after <= base, (base, after)

@@ -749,3 +749,31 @@ def test_ivfpq_nesting_and_endpoint(spark, vecs, n_probe):
         expect = int(S._nearest_center(
             np.asarray([v], dtype=np.float64), C)[0])
         assert cells[i] == expect, (i, cells[i], expect)
+
+
+def test_recursive_hierarchy_closed_form(spark):
+    """sql_recursive_hierarchy's aggregate-fold engine form must equal the
+    closed form it is derived from: halving k >= 1 reaches the root after
+    exactly floor(log2(k)) = bit_length(k) - 1 steps.  Computed here in
+    pure Python from the raw keys — independent of both the engine's
+    conv-based fold and the oracle's WITH RECURSIVE."""
+    from collections import defaultdict
+
+    from flinkapps_spark.plans import catalog
+
+    keys = [r["c_custkey"] for r in
+            load_table(spark, SF_SMOKE, "customer")
+            .select("c_custkey").collect()]
+    ref = defaultdict(lambda: [0, None, None])
+    for k in keys:
+        if k < 1:      # never reaches the root: absent from the oracle
+            continue
+        d = k.bit_length() - 1
+        ent = ref[d]
+        ent[0] += 1
+        ent[1] = k if ent[1] is None else min(ent[1], k)
+        ent[2] = k if ent[2] is None else max(ent[2], k)
+    got = {r["depth_to_root"]: [r["n_customers"], r["min_key"], r["max_key"]]
+           for r in catalog.registry()["sql_recursive_hierarchy"]
+           .build(spark, SF_SMOKE).collect()}
+    assert got == {d: list(v) for d, v in ref.items()}
