@@ -1107,3 +1107,21 @@ def test_query_pins_self_clean(spark):
         cycle()
     after = n_pinned()
     assert after <= base, (base, after)
+
+
+def test_nearest_center_inplace_form():
+    """_nearest_center's in-place distance build must be BIT-identical to
+    the naive ‖x‖²−2x·C+‖C‖² expression (power-of-two scaling commutes
+    with IEEE rounding; addition is commutative; add order preserved) —
+    the cell-assignment contract every IVF path routes through."""
+    import numpy as np
+
+    from flinkapps_spark.operators.similarity import _nearest_center
+
+    rng = np.random.default_rng(7)
+    for n, k, dim in ((16384, 256, 8), (2000, 16, 64), (7, 3, 8), (1, 1, 4)):
+        X = rng.normal(size=(n, dim))
+        C = np.ascontiguousarray(X[:k].copy())
+        naive = (((X * X).sum(1))[:, None] - 2.0 * (X @ C.T)
+                 + (C * C).sum(1)[None, :]).argmin(1)
+        assert np.array_equal(_nearest_center(X, C), naive)
