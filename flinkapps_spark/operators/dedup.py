@@ -69,67 +69,6 @@ def shingle_codes_of(wc: Column) -> Column:
         .otherwise(F.array().cast("array<bigint>"))
 
 
-def _word_codes_arrow():
-    """Arrow-vectorized tokenize+poly-31: numpy Horner over a padded
-    codepoint matrix, masked past each word's length — bit-identical to the
-    Column-expression ``word_code`` (same fold, same modulus) but ~5-10x
-    faster than Catalyst's interpreted per-char lambda fold.
-
-    Tokenization mirrors regexp_extract_all('\\w+') with Java/RE2 ASCII
-    \\w = [A-Za-z0-9_] (python re's \\w is unicode-wide — not used).
-    """
-    import re
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    token_re = re.compile(r"[a-z0-9_]+")
-    series_t = pd.Series
-
-    def batch_poly31(words: list[str]) -> "np.ndarray":
-        n = len(words)
-        if n == 0:
-            return np.zeros(0, dtype=np.int64)
-        cps = [np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32)
-               for w in words]
-        maxlen = max(len(c) for c in cps)
-        mat = np.zeros((n, maxlen), dtype=np.int64)
-        lens = np.empty(n, dtype=np.int64)
-        for i, c in enumerate(cps):
-            mat[i, :len(c)] = c
-            lens[i] = len(c)
-        acc = np.zeros(n, dtype=np.int64)
-        for j in range(maxlen):
-            acc = np.where(j < lens,
-                           (acc * 31 + mat[:, j]) % HASH_MOD, acc)
-        return acc
-
-    def codes(texts):
-        all_words: list[str] = []
-        offsets = [0]
-        for t in texts:
-            ws = token_re.findall(t.lower()) if t is not None else []
-            all_words.extend(ws)
-            offsets.append(len(all_words))
-        flat = batch_poly31(all_words)
-        return pd.Series([flat[offsets[i]:offsets[i + 1]].tolist()
-                          for i in range(len(texts))])
-
-    # explicit annotations (real types, not forward refs) so pandas_udf's
-    # type-hint inference resolves SERIES→SERIES
-    codes.__annotations__ = {"texts": series_t, "return": series_t}
-    # asNondeterministic: the UDF IS deterministic, but downstream
-    # size()>0 filters (explicit, or inferred by InferFiltersFromGenerate
-    # under an explode) otherwise get rewritten in terms of the UDF
-    # EXPRESSION and pushed below the projection — the whole word-hash
-    # matmul ran TWICE in every dedup plan (measured: 2 ArrowEvalPython
-    # nodes in shingled_docs/doc_shingle_table/repeated_spans).  Marking
-    # it nondeterministic blocks the expression-duplicating pushdown;
-    # the filter then evaluates on the projected column once.
-    return pandas_udf(codes, "array<long>").asNondeterministic()
-
-
 def _shingle_codes_arrow():
     """Arrow-vectorized tokenize → poly-31 word codes → rolling 3-gram
     shingle codes → per-doc distinct (FIRST-OCCURRENCE order, matching the
@@ -199,9 +138,12 @@ def _shingle_codes_arrow():
         return pd.Series(out)
 
     shingles.__annotations__ = {"texts": series_t, "return": series_t}
-    # asNondeterministic for the same reason as _word_codes_arrow: the
-    # size(codes) > 0 filter otherwise gets rewritten in terms of the UDF
-    # expression and pushed below the projection, running the hash twice
+    # asNondeterministic: the UDF IS deterministic, but the size(codes)>0
+    # filter (explicit, or inferred under an explode) otherwise gets
+    # rewritten in terms of the UDF EXPRESSION and pushed below the
+    # projection — the whole hash pass ran TWICE in every dedup plan
+    # (measured round 8: 2 ArrowEvalPython nodes) until the word-hash UDF
+    # this one replaces was marked nondeterministic
     return pandas_udf(shingles, "array<long>").asNondeterministic()
 
 
