@@ -443,10 +443,17 @@ def stats_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a", "x_a", "n_b", "x_b",
         (F.col("x_a") * F.col("n_b")
          - F.col("x_b") * F.col("n_a")).alias("lift_num"),
-        (((pa - pb) * (pa - pb))
-         / (p * (F.lit(1.0) - p)
+        # try_divide: when every user (or no user) converts the pooled
+        # variance is 0 and DuckDB's x/0.0 yields NULL — Spark 4's ANSI
+        # division throws instead (inherited latent failure, surfaced by
+        # the round-10 sf0.001 sweep: zero conversions at that SF).
+        # Identical IEEE division wherever the denominator is nonzero
+        # (the round-9 try_divide precedent).
+        F.try_divide(
+            (pa - pb) * (pa - pb),
+            p * (F.lit(1.0) - p)
             * (F.lit(1.0) / F.col("n_a")
-               + F.lit(1.0) / F.col("n_b")))).alias("z_squared"))
+               + F.lit(1.0) / F.col("n_b"))).alias("z_squared"))
 
 
 # ---------------------------------------------------------------------------
