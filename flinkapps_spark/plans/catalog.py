@@ -62,11 +62,15 @@ def _free_pins(spark: SparkSession, before: frozenset, wm: int,
     try:
         later = [w for w in _LIVE_BUILDS.values() if w > wm]
         cut = min(later) if later else None
-        for rid, r in list(
-                spark.sparkContext._jsc.getPersistentRDDs().items()):
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        # keySet().toArray() is ONE py4j round trip; the py4j map proxy's
+        # keys()/items() cost ~15-18 ms even on an empty map
+        for rid in jmap.keySet().toArray():
             if rid in before or (cut is not None and rid >= cut):
                 continue
-            r.unpersist(False)
+            r = jmap.get(rid)
+            if r is not None:
+                r.unpersist(False)
     except Exception:  # noqa: BLE001 — cleanup must never raise from GC
         pass
 
@@ -90,7 +94,11 @@ def _self_cleaning(fn: Callable[[SparkSession, str], DataFrame]):
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             jsc = spark.sparkContext._jsc
-            before = frozenset(jsc.getPersistentRDDs().keys())
+            # keySet().toArray() = one py4j round trip (~0.5 ms); the
+            # map proxy's keys() view costs ~18 ms per call and would be
+            # paid INSIDE every timed bench window
+            before = frozenset(
+                jsc.getPersistentRDDs().keySet().toArray())
             # burning one RDD id gives a strict watermark: every RDD this
             # build (or anything after it) creates has a larger id
             wm = jsc.sc().newRddId()

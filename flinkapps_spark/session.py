@@ -104,9 +104,13 @@ def free_session_state(spark: SparkSession) -> None:
     except Exception:  # noqa: BLE001 — cleanup is best-effort
         pass
     try:
-        # py4j exposes the java map as a Python mapping; list() snapshots
-        # it so unpersist's registry removals don't race the iteration
-        for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-            r.unpersist(True)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        # keySet().toArray() snapshots the ids in ONE py4j round trip
+        # (the map proxy's values()/items() views cost ~15 ms per call
+        # even empty); unpersist's registry removals can't race it
+        for rid in jmap.keySet().toArray():
+            r = jmap.get(rid)
+            if r is not None:
+                r.unpersist(True)
     except Exception:  # noqa: BLE001
         pass
